@@ -1,0 +1,95 @@
+# forge3d_tpu — a TPU-native (JAX/XLA/Pallas) rebuild of the forge3d
+# offline 3D map renderer: path-traced terrain and cartography.
+#
+# The public API mirrors the reference's `forge3d` package surface
+# (/root/reference/python/forge3d/__init__.py) while the engine underneath is
+# a from-scratch TPU-first design: wgpu passes became jitted functions, WGSL
+# kernels became fused jnp / Pallas kernels, wavefront ray queues became
+# deterministic per-pixel sample loops, and frames tile-shard across chips
+# with jax.sharding.
+
+from ._version import __version__  # noqa: F401
+
+from .errors import (  # noqa: F401
+    ContractViolation,
+    ConvergenceError,
+    DegradedCapability,
+    DeviceError,
+    ExperimentalSyntheticOutput,
+    MemoryBudgetExceeded,
+    RenderError,
+    TransformFailed,
+    UploadError,
+)
+from .device import (  # noqa: F401
+    Session,
+    capabilities,
+    deterministic_mode,
+    device_probe,
+    engine_info,
+    enumerate_adapters,
+    has_gpu,
+    has_tpu,
+    poison_context,
+    report_device,
+    try_ctx,
+    unpoison_context,
+)
+from .degradation import (  # noqa: F401
+    clear_native_degradations,
+    native_degradations,
+    record_degradation,
+)
+from .mem import (  # noqa: F401
+    MEMORY_BUDGET_CAP,
+    get_memory_budget_policy,
+    memory_metrics,
+    set_memory_budget_policy,
+)
+from .camera import (  # noqa: F401
+    PinholeCamera,
+    camera_dof_params,
+    camera_look_at,
+    camera_orthographic,
+    camera_perspective,
+    camera_view_proj,
+    orbit_camera_origin,
+)
+
+def global_memory_metrics():
+    """Reference parity alias for memory_metrics()."""
+    return memory_metrics()
+
+
+# Heavier subsystems import lazily so `import forge3d_tpu` stays cheap and
+# works before JAX device init.
+def __getattr__(name):
+    if name in ("hybrid_render_terrain_reference", "render_terrain_reference"):
+        from .pt.terrain_ref import hybrid_render_terrain_reference
+
+        return hybrid_render_terrain_reference
+    if name == "PathTracer":
+        from .pt.path_tracer import PathTracer
+
+        return PathTracer
+    if name == "Scene":
+        from .scene import Scene
+
+        return Scene
+    if name == "TerrainRenderer":
+        from .terrain.renderer import TerrainRenderer
+
+        return TerrainRenderer
+    if name == "TerrainRenderParams":
+        from .terrain.params import TerrainRenderParams
+
+        return TerrainRenderParams
+    if name in ("numpy_to_png", "png_to_numpy"):
+        from .io import image
+
+        return getattr(image, name)
+    if name == "colormaps":
+        import importlib
+
+        return importlib.import_module(".colormaps", __name__)
+    raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")

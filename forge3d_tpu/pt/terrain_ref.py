@@ -1,0 +1,559 @@
+# forge3d_tpu/pt/terrain_ref.py
+# PROMETHEUS: converged path-traced terrain reference — the north-star
+# workload, rebuilt TPU-native.
+#
+# Reference behavior being matched (not copied):
+#   - Entry + defaults: /root/reference/src/py_functions/path_tracing/
+#     terrain_reference.rs:55-110 (signature, camera dict, sun defaults,
+#     dict return with rgba/albedo/normal/depth/frames/variance/converged
+#     and memory diagnostics).
+#   - Estimator: src/shaders/hybrid_terrain_traversal.wgsl:385-550
+#     (spp jittered tent samples, sun NEE through the merged ReSTIR
+#     reservoir, one cosine env sample per camera sample, Reinhard on the
+#     running mean, AOVs from the unjittered center ray on frame 0).
+#   - Driver loop: src/path_tracing/hybrid_compute/render_terrain.rs
+#     (WELFORD_WINDOW=32 windowed variance of the running-mean luminance,
+#     convergence checks at window boundaries, fail-closed on
+#     non-convergence, ReSTIR temporal+spatial reuse between frames,
+#     runtime-contract range checks on readback).
+#
+# TPU-native design: the per-frame wgpu dispatch chain becomes ONE jitted
+# function with donated accumulator/welford/reservoir buffers — XLA fuses
+# the sample loop (lax.fori_loop over spp) with shading and accumulation, so
+# a frame is a single device program. The host loop only reads back one
+# scalar (max windowed variance) every 32 frames. Multi-chip scaling
+# tile-shards the pixel grid (forge3d_tpu.parallel).
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import camera_basis
+from ..errors import ContractViolation, ConvergenceError, RenderError, UploadError
+from ..mem import global_tracker
+from ..ops import restir as rst
+from ..ops import tonemap as tm
+from ..ops.pyramid import build_pyramid
+from ..ops.rng import derive_seed_lo, seed_state, tent_offset, xorshift32
+from ..ops.shading import EnvMap, cosine_dir, env_radiance, luminance, sun_direction
+from ..ops.traversal import (
+    TerrainScene,
+    TerrainSceneStatic,
+    normal_at,
+    scene_from_pyramid,
+    trace,
+)
+
+_F32 = jnp.float32
+
+WELFORD_WINDOW = 32
+
+
+@dataclass(frozen=True)
+class TerrainRefDesc:
+    """Full scene description (mirrors TerrainReferenceDesc semantics)."""
+
+    heights: np.ndarray
+    spacing: Tuple[float, float] = (1.0, 1.0)
+    exaggeration: float = 1.0
+    albedo: Tuple[float, float, float] = (0.6, 0.6, 0.6)
+    cam_origin: Tuple[float, float, float] = (0.0, 50.0, 120.0)
+    cam_look_at: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    cam_up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    fov_y_deg: float = 45.0
+    exposure: float = 1.0
+    sun_azimuth_deg: float = 315.0
+    sun_elevation_deg: float = 45.0
+    sun_intensity: float = 2.5
+    sun_color: Tuple[float, float, float] = (1.0, 0.97, 0.92)
+    env_map: Optional[np.ndarray] = None
+    env_intensity: float = 0.35
+    width: int = 512
+    height: int = 512
+    seed: int = 7
+    spp: int = 1
+    max_frames: int = 512
+    min_frames: int = 32
+    variance_threshold: float = 1e-3
+    shadows_enabled: bool = True
+
+
+def _validate(desc: TerrainRefDesc) -> None:
+    """Trust-boundary validation before any device work
+    (reference: validate_desc, render_terrain.rs:447-505)."""
+    if desc.width <= 0 or desc.height <= 0 or desc.max_frames <= 0:
+        raise RenderError("terrain reference requires non-zero width/height/max_frames")
+    if desc.spp <= 0:
+        raise RenderError("spp must be >= 1")
+    hm = np.asarray(desc.heights)
+    if hm.ndim != 2 or hm.shape[0] < 2 or hm.shape[1] < 2:
+        raise UploadError("heightmap must be a 2D array of at least 2x2 texels")
+    if not np.isfinite(hm).all():
+        raise UploadError("terrain heightfield contains non-finite samples")
+    if not (desc.spacing[0] > 0 and desc.spacing[1] > 0):
+        raise RenderError("spacing must be positive")
+    if not math.isfinite(desc.exaggeration) or desc.exaggeration <= 0:
+        raise RenderError("exaggeration must be finite and > 0")
+    if not (math.isfinite(desc.sun_azimuth_deg) and math.isfinite(desc.sun_elevation_deg)):
+        raise RenderError("sun azimuth/elevation must be finite")
+    if not (math.isfinite(desc.variance_threshold) and desc.variance_threshold > 0):
+        raise RenderError("variance threshold must be finite and > 0")
+    if desc.env_map is not None:
+        em = np.asarray(desc.env_map)
+        if em.ndim != 3 or em.shape[2] != 3:
+            raise UploadError("env_map must have shape (H, W, 3)")
+    for c in desc.sun_color:
+        if not math.isfinite(c) or c < 0:
+            raise RenderError("sun_color must be finite and non-negative")
+
+
+def _camera_rays(desc: TerrainRefDesc, jx, jy):
+    """Primary ray directions for pixel jitters (jx, jy) of shape (H, W)."""
+    W, H = desc.width, desc.height
+    right, up, fwd = camera_basis(desc.cam_origin, desc.cam_look_at, desc.cam_up)
+    half_h = math.tan(math.radians(desc.fov_y_deg) * 0.5)
+    half_w = (W / H) * half_h
+    xs = jax.lax.broadcasted_iota(_F32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(_F32, (H, W), 0)
+    ndc_x = ((xs + 0.5 + jx) / W) * 2.0 - 1.0
+    ndc_y = (1.0 - (ys + 0.5 + jy) / H) * 2.0 - 1.0
+    cx = ndc_x * half_w
+    cy = ndc_y * half_h
+    cz = -1.0
+    inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
+    cx, cy, cz = cx * inv, cy * inv, cz * inv
+    # world = cx*right + cy*up + cz*(-forward)
+    dx = cx * right[0] + cy * up[0] - cz * fwd[0] * -1.0
+    # note: cz*(-forward) == -cz*forward; cz is negative so this adds +forward
+    dx = cx * right[0] + cy * up[0] + (-cz) * fwd[0]
+    dy = cx * right[1] + cy * up[1] + (-cz) * fwd[1]
+    dz = cx * right[2] + cy * up[2] + (-cz) * fwd[2]
+    inv2 = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    return dx * inv2, dy * inv2, dz * inv2
+
+
+def _make_frame_step(
+    desc: TerrainRefDesc,
+    scene: TerrainScene,
+    static: TerrainSceneStatic,
+    env: EnvMap,
+):
+    W, H = desc.width, desc.height
+    n_pix = W * H
+    spp = int(desc.spp)
+    seed_hi = int(desc.seed) & 0xFFFFFFFF
+    seed_lo = derive_seed_lo(desc.seed)
+    lc = tuple(desc.sun_intensity * c for c in desc.sun_color)
+    albedo = desc.albedo
+    shadows = bool(desc.shadows_enabled)
+
+    sun = sun_direction(desc.sun_azimuth_deg, desc.sun_elevation_deg)
+    sun = tuple(jnp.asarray(s, _F32) for s in sun)
+
+    ox = jnp.full((H, W), desc.cam_origin[0], _F32)
+    oy = jnp.full((H, W), desc.cam_origin[1], _F32)
+    oz = jnp.full((H, W), desc.cam_origin[2], _F32)
+
+    def sample_radiance(st, prev_dir, prev_w, prev_ok):
+        """One jittered camera sample; returns (st, rgb, cand_pdf)."""
+        st, u1 = xorshift32(st)
+        st, u2 = xorshift32(st)
+        jx = tent_offset(u1) * 0.5
+        jy = tent_offset(u2) * 0.5
+        dx, dy, dz = _camera_rays(desc, jx, jy)
+        hit = trace(scene, static, (ox, oy, oz), (dx, dy, dz))
+        t = hit.t
+        hx = ox + t * dx
+        hy = oy + t * dy
+        hz = oz + t * dz
+        nx, ny, nz = normal_at(scene, static, (hx, hy, hz), hit.cell_x, hit.cell_z)
+
+        # miss -> environment radiance along the primary ray
+        mr, mg, mb = env_radiance(env, dx, dy, dz)
+
+        # sun candidate target pdf (streaming RIS with a single directional
+        # light: w = target_pdf, selection pdf 1; wgsl:440-452)
+        ndotl = jnp.maximum(nx * sun[0] + ny * sun[1] + nz * sun[2], 0.0)
+        tpdf = luminance(albedo[0] * lc[0] * ndotl, albedo[1] * lc[1] * ndotl,
+                         albedo[2] * lc[2] * ndotl)
+        cand_pdf = jnp.where(hit.hit, tpdf, 0.0)
+
+        # sun shading through the merged reservoir from the previous frame
+        sdx = jnp.where(prev_ok, prev_dir[0], sun[0])
+        sdy = jnp.where(prev_ok, prev_dir[1], sun[1])
+        sdz = jnp.where(prev_ok, prev_dir[2], sun[2])
+        rw = jnp.where(prev_ok, jnp.clip(prev_w, 0.0, 4.0), 1.0)
+        nd = jnp.maximum(nx * sdx + ny * sdy + nz * sdz, 0.0)
+        if shadows:
+            sro = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
+            occ = trace(scene, static, sro, (sdx, sdy, sdz)).hit
+            vis = jnp.where(occ, 0.0, 1.0)
+        else:
+            vis = jnp.ones_like(nd)
+        lit = nd * vis * rw
+        sun_r = albedo[0] * lc[0] * lit
+        sun_g = albedo[1] * lc[1] * lit
+        sun_b = albedo[2] * lc[2] * lit
+
+        # one cosine-weighted env (IBL) sample, with occlusion
+        st2, u3 = xorshift32(st)
+        st2, u4 = xorshift32(st2)
+        # misses do not consume u3/u4 (reference `continue`)
+        st = jnp.where(hit.hit, st2, st)
+        ex, ey, ez = cosine_dir(nx, ny, nz, u3, u4)
+        ero = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
+        eocc = trace(scene, static, ero, (ex, ey, ez)).hit
+        er, eg, eb = env_radiance(env, ex, ey, ez)
+        evis = jnp.where(eocc, 0.0, 1.0)
+        ibl_r = albedo[0] * er * evis
+        ibl_g = albedo[1] * eg * evis
+        ibl_b = albedo[2] * eb * evis
+
+        r = jnp.where(hit.hit, sun_r + ibl_r, mr)
+        g = jnp.where(hit.hit, sun_g + ibl_g, mg)
+        b = jnp.where(hit.hit, sun_b + ibl_b, mb)
+        return st, (r, g, b), cand_pdf, hit.hit
+
+    def frame_step(accum, welford, res_prev: rst.Reservoirs, frame_index):
+        """One accumulation frame. accum: (H, W, 4); welford: (H, W, 2)."""
+        xs = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1)
+        ys = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0)
+        st = seed_state(seed_hi, seed_lo, xs, ys, 0) ^ (
+            jnp.uint32(frame_index) * jnp.uint32(92837111)
+        )
+
+        # --- ReSTIR history M-clamp + shading fetch (wgsl:393-405) ---
+        res_prev = rst.m_clamp(res_prev)
+        pv_flat = (
+            (frame_index > 0)
+            & (res_prev.m > 0)
+            & (res_prev.weight > 0.0)
+            & (res_prev.target_pdf > 0.0)
+            & (res_prev.light_type == 1)
+        )
+        prev_ok = pv_flat.reshape(H, W)
+        pdir = (
+            res_prev.dir_x.reshape(H, W),
+            res_prev.dir_y.reshape(H, W),
+            res_prev.dir_z.reshape(H, W),
+        )
+        # normalize like the reference shading path
+        pinv = jax.lax.rsqrt(pdir[0] ** 2 + pdir[1] ** 2 + pdir[2] ** 2 + 1e-30)
+        pdir = (pdir[0] * pinv, pdir[1] * pinv, pdir[2] * pinv)
+        pw = res_prev.weight.reshape(H, W)
+
+        def body(i, carry):
+            st, fr, fg, fb, c_wsum, c_m, c_pdf = carry
+            st, (r, g, b), cand_pdf, was_hit = sample_radiance(st, pdir, pw, prev_ok)
+            good = cand_pdf > 0.0
+            c_wsum = c_wsum + jnp.where(good, cand_pdf, 0.0)
+            c_m = c_m + jnp.where(good, 1, 0).astype(jnp.uint32)
+            c_pdf = jnp.where(good, cand_pdf, c_pdf)
+            return (st, fr + r, fg + g, fb + b, c_wsum, c_m, c_pdf)
+
+        z = jnp.zeros((H, W), _F32)
+        zu = jnp.zeros((H, W), jnp.uint32)
+        st, fr, fg, fb, c_wsum, c_m, c_pdf = jax.lax.fori_loop(
+            0, spp, body, (st, z, z, z, z, zu, z)
+        )
+        inv_spp = _F32(1.0 / spp)
+        fr, fg, fb = fr * inv_spp, fg * inv_spp, fb * inv_spp
+
+        # --- fresh candidate reservoir (wgsl:492-495) ---
+        fin = (c_m > 0) & (c_wsum > 0.0) & (c_pdf > 0.0)
+        c_weight = jnp.where(
+            fin, c_wsum / (c_m.astype(_F32) * jnp.maximum(c_pdf, 1e-30)), 0.0
+        )
+        flat = lambda a: a.reshape(-1)
+        curr = rst.Reservoirs(
+            dir_x=flat(jnp.broadcast_to(sun[0], (H, W)) * (c_m > 0)),
+            dir_y=flat(jnp.broadcast_to(sun[1], (H, W)) * (c_m > 0)),
+            dir_z=flat(jnp.broadcast_to(sun[2], (H, W)) * (c_m > 0)),
+            intensity=flat(jnp.where(c_m > 0, luminance(*(jnp.asarray(v, _F32) for v in lc)), 0.0) * jnp.ones((H, W))),
+            light_type=flat(jnp.where(c_m > 0, 1, 0).astype(jnp.uint32)),
+            light_index=flat(zu),
+            w_sum=flat(c_wsum),
+            m=flat(c_m),
+            weight=flat(c_weight),
+            target_pdf=flat(c_pdf),
+        )
+
+        # --- accumulate the per-frame mean radiance (wgsl:497-500) ---
+        acc = accum + jnp.stack([fr, fg, fb, jnp.ones_like(fr)], axis=-1)
+
+        # --- windowed Welford over the running-mean luminance (wgsl:505-514)
+        in_window = jnp.mod(frame_index, WELFORD_WINDOW)
+        wf = jnp.where(in_window == 0, jnp.zeros_like(welford), welford)
+        mean_lum = luminance(acc[..., 0], acc[..., 1], acc[..., 2]) / acc[..., 3]
+        k = in_window.astype(_F32) + 1.0
+        delta = mean_lum - wf[..., 0]
+        mean = wf[..., 0] + delta / k
+        m2 = wf[..., 1] + delta * (mean_lum - mean)
+        wf = jnp.stack([mean, m2], axis=-1)
+
+        return acc, wf, curr, res_prev
+
+    return frame_step
+
+
+def _make_reuse_step(desc: TerrainRefDesc):
+    W, H = desc.width, desc.height
+    seed_hi = int(desc.seed) & 0xFFFFFFFF
+
+    def reuse(res_prev, curr, gb_n, frame_index):
+        merged = rst.temporal_merge(res_prev, curr)
+        out = rst.spatial_reuse(
+            merged, gb_n[0], gb_n[1], gb_n[2], W, H, frame_index, seed_hi
+        )
+        return out
+
+    return reuse
+
+
+def _center_gbuffer(desc, scene, static):
+    """Unjittered center-ray hit record: AOVs + ReSTIR receiver normals
+    (wgsl:523-549 and main_terrain_gbuffer)."""
+    W, H = desc.width, desc.height
+    z = jnp.zeros((H, W), _F32)
+    dx, dy, dz = _camera_rays(desc, z, z)
+    ox = jnp.full((H, W), desc.cam_origin[0], _F32)
+    oy = jnp.full((H, W), desc.cam_origin[1], _F32)
+    oz = jnp.full((H, W), desc.cam_origin[2], _F32)
+    hit = trace(scene, static, (ox, oy, oz), (dx, dy, dz))
+    hx = ox + hit.t * dx
+    hy = oy + hit.t * dy
+    hz = oz + hit.t * dz
+    nx, ny, nz = normal_at(scene, static, (hx, hy, hz), hit.cell_x, hit.cell_z)
+    nx = jnp.where(hit.hit, nx, 0.0)
+    ny = jnp.where(hit.hit, ny, 0.0)
+    nz = jnp.where(hit.hit, nz, 1.0)  # sky record kept finite (wgsl:579-582)
+    albedo = jnp.where(
+        hit.hit[..., None],
+        jnp.asarray(desc.albedo, _F32),
+        jnp.zeros((3,), _F32),
+    )
+    depth = jnp.where(hit.hit, hit.t, jnp.nan)
+    vis = jnp.where(hit.hit, 1.0, 0.0)
+    normal = jnp.where(
+        hit.hit[..., None],
+        jnp.stack([nx, ny, nz], axis=-1),
+        jnp.zeros((3,), _F32),
+    )
+    return {
+        "albedo": albedo,
+        "normal": normal,
+        "depth": depth,
+        "visibility": vis,
+        "gb_n": (nx.reshape(-1), ny.reshape(-1), nz.reshape(-1)),
+    }
+
+
+def render_terrain_reference(desc: TerrainRefDesc) -> dict:
+    """Render the converged terrain reference; raises ConvergenceError
+    rather than returning a non-converged image."""
+    _validate(desc)
+    tracker = global_tracker()
+    W, H = desc.width, desc.height
+    n_pix = W * H
+
+    pyr = build_pyramid(np.asarray(desc.heights, np.float32))
+    scene, static = scene_from_pyramid(
+        pyr, origin_xz=(0.0, 0.0), spacing_xz=desc.spacing,
+        exaggeration=desc.exaggeration,
+    )
+
+    env = EnvMap(
+        rgb=None if desc.env_map is None else jnp.asarray(desc.env_map, _F32),
+        intensity=jnp.asarray(desc.env_intensity, _F32),
+    )
+
+    # Resource ledger (reference reports these diagnostics per render).
+    pyramid_bytes = pyr.nbytes
+    accum_bytes = n_pix * 16
+    welford_bytes = n_pix * 8
+    reservoir_bytes = 3 * n_pix * 40
+    env_bytes = 0 if desc.env_map is None else int(np.asarray(desc.env_map).nbytes)
+    rids = [
+        tracker.track("terrain-pt.pyramid", pyramid_bytes, "pyramid"),
+        tracker.track("terrain-pt.accum", accum_bytes, "buffer"),
+        tracker.track("terrain-pt.welford", welford_bytes, "buffer"),
+        tracker.track("terrain-pt.reservoirs", reservoir_bytes, "buffer"),
+        tracker.track("terrain-pt.env", env_bytes, "texture"),
+    ]
+    gpu_resource_bytes = pyramid_bytes + accum_bytes + welford_bytes + reservoir_bytes + env_bytes
+
+    try:
+        frame_step = jax.jit(
+            _make_frame_step(desc, scene, static, env), donate_argnums=(0, 1)
+        )
+        reuse_step = jax.jit(_make_reuse_step(desc), donate_argnums=(0,))
+        gbuf_fn = jax.jit(functools.partial(_center_gbuffer, desc, scene, static))
+
+        gbuf = gbuf_fn()
+        gb_n = gbuf["gb_n"]
+
+        accum = jnp.zeros((H, W, 4), _F32)
+        welford = jnp.zeros((H, W, 2), _F32)
+        res_prev = rst.Reservoirs.zeros(n_pix)
+
+        frames = 0
+        variance = float("inf")
+        converged = False
+        while frames < desc.max_frames:
+            accum, welford, curr, res_prev_c = frame_step(
+                accum, welford, res_prev, jnp.uint32(frames)
+            )
+            res_prev = reuse_step(res_prev_c, curr, gb_n, jnp.uint32(frames))
+            frames += 1
+
+            window_full = frames % WELFORD_WINDOW == 0
+            if window_full or frames == desc.max_frames:
+                n_window = ((frames - 1) % WELFORD_WINDOW) + 1
+                if n_window >= 2:
+                    m2max = float(jnp.max(welford[..., 1]))
+                    if not math.isfinite(m2max):
+                        raise RenderError(
+                            "terrain PT produced non-finite variance (NaN in accumulation)"
+                        )
+                    variance = m2max / (n_window - 1)
+                    if frames >= desc.min_frames and variance < desc.variance_threshold:
+                        converged = True
+                        break
+
+        if not converged:
+            raise ConvergenceError(
+                f"terrain PT did not converge: per-pixel luminance variance "
+                f"{variance:.3e} over the last {WELFORD_WINDOW}-frame window after "
+                f"{frames} frames (threshold {desc.variance_threshold:.1e}); raise "
+                f"max_frames or simplify the scene — refusing to return a fake "
+                f"reference",
+                frames=frames,
+                variance=variance,
+            )
+
+        # --- resolve running mean -> Reinhard -> f16 roundtrip -> u8 ---
+        mean = accum[..., :3] / accum[..., 3:4]
+        ldr = tm.f16_round(tm.reinhard(mean, desc.exposure))
+        rgba = np.asarray(tm.to_u8(ldr)).astype(np.uint8)
+        rgba = np.concatenate([rgba, np.full((H, W, 1), 255, np.uint8)], axis=-1)
+
+        accum_np = np.asarray(accum)
+        welford_np = np.asarray(welford)
+        ldr_np = np.asarray(ldr)
+
+        # --- runtime contracts (render_terrain.rs:30-140 flavor) ---
+        _contract("accum.samples", accum_np[..., 3], 0.0, 131026.0)
+        _contract("out_tex.samples", ldr_np, 0.0, 1.0)
+        if not np.isfinite(welford_np).all():
+            raise ContractViolation("terrain_welford contains non-finite values")
+
+        mm = tracker.metrics()
+        return {
+            "rgba": rgba,
+            "albedo": np.asarray(gbuf["albedo"], np.float32),
+            "normal": np.asarray(gbuf["normal"], np.float32),
+            "depth": np.asarray(gbuf["depth"], np.float32),
+            "frames": frames,
+            "variance": variance,
+            "converged": True,
+            "peak_host_visible_bytes": int(mm["peak_tracked_bytes"]),
+            "minmax_pyramid_bytes": int(pyramid_bytes),
+            "gpu_resource_bytes": int(gpu_resource_bytes),
+            "hdr": np.asarray(mean, np.float32),
+        }
+    finally:
+        for rid in rids:
+            tracker.free(rid)
+
+
+def _contract(name: str, arr: np.ndarray, lo: float, hi: float) -> None:
+    finite = arr[np.isfinite(arr)]
+    if finite.size == 0:
+        return
+    amin, amax = float(finite.min()), float(finite.max())
+    if amin < lo or amax > hi:
+        raise ContractViolation(
+            f"runtime contract violated: {name} range [{amin:.6g}, {amax:.6g}] "
+            f"outside [{lo:.6g}, {hi:.6g}]"
+        )
+
+
+def hybrid_render_terrain_reference(
+    heightmap,
+    width: int,
+    height: int,
+    cam: dict,
+    spacing=(1.0, 1.0),
+    exaggeration: float = 1.0,
+    albedo=(0.6, 0.6, 0.6),
+    sun_azimuth_deg: float = 315.0,
+    sun_elevation_deg: float = 45.0,
+    sun_intensity: float = 2.5,
+    env_map=None,
+    env_intensity: float = 0.35,
+    mesh_vertices=None,
+    mesh_indices=None,
+    spp: int = 1,
+    max_frames: int = 512,
+    min_frames: int = 32,
+    variance_threshold: float = 1e-3,
+    seed: int = 7,
+    certificate=None,
+    sun_color=None,
+    cache=None,
+) -> dict:
+    """Public entry; same signature/defaults as the reference pyfunction
+    (terrain_reference.rs:57-105). `mesh_*` lands with the BVH subsystem;
+    for now providing one raises (instead of silently ignoring it)."""
+    if (mesh_vertices is None) != (mesh_indices is None):
+        raise ValueError("mesh_vertices and mesh_indices must be provided together")
+    if mesh_vertices is not None:
+        raise NotImplementedError(
+            "mesh geometry in the terrain reference requires the BVH subsystem "
+            "(tracked for a later milestone)"
+        )
+    if sun_color is None:
+        sun_color = (1.0, 0.97, 0.92)
+    else:
+        sc = [float(c) for c in sun_color]
+        if len(sc) != 3 or any((not math.isfinite(c)) or c < 0 for c in sc):
+            raise ValueError("sun_color must be exactly three finite, non-negative numbers")
+        sun_color = tuple(sc)
+
+    desc = TerrainRefDesc(
+        heights=np.asarray(heightmap, np.float32),
+        spacing=(float(spacing[0]), float(spacing[1])),
+        exaggeration=float(exaggeration),
+        albedo=tuple(float(a) for a in albedo),
+        cam_origin=tuple(float(v) for v in cam.get("origin", (0.0, 50.0, 120.0))),
+        cam_look_at=tuple(float(v) for v in cam.get("look_at", (0.0, 0.0, 0.0))),
+        cam_up=tuple(float(v) for v in cam.get("up", (0.0, 1.0, 0.0))),
+        fov_y_deg=float(cam.get("fov_y", 45.0)),
+        exposure=float(cam.get("exposure", 1.0)),
+        sun_azimuth_deg=float(sun_azimuth_deg),
+        sun_elevation_deg=float(sun_elevation_deg),
+        sun_intensity=float(sun_intensity),
+        sun_color=sun_color,
+        env_map=None if env_map is None else np.asarray(env_map, np.float32),
+        env_intensity=float(env_intensity),
+        width=int(width),
+        height=int(height),
+        seed=int(seed) & 0xFFFFFFFF,
+        spp=int(spp),
+        max_frames=int(max_frames),
+        min_frames=int(min_frames),
+        variance_threshold=float(variance_threshold),
+    )
+    out = render_terrain_reference(desc)
+    if certificate is not None:
+        from ..assurance.certificate import emit_certificate
+
+        emit_certificate(certificate, "hybrid_render_terrain_reference", out)
+    return out
