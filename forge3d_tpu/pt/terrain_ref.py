@@ -129,9 +129,7 @@ def _camera_rays(desc: TerrainRefDesc, jx, jy):
     cz = -1.0
     inv = jax.lax.rsqrt(cx * cx + cy * cy + 1.0)
     cx, cy, cz = cx * inv, cy * inv, cz * inv
-    # world = cx*right + cy*up + cz*(-forward)
-    dx = cx * right[0] + cy * up[0] - cz * fwd[0] * -1.0
-    # note: cz*(-forward) == -cz*forward; cz is negative so this adds +forward
+    # world = cx*right + cy*up + cz*(-forward); cz = -1 so this adds +forward
     dx = cx * right[0] + cy * up[0] + (-cz) * fwd[0]
     dy = cx * right[1] + cy * up[1] + (-cz) * fwd[1]
     dz = cx * right[2] + cy * up[2] + (-cz) * fwd[2]
