@@ -1,0 +1,584 @@
+# forge3d_tpu/terrain/renderer.py
+# TerrainRenderer: the production offscreen terrain renderer
+# (raster-equivalent), rebuilt as a primary-visibility ray engine.
+#
+# Parity notes (reference behavior, not code):
+#   - API: TerrainRenderer(session) + render_terrain_pbr_pom(material_set,
+#     env_maps, params, heightmap, target=None, water_mask=None,
+#     time_seconds=0.0, certificate=None, cache=None) -> Frame and
+#     render_with_aov(...) -> (Frame, AovFrame)
+#     (/root/reference/src/terrain/renderer/py_api.rs:182,247,317).
+#   - Feature checklist of the forward pass (terrain_pbr_pom.wgsl, SURVEY
+#     A.3): colormap/hypsometric albedo + height curve, height/slope
+#     material layers (snow/rock), lambert contrast, sun + ambient + IBL,
+#     shadows, water, fog, tonemap + sRGB EOTF, AA supersampling.
+#
+# TPU-native design: TPUs have no raster pipeline, so the 4-pass framegraph
+# (prepare/shadow/forward/resolve) collapses into ONE jitted program:
+# jittered primary rays (MSAA-equivalent), heightfield traversal (shared
+# with the path tracer — CSM shadow maps are replaced by ray-marched sun
+# visibility on the same min-max pyramid), fused shading, tonemap. Numeric
+# parameters travel as traced uniforms so param changes don't recompile;
+# only structural switches (feature on/off, sizes) specialize the program.
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import colormaps
+from ..camera import camera_basis, orbit_camera_origin
+from ..errors import RenderError, UploadError
+from ..frame import AovFrame, Frame, HdrFrame
+from ..mem import global_tracker
+from ..ops import tonemap as tm
+from ..ops.pyramid import build_pyramid
+from ..ops.rng import seed_state, xorshift32
+from ..ops.shading import cosine_dir, luminance
+from ..ops.traversal import normal_at, scene_from_pyramid, trace
+from .params import TerrainRenderParams, make_terrain_params
+
+_F32 = jnp.float32
+
+
+class MaterialSet:
+    """Material description for the terrain surface. The reference's
+    MaterialSet carries PBR texture stacks (src/render/material_set.rs); the
+    TPU build currently drives colormap/constant albedo + layer colors, with
+    texture stacks arriving alongside virtual texturing."""
+
+    def __init__(self, name: str = "default"):
+        self.name = name
+
+    @staticmethod
+    def default() -> "MaterialSet":
+        return MaterialSet()
+
+
+class IBL:
+    """Environment lighting wrapper (reference: lighting/ibl_wrapper.rs)."""
+
+    def __init__(self, env_map: Optional[np.ndarray] = None, intensity: float = 0.35):
+        if env_map is not None:
+            env_map = np.asarray(env_map, np.float32)
+            if env_map.ndim != 3 or env_map.shape[2] != 3:
+                raise UploadError("IBL env_map must be (H, W, 3)")
+        self.env_map = env_map
+        self.intensity = float(intensity)
+
+    @staticmethod
+    def default() -> "IBL":
+        return IBL()
+
+
+def _static_key(p: TerrainRenderParams, has_env: bool, has_water_mask: bool,
+                W: int, H: int, dem_shape) -> tuple:
+    return (
+        W, H, int(p.sampling.aa_samples), p.albedo_mode, p.tonemap.mode,
+        bool(p.output_srgb_eotf), bool(p.shadows.enabled), int(p.shadows.samples),
+        p.fog is not None and p.fog.enabled,
+        p.water is not None and p.water.enabled,
+        p.clouds is not None and p.clouds.enabled,
+        p.height_ao is not None and p.height_ao.enabled,
+        int(p.height_ao.samples) if (p.height_ao and p.height_ao.enabled) else 0,
+        p.material_layers is not None and p.material_layers.enabled,
+        has_env, has_water_mask, p.height_curve_mode, p.debug_mode,
+        dem_shape,
+    )
+
+
+class TerrainRenderer:
+    """Offscreen PBR terrain renderer (one jitted program per config)."""
+
+    def __init__(self, session=None):
+        from ..device import Session, try_ctx
+
+        try_ctx()
+        self._session = session if session is not None else Session(window=False)
+        self._fn_cache: Dict[tuple, object] = {}
+        self._scene_cache: Dict[tuple, tuple] = {}
+        self.last_consumed_settings: tuple = ()
+        self.last_gpu_timings: Dict[str, float] = {}
+
+    # -- scene prep --------------------------------------------------------
+    def _scene_for(self, heightmap: np.ndarray, span: float, z_scale: float):
+        hm = np.ascontiguousarray(np.asarray(heightmap, np.float32))
+        key = (hm.shape, float(span), float(z_scale), hash(hm.tobytes()))
+        if key in self._scene_cache:
+            return self._scene_cache[key]
+        h, w = hm.shape
+        spacing = (span / (w - 1), span / (h - 1)) if span > 0 else (1.0, 1.0)
+        pyr = build_pyramid(hm)
+        scene, static = scene_from_pyramid(
+            pyr, origin_xz=(0.0, 0.0), spacing_xz=spacing, exaggeration=z_scale
+        )
+        tracker = global_tracker()
+        rid = tracker.track(f"terrain.pyramid{hm.shape}", pyr.nbytes, "pyramid")
+        entry = (scene, static, spacing, float(hm.min()), float(hm.max()), rid)
+        if len(self._scene_cache) > 4:  # keep the ledger bounded
+            _, _, _, _, _, old = self._scene_cache.pop(next(iter(self._scene_cache)))
+            tracker.free(old)
+        self._scene_cache[key] = entry
+        return entry
+
+    # -- public API --------------------------------------------------------
+    def render_terrain_pbr_pom(
+        self, material_set=None, env_maps=None, params=None, heightmap=None,
+        target=None, water_mask=None, time_seconds=0.0, certificate=None,
+        cache=None,
+    ) -> Frame:
+        if target is not None:
+            raise RenderError(
+                "Custom render targets not supported; use target=None for "
+                "offscreen rendering."
+            )
+        frame, _ = self._render(material_set, env_maps, params, heightmap,
+                                water_mask, time_seconds, want_aov=False)
+        if certificate is not None:
+            from ..assurance.certificate import emit_certificate
+
+            emit_certificate(certificate, "render_terrain_pbr_pom",
+                             {"frames": 1, "rgba": frame.rgba})
+        return frame
+
+    def render_with_aov(
+        self, material_set=None, env_maps=None, params=None, heightmap=None,
+        water_mask=None, time_seconds=0.0, certificate=None, cache=None,
+    ) -> Tuple[Frame, AovFrame]:
+        frame, aov = self._render(material_set, env_maps, params, heightmap,
+                                  water_mask, time_seconds, want_aov=True)
+        if certificate is not None:
+            from ..assurance.certificate import emit_certificate
+
+            emit_certificate(certificate, "render_with_aov",
+                             {"frames": 1, "rgba": frame.rgba})
+        return frame, aov
+
+    # -- core --------------------------------------------------------------
+    def _render(self, material_set, env_maps, params, heightmap, water_mask,
+                time_seconds, want_aov: bool):
+        import time as _time
+
+        if heightmap is None:
+            raise UploadError("heightmap is required")
+        p = params if params is not None else make_terrain_params()
+        p.validate()
+        env: IBL = env_maps if env_maps is not None else IBL.default()
+        hm = np.asarray(heightmap, np.float32)
+        if hm.ndim != 2 or hm.shape[0] < 2 or hm.shape[1] < 2:
+            raise UploadError("heightmap must be 2D, at least 2x2")
+        if not np.isfinite(hm).all():
+            raise UploadError("heightmap contains non-finite values")
+
+        W = max(1, int(round(p.size_px[0] * p.render_scale)))
+        H = max(1, int(round(p.size_px[1] * p.render_scale)))
+        span = p.terrain_span if p.terrain_span > 0 else float(hm.shape[1] - 1)
+
+        t0 = _time.perf_counter()
+        scene, static, spacing, hmin, hmax, _ = self._scene_for(hm, span, p.z_scale)
+
+        has_env = p.ibl.enabled and (p.ibl.env_map is not None or env.env_map is not None)
+        env_rgb = None
+        if has_env:
+            env_rgb = jnp.asarray(
+                p.ibl.env_map if p.ibl.env_map is not None else env.env_map, _F32
+            )
+        wm = None
+        if water_mask is not None:
+            wm = np.asarray(water_mask, np.float32)
+            if wm.shape != hm.shape:
+                raise UploadError("water_mask must match heightmap shape")
+
+        key = _static_key(p, has_env, wm is not None, W, H, hm.shape)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                self._build_program(p, static, W, H, has_env, wm is not None)
+            )
+        fn = self._fn_cache[key]
+
+        uni = self._uniforms(p, hm, span, hmin, hmax, W, H, time_seconds)
+        if env_rgb is not None:
+            uni["env_rgb"] = env_rgb
+        if wm is not None:
+            uni["water_mask"] = jnp.asarray(wm.ravel())
+
+        out = fn(scene, uni)
+        ldr = np.asarray(out["ldr"])
+        rgba = np.concatenate(
+            [
+                (np.clip(ldr, 0, 1) * 255 + 0.5).astype(np.uint8),
+                np.full((H, W, 1), 255, np.uint8),
+            ],
+            axis=-1,
+        )
+        ms = ( _time.perf_counter() - t0) * 1000.0
+        self.last_gpu_timings = {"terrain_main_pass_ms": ms}
+        meta = {
+            "width": W, "height": H, "aa_samples": p.sampling.aa_samples,
+            "albedo_mode": p.albedo_mode, "tonemap": p.tonemap.mode,
+            "render_ms": ms,
+        }
+        frame = Frame(rgba=rgba, metadata=meta)
+        aov_frame = None
+        if want_aov:
+            aov_frame = AovFrame(
+                aovs={
+                    "albedo": np.asarray(out["albedo"], np.float32),
+                    "normal": np.asarray(out["normal"], np.float32),
+                    "depth": np.asarray(out["depth"], np.float32),
+                    "visibility": np.asarray(out["visibility"], np.float32),
+                    "hdr": np.asarray(out["hdr"], np.float32),
+                },
+                metadata=meta,
+            )
+        return frame, aov_frame
+
+    def _uniforms(self, p: TerrainRenderParams, hm, span, hmin, hmax, W, H,
+                  time_seconds) -> dict:
+        # Orbit camera (Y-up): the reference's screen/mesh orbit modes both
+        # reduce to this basis for the primary-visibility engine.
+        target = np.asarray(p.cam_target, np.float64)
+        if not np.any(target):
+            # default: center of the terrain footprint
+            target = np.array([span * 0.5, 0.0, span * 0.5 * (hm.shape[0] - 1) / (hm.shape[1] - 1)])
+        origin = orbit_camera_origin(target, p.cam_radius, p.cam_phi_deg, p.cam_theta_deg)
+        right, up, fwd = camera_basis(origin, target, (0.0, 1.0, 0.0))
+        if abs(p.cam_gamma_deg) > 1e-6:
+            g = math.radians(p.cam_gamma_deg)
+            c, s = math.cos(g), math.sin(g)
+            right, up = (c * right + s * up), (-s * right + c * up)
+
+        az = math.radians(p.light.azimuth_deg)
+        el = math.radians(p.light.elevation_deg)
+        sun = np.array([math.cos(az) * math.cos(el), math.sin(el),
+                        math.sin(az) * math.cos(el)], np.float32)
+        f = lambda v: jnp.asarray(v, _F32)
+        layers = p.material_layers
+        uni = {
+            "cam_origin": f(origin), "cam_right": f(right), "cam_up": f(up),
+            "cam_fwd": f(fwd),
+            "half_h": f(math.tan(math.radians(p.fov_y_deg) * 0.5)),
+            "sun_dir": f(sun),
+            "sun_rgb": f(np.asarray(p.light.color) * p.light.intensity),
+            "ambient_rgb": f(np.asarray(p.light.ambient_color) * p.light.ambient),
+            "ibl_intensity": f(p.ibl.intensity),
+            "hmin": f(hmin * p.z_scale), "hmax": f(hmax * p.z_scale),
+            "exposure": f(p.tonemap.exposure * p.exposure),
+            "inv_gamma": f(1.0 / p.gamma),
+            "colormap_strength": f(p.colormap_strength),
+            "constant_albedo": f(p.constant_albedo),
+            "lambert_contrast": f(p.lambert_contrast),
+            "lut": jnp.asarray(colormaps.get_lut(p.colormap)),
+            "shadow_softness": f(math.radians(p.shadows.softness)),
+            "shadow_intensity": f(p.shadows.intensity),
+            "shadow_bias": f(p.shadows.bias),
+            "aa_seed": jnp.uint32(p.sampling.aa_seed),
+            "height_curve_power": f(p.height_curve_power),
+            "height_curve_strength": f(p.height_curve_strength),
+            "ao_weight": f(p.ao_weight),
+            "white_point": f(p.tonemap.white_point),
+            "time": f(time_seconds),
+        }
+        if p.fog and p.fog.enabled:
+            uni["fog_density"] = f(p.fog.density)
+            uni["fog_rgb"] = f(p.fog.color)
+            uni["fog_falloff"] = f(p.fog.height_falloff)
+            uni["fog_start"] = f(p.fog.start_distance)
+        if p.water and p.water.enabled:
+            uni["water_level"] = f(p.water.level * p.z_scale)
+            uni["water_rgb"] = f(p.water.color)
+            uni["water_reflectivity"] = f(p.water.reflectivity)
+        if p.clouds and p.clouds.enabled:
+            uni["cloud_coverage"] = f(p.clouds.coverage)
+            uni["cloud_strength"] = f(p.clouds.shadow_strength)
+            uni["cloud_scale"] = f(p.clouds.scale)
+        if p.height_ao and p.height_ao.enabled:
+            uni["ao_radius"] = f(p.height_ao.radius)
+            uni["ao_strength"] = f(p.height_ao.strength)
+        if layers and layers.enabled:
+            uni["snow_h"] = f(layers.snow_height)
+            uni["snow_blend"] = f(max(layers.snow_blend, 1e-4))
+            uni["snow_rgb"] = f(layers.snow_color)
+            uni["rock_cos"] = f(math.cos(math.radians(layers.rock_slope_deg)))
+            uni["rock_blend"] = f(max(math.radians(layers.rock_blend_deg), 1e-4))
+            uni["rock_rgb"] = f(layers.rock_color)
+        return uni
+
+    def _build_program(self, p: TerrainRenderParams, static, W, H, has_env,
+                       has_water_mask):
+        aa = int(p.sampling.aa_samples)
+        use_colormap = p.albedo_mode == "colormap"
+        tonemap_mode = p.tonemap.mode
+        srgb_out = bool(p.output_srgb_eotf)
+        shadows_on = bool(p.shadows.enabled)
+        shadow_samples = max(1, int(p.shadows.samples)) if shadows_on else 0
+        fog_on = p.fog is not None and p.fog.enabled
+        water_on = p.water is not None and p.water.enabled
+        clouds_on = p.clouds is not None and p.clouds.enabled
+        ao_on = p.height_ao is not None and p.height_ao.enabled
+        ao_samples = int(p.height_ao.samples) if ao_on else 0
+        layers_on = p.material_layers is not None and p.material_layers.enabled
+        curve_mode = p.height_curve_mode
+        debug_mode = p.debug_mode
+
+        def sky_rgb(u, dy):
+            t = jnp.clip(0.5 * (dy + 1.0), 0.0, 1.0)
+            horizon = jnp.asarray([0.95, 0.97, 1.0])
+            zenith = u["ambient_rgb"] / jnp.maximum(luminance(*u["ambient_rgb"]), 1e-4) * 0.9
+            out = []
+            for c in range(3):
+                out.append(horizon[c] * (1 - t) + zenith[c] * t)
+            return out
+
+        def env_sample(u, dx, dy, dz):
+            if has_env:
+                from ..ops.shading import EnvMap, env_radiance
+
+                em = EnvMap(rgb=u["env_rgb"], intensity=u["ibl_intensity"])
+                return env_radiance(em, dx, dy, dz)
+            s = sky_rgb(u, dy)
+            return s[0] * u["ibl_intensity"], s[1] * u["ibl_intensity"], s[2] * u["ibl_intensity"]
+
+        def cloud_shadow(u, px, pz):
+            # cheap two-octave value noise, time-scrolled
+            def vnoise(x, z):
+                xi = jnp.floor(x)
+                zi = jnp.floor(z)
+                xf = x - xi
+                zf = z - zi
+
+                def h(ix, iz):
+                    n = (ix.astype(jnp.int32) * 374761393 + iz.astype(jnp.int32) * 668265263) ^ 1274126177
+                    n = (n ^ (n >> 13)) * 1103515245
+                    return ((n >> 8) & 0xFFFF).astype(_F32) / 65535.0
+
+                sx = xf * xf * (3 - 2 * xf)
+                sz = zf * zf * (3 - 2 * zf)
+                a = h(xi, zi) * (1 - sx) + h(xi + 1, zi) * sx
+                b = h(xi, zi + 1) * (1 - sx) + h(xi + 1, zi + 1) * sx
+                return a * (1 - sz) + b * sz
+
+            sc = u["cloud_scale"]
+            tshift = u["time"] * 0.02
+            n = 0.65 * vnoise(px * sc + tshift, pz * sc) + 0.35 * vnoise(
+                px * sc * 2.7 + 13.7 + tshift * 1.7, pz * sc * 2.7
+            )
+            cov = jnp.clip((n - (1.0 - u["cloud_coverage"])) / jnp.maximum(u["cloud_coverage"], 1e-4), 0.0, 1.0)
+            return 1.0 - u["cloud_strength"] * cov
+
+        def shade(scene, u, jx, jy, st):
+            xs = jax.lax.broadcasted_iota(_F32, (H, W), 1)
+            ys = jax.lax.broadcasted_iota(_F32, (H, W), 0)
+            ndc_x = ((xs + 0.5 + jx) / W) * 2.0 - 1.0
+            ndc_y = (1.0 - (ys + 0.5 + jy) / H) * 2.0 - 1.0
+            cx = ndc_x * (W / H) * u["half_h"]
+            cy = ndc_y * u["half_h"]
+            dx = cx * u["cam_right"][0] + cy * u["cam_up"][0] + u["cam_fwd"][0]
+            dy = cx * u["cam_right"][1] + cy * u["cam_up"][1] + u["cam_fwd"][1]
+            dz = cx * u["cam_right"][2] + cy * u["cam_up"][2] + u["cam_fwd"][2]
+            inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx * inv, dy * inv, dz * inv
+            ox = jnp.full((H, W), u["cam_origin"][0])
+            oy = jnp.full((H, W), u["cam_origin"][1])
+            oz = jnp.full((H, W), u["cam_origin"][2])
+
+            hit = trace(scene, static, (ox, oy, oz), (dx, dy, dz))
+            t = hit.t
+            px_ = ox + t * dx
+            py_ = oy + t * dy
+            pz_ = oz + t * dz
+            nx, ny, nz = normal_at(scene, static, (px_, py_, pz_), hit.cell_x, hit.cell_z)
+
+            # --- albedo ---
+            hn = jnp.clip((py_ - u["hmin"]) / jnp.maximum(u["hmax"] - u["hmin"], 1e-6), 0.0, 1.0)
+            if curve_mode == "pow":
+                hn = jnp.power(hn, u["height_curve_power"])
+            elif curve_mode == "smoothstep":
+                s = hn * hn * (3.0 - 2.0 * hn)
+                hn = hn + (s - hn) * u["height_curve_strength"]
+            if use_colormap:
+                ar, ag, ab = colormaps.sample_lut_jnp(u["lut"], hn)
+                cs = u["colormap_strength"]
+                ar = ar * cs + u["constant_albedo"][0] * (1 - cs)
+                ag = ag * cs + u["constant_albedo"][1] * (1 - cs)
+                ab = ab * cs + u["constant_albedo"][2] * (1 - cs)
+            else:
+                ar = jnp.full((H, W), u["constant_albedo"][0])
+                ag = jnp.full((H, W), u["constant_albedo"][1])
+                ab = jnp.full((H, W), u["constant_albedo"][2])
+
+            if layers_on:
+                snow = jnp.clip((hn - u["snow_h"]) / u["snow_blend"], 0.0, 1.0)
+                # prefer snow on flatter ground
+                snow = snow * jnp.clip((ny - 0.6) / 0.4, 0.0, 1.0)
+                rock = jnp.clip((u["rock_cos"] - ny) / u["rock_blend"] + 1.0, 0.0, 1.0) * (ny < u["rock_cos"])
+                ar = ar * (1 - rock) + u["rock_rgb"][0] * rock
+                ag = ag * (1 - rock) + u["rock_rgb"][1] * rock
+                ab = ab * (1 - rock) + u["rock_rgb"][2] * rock
+                ar = ar * (1 - snow) + u["snow_rgb"][0] * snow
+                ag = ag * (1 - snow) + u["snow_rgb"][1] * snow
+                ab = ab * (1 - snow) + u["snow_rgb"][2] * snow
+
+            # --- sun term ---
+            sd = u["sun_dir"]
+            ndl = jnp.maximum(nx * sd[0] + ny * sd[1] + nz * sd[2], 0.0)
+            lc = u["lambert_contrast"]
+            ndl = ndl + (ndl * ndl * (3.0 - 2.0 * ndl) - ndl) * lc
+
+            vis = jnp.ones((H, W))
+            if shadows_on:
+                acc = jnp.zeros((H, W))
+                sro = (px_ + nx * 1e-3 + sd[0] * u["shadow_bias"],
+                       py_ + ny * 1e-3 + sd[1] * u["shadow_bias"],
+                       pz_ + nz * 1e-3 + sd[2] * u["shadow_bias"])
+                for s_i in range(shadow_samples):
+                    if shadow_samples > 1:
+                        st, u1 = xorshift32(st)
+                        st, u2 = xorshift32(st)
+                        # jitter sun dir in a cone of shadow_softness
+                        ox_, oy_, oz_ = cosine_dir(sd[0], sd[1], sd[2], u1, u2)
+                        soft = u["shadow_softness"]
+                        jdx = sd[0] + (ox_ - sd[0]) * soft
+                        jdy = sd[1] + (oy_ - sd[1]) * soft
+                        jdz = sd[2] + (oz_ - sd[2]) * soft
+                        jinv = jax.lax.rsqrt(jdx * jdx + jdy * jdy + jdz * jdz)
+                        sdir = (jdx * jinv, jdy * jinv, jdz * jinv)
+                    else:
+                        sdir = (jnp.broadcast_to(sd[0], (H, W)),
+                                jnp.broadcast_to(sd[1], (H, W)),
+                                jnp.broadcast_to(sd[2], (H, W)))
+                    occ = trace(scene, static, sro, sdir).hit
+                    acc = acc + jnp.where(occ, 0.0, 1.0)
+                vis = acc / shadow_samples
+                vis = 1.0 - u["shadow_intensity"] * (1.0 - vis)
+
+            if clouds_on:
+                vis = vis * cloud_shadow(u, px_, pz_)
+
+            # --- ambient / AO / IBL ---
+            ao = jnp.ones((H, W))
+            if ao_on:
+                occf = jnp.zeros((H, W))
+                for s_i in range(ao_samples):
+                    st, u1 = xorshift32(st)
+                    st, u2 = xorshift32(st)
+                    adx, ady, adz = cosine_dir(nx, ny, nz, u1, u2)
+                    aro = (px_ + nx * 1e-3, py_ + ny * 1e-3, pz_ + nz * 1e-3)
+                    occ = trace(scene, static, aro, (adx, ady, adz),
+                                tmax=u["ao_radius"]).hit
+                    occf = occf + jnp.where(occ, 1.0, 0.0)
+                ao = 1.0 - u["ao_strength"] * occf / ao_samples
+            ao_mix = 1.0 + (ao - 1.0) * jnp.maximum(u["ao_weight"], ao_on * 1.0)
+
+            er, eg, eb = env_sample(u, nx, ny, nz)
+            amb_r = u["ambient_rgb"][0] + er
+            amb_g = u["ambient_rgb"][1] + eg
+            amb_b = u["ambient_rgb"][2] + eb
+
+            lit = ndl * vis
+            r = ar * (u["sun_rgb"][0] * lit + amb_r * ao_mix)
+            g = ag * (u["sun_rgb"][1] * lit + amb_g * ao_mix)
+            b = ab * (u["sun_rgb"][2] * lit + amb_b * ao_mix)
+
+            # --- water plane ---
+            if water_on:
+                twp = (u["water_level"] - oy) / jnp.where(jnp.abs(dy) > 1e-7, dy, 1e-7)
+                water_first = (twp > 0) & (twp < t)
+                wx = ox + twp * dx
+                wz = oz + twp * dz
+                # fresnel with view angle
+                cosv = jnp.clip(-dy, 0.0, 1.0)
+                fres = 0.02 + 0.98 * jnp.power(1.0 - cosv, 5.0)
+                skyr, skyg, skyb = env_sample(u, dx, jnp.abs(dy), dz)
+                refl = u["water_reflectivity"]
+                wr = u["water_rgb"][0] * (1 - fres) + skyr * fres * refl * 4.0
+                wg = u["water_rgb"][1] * (1 - fres) + skyg * fres * refl * 4.0
+                wb = u["water_rgb"][2] * (1 - fres) + skyb * fres * refl * 4.0
+                sun_glint = jnp.power(jnp.maximum(
+                    dx * sd[0] + jnp.abs(dy) * sd[1] + dz * sd[2], 0.0), 64.0)
+                wr = wr + sun_glint * u["sun_rgb"][0] * refl
+                wg = wg + sun_glint * u["sun_rgb"][1] * refl
+                wb = wb + sun_glint * u["sun_rgb"][2] * refl
+                r = jnp.where(water_first, wr, r)
+                g = jnp.where(water_first, wg, g)
+                b = jnp.where(water_first, wb, b)
+                t = jnp.where(water_first, twp, t)
+                hit_any = hit.hit | water_first
+            else:
+                hit_any = hit.hit
+
+            # --- fog ---
+            if fog_on:
+                d = jnp.maximum(t - u["fog_start"], 0.0)
+                dens = u["fog_density"] * jnp.exp(-u["fog_falloff"] * jnp.maximum(py_, 0.0))
+                fogf = 1.0 - jnp.exp(-dens * d)
+                r = r + (u["fog_rgb"][0] - r) * fogf
+                g = g + (u["fog_rgb"][1] - g) * fogf
+                b = b + (u["fog_rgb"][2] - b) * fogf
+
+            # --- sky ---
+            sr, sg, sb = sky_rgb(u, dy)
+            r = jnp.where(hit_any, r, sr)
+            g = jnp.where(hit_any, g, sg)
+            b = jnp.where(hit_any, b, sb)
+            return (r, g, b), st, (hit, t, (nx, ny, nz), (ar, ag, ab))
+
+        def program(scene, u):
+            xs = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1)
+            ys = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0)
+            st = seed_state(u["aa_seed"], 0x9E3779B9, xs, ys, 0)
+            racc = jnp.zeros((H, W))
+            gacc = jnp.zeros((H, W))
+            bacc = jnp.zeros((H, W))
+            aux = None
+            for s_i in range(aa):
+                if aa > 1:
+                    st, u1 = xorshift32(st)
+                    st, u2 = xorshift32(st)
+                    jx = u1 - 0.5
+                    jy = u2 - 0.5
+                else:
+                    jx = jnp.zeros((H, W))
+                    jy = jnp.zeros((H, W))
+                (r, g, b), st, aux_s = shade(scene, u, jx, jy, st)
+                if s_i == 0:
+                    aux = aux_s
+                racc += r
+                gacc += g
+                bacc += b
+            r = racc / aa
+            g = gacc / aa
+            b = bacc / aa
+            hdr = jnp.stack([r, g, b], axis=-1)
+
+            if debug_mode == "normals":
+                hit, t, (nx, ny, nz), _ = aux
+                ldr = jnp.stack([nx, ny, nz], -1) * 0.5 + 0.5
+            else:
+                if tonemap_mode == "off":
+                    ldr = jnp.clip(hdr * u["exposure"], 0.0, 1.0)
+                elif tonemap_mode == "reinhard_extended":
+                    ldr = tm.reinhard_extended(hdr, u["exposure"], u["white_point"])
+                else:
+                    ldr = tm.apply(tonemap_mode, hdr, exposure=u["exposure"])
+                if srgb_out:
+                    ldr = tm.srgb_eotf_inv(ldr)
+                else:
+                    ldr = jnp.power(jnp.clip(ldr, 0.0, 1.0), u["inv_gamma"])
+
+            hit, t, (nx, ny, nz), (ar, ag, ab) = aux
+            return {
+                "ldr": ldr,
+                "hdr": hdr,
+                "albedo": jnp.stack([ar, ag, ab], -1) * hit.hit[..., None],
+                "normal": jnp.stack([nx, ny, nz], -1) * hit.hit[..., None],
+                "depth": jnp.where(hit.hit, t, jnp.nan),
+                "visibility": jnp.where(hit.hit, 1.0, 0.0),
+            }
+
+        return program
