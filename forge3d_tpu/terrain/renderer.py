@@ -137,6 +137,11 @@ class TerrainRenderer:
                 "Custom render targets not supported; use target=None for "
                 "offscreen rendering."
             )
+        if self.offline_session_active():
+            raise RenderError(
+                "An offline accumulation session is active; call "
+                "end_offline_accumulation() before one-shot rendering."
+            )
         frame, _ = self._render(material_set, env_maps, params, heightmap,
                                 water_mask, time_seconds, want_aov=False)
         if certificate is not None:
@@ -309,8 +314,10 @@ class TerrainRenderer:
             uni["rock_rgb"] = f(layers.rock_color)
         return uni
 
-    def _build_program(self, p: TerrainRenderParams, static, W, H, has_env,
-                       has_water_mask):
+    def _make_shade(self, p: TerrainRenderParams, static, W, H, has_env,
+                    has_water_mask):
+        """Build the shared per-sample shading closure used by both the
+        one-shot program and the offline accumulation step."""
         aa = int(p.sampling.aa_samples)
         use_colormap = p.albedo_mode == "colormap"
         tonemap_mode = p.tonemap.mode
@@ -528,6 +535,16 @@ class TerrainRenderer:
             b = jnp.where(hit_any, b, sb)
             return (r, g, b), st, (hit, t, (nx, ny, nz), (ar, ag, ab))
 
+        return shade
+
+    def _build_program(self, p: TerrainRenderParams, static, W, H, has_env,
+                       has_water_mask):
+        aa = int(p.sampling.aa_samples)
+        tonemap_mode = p.tonemap.mode
+        srgb_out = bool(p.output_srgb_eotf)
+        debug_mode = p.debug_mode
+        shade = self._make_shade(p, static, W, H, has_env, has_water_mask)
+
         def program(scene, u):
             xs = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1)
             ys = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0)
@@ -582,3 +599,165 @@ class TerrainRenderer:
             }
 
         return program
+
+    # ------------------------------------------------------------------
+    # Offline progressive accumulation (reference: TV12 pipeline,
+    # src/terrain/renderer/offline.rs:81-2131 — begin/accumulate_batch/
+    # read_accumulation_metrics/resolve/tonemap/end; per-sample projection
+    # jitter accumulates into an RGBA32F buffer, tile-luminance metrics
+    # drive convergence).
+    # ------------------------------------------------------------------
+
+    _TILE = 32  # metric tile size in pixels
+
+    def offline_session_active(self) -> bool:
+        return getattr(self, "_offline", None) is not None
+
+    def begin_offline_accumulation(self, material_set=None, env_maps=None,
+                                   params=None, heightmap=None,
+                                   water_mask=None) -> None:
+        if self.offline_session_active():
+            raise RenderError("an offline accumulation session is already active")
+        if heightmap is None:
+            raise UploadError("heightmap is required")
+        p = params if params is not None else make_terrain_params()
+        p.validate()
+        envw: IBL = env_maps if env_maps is not None else IBL.default()
+        hm = np.asarray(heightmap, np.float32)
+        W = max(1, int(round(p.size_px[0] * p.render_scale)))
+        H = max(1, int(round(p.size_px[1] * p.render_scale)))
+        span = p.terrain_span if p.terrain_span > 0 else float(hm.shape[1] - 1)
+        scene, static, spacing, hmin, hmax, _ = self._scene_for(hm, span, p.z_scale)
+        has_env = p.ibl.enabled and (p.ibl.env_map is not None or envw.env_map is not None)
+        uni = self._uniforms(p, hm, span, hmin, hmax, W, H, 0.0)
+        if has_env:
+            uni["env_rgb"] = jnp.asarray(
+                p.ibl.env_map if p.ibl.env_map is not None else envw.env_map, _F32
+            )
+
+        shade = self._make_shade(p, static, W, H, has_env, False)
+        tile = self._TILE
+        th = (H + tile - 1) // tile
+        tw = (W + tile - 1) // tile
+
+        def tile_means(lum):
+            pad_h = th * tile - H
+            pad_w = tw * tile - W
+            lp = jnp.pad(lum, ((0, pad_h), (0, pad_w)), mode="edge")
+            return lp.reshape(th, tile, tw, tile).mean(axis=(1, 3))
+
+        def step(scene, u, accum, sample_idx):
+            xs = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1)
+            ys = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0)
+            st = seed_state(u["aa_seed"], 0x85EBCA6B, xs, ys, 0) ^ (
+                jnp.uint32(sample_idx) * jnp.uint32(92837111)
+            )
+            st, u1 = xorshift32(st)
+            st, u2 = xorshift32(st)
+            (r, g, b), st, aux = shade(scene, u, u1 - 0.5, u2 - 0.5, st)
+            accum = accum + jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
+            mean = accum[..., :3] / accum[..., 3:4]
+            lum = luminance(mean[..., 0], mean[..., 1], mean[..., 2])
+            return accum, tile_means(lum), aux
+
+        self._offline = {
+            "params": p, "scene": scene, "static": static, "uni": uni,
+            "W": W, "H": H,
+            "accum": jnp.zeros((H, W, 4), _F32),
+            "tiles": np.zeros((th, tw), np.float32),
+            "step": jax.jit(step, donate_argnums=(2,)),
+            "samples": 0,
+            "last_metrics": None,
+            "aux": None,
+            "threshold": 1e-3,
+        }
+        global_tracker().track("offline.accum", H * W * 16, "buffer")
+
+    def accumulate_batch(self, n_samples: int):
+        sess = getattr(self, "_offline", None)
+        if sess is None:
+            raise RenderError("no offline accumulation session is active")
+        if n_samples <= 0:
+            raise ValueError("n_samples must be >= 1")
+        accum = sess["accum"]
+        tiles = sess["tiles"]
+        aux = sess["aux"]
+        for i in range(int(n_samples)):
+            accum, new_tiles, aux = sess["step"](
+                sess["scene"], sess["uni"], accum, jnp.uint32(sess["samples"])
+            )
+            sess["samples"] += 1
+        new_tiles = np.asarray(new_tiles)
+        delta = np.abs(new_tiles - tiles)
+        sess["accum"] = accum
+        sess["tiles"] = new_tiles
+        sess["aux"] = aux
+        thr = sess["threshold"]
+        sess["last_metrics"] = {
+            "total_samples": sess["samples"],
+            "mean_delta": float(delta.mean()),
+            "p95_delta": float(np.percentile(delta, 95)),
+            "max_tile_delta": float(delta.max()),
+            "converged_tile_ratio": float((delta < thr).mean()),
+        }
+        return dict(sess["last_metrics"])
+
+    def read_accumulation_metrics(self, convergence_threshold: float = 1e-3):
+        sess = getattr(self, "_offline", None)
+        if sess is None:
+            raise RenderError("no offline accumulation session is active")
+        sess["threshold"] = float(convergence_threshold)
+        if sess["last_metrics"] is None:
+            return {
+                "total_samples": 0, "mean_delta": float("inf"),
+                "p95_delta": float("inf"), "max_tile_delta": float("inf"),
+                "converged_tile_ratio": 0.0,
+            }
+        return dict(sess["last_metrics"])
+
+    def resolve_offline_hdr(self):
+        sess = getattr(self, "_offline", None)
+        if sess is None:
+            raise RenderError("no offline accumulation session is active")
+        if sess["samples"] == 0:
+            raise RenderError("no samples accumulated")
+        accum = np.asarray(sess["accum"])
+        hdr = accum[..., :3] / accum[..., 3:4]
+        hit, t, (nx, ny, nz), (ar, ag, ab) = sess["aux"]
+        hitm = np.asarray(hit.hit)[..., None]
+        aov = AovFrame(
+            aovs={
+                "albedo": np.stack([np.asarray(ar), np.asarray(ag), np.asarray(ab)], -1) * hitm,
+                "normal": np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], -1) * hitm,
+                "depth": np.where(hitm[..., 0], np.asarray(t), np.nan).astype(np.float32),
+                "visibility": hitm[..., 0].astype(np.float32),
+            },
+            metadata={"samples": sess["samples"]},
+        )
+        return HdrFrame(rgb=hdr.astype(np.float32),
+                        metadata={"samples": sess["samples"]}), aov
+
+    def tonemap_offline_hdr(self, hdr_frame: HdrFrame) -> Frame:
+        sess = getattr(self, "_offline", None)
+        p = sess["params"] if sess else make_terrain_params()
+        ldr = tm.apply(
+            p.tonemap.mode if p.tonemap.mode != "off" else "reinhard",
+            jnp.asarray(hdr_frame.rgb),
+            exposure=p.tonemap.exposure * p.exposure,
+        )
+        if p.output_srgb_eotf:
+            ldr = tm.srgb_eotf_inv(ldr)
+        else:
+            ldr = jnp.power(jnp.clip(ldr, 0.0, 1.0), 1.0 / p.gamma)
+        ldr = np.asarray(ldr)
+        rgba = np.concatenate(
+            [
+                (np.clip(ldr, 0, 1) * 255 + 0.5).astype(np.uint8),
+                np.full((*ldr.shape[:2], 1), 255, np.uint8),
+            ],
+            axis=-1,
+        )
+        return Frame(rgba=rgba, metadata=dict(hdr_frame.metadata))
+
+    def end_offline_accumulation(self) -> None:
+        self._offline = None
