@@ -142,8 +142,29 @@ class TerrainRenderer:
                 "An offline accumulation session is active; call "
                 "end_offline_accumulation() before one-shot rendering."
             )
+        if cache is not None and certificate is None:
+            from ..assurance.anamnesis import cached_render, open_store
+
+            store = open_store(cache)
+            p = params if params is not None else make_terrain_params()
+            key_inputs = dict(
+                params=p.to_dict(),
+                heightmap=np.asarray(heightmap, np.float32),
+                water_mask=None if water_mask is None else np.asarray(water_mask),
+                time_seconds=float(time_seconds),
+            )
+            arrays, hit = cached_render(
+                store, "terrain.render_terrain_pbr_pom", key_inputs,
+                lambda: {"rgba": self._render(
+                    material_set, env_maps, params, heightmap, water_mask,
+                    time_seconds, want_aov=False)[0].rgba},
+            )
+            self.last_anamnesis_report = store.report.as_dict() if store else {}
+            return Frame(rgba=arrays["rgba"],
+                         metadata={"anamnesis_hit": hit})
         frame, _ = self._render(material_set, env_maps, params, heightmap,
                                 water_mask, time_seconds, want_aov=False)
+        self.last_anamnesis_report = {}
         if certificate is not None:
             from ..assurance.certificate import emit_certificate
 
