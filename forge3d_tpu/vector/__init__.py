@@ -1,0 +1,112 @@
+# forge3d_tpu/vector — GPU-equivalent vector overlay engine.
+#
+# Parity notes: the reference's vector module renders AA polylines,
+# tessellated polygons, instanced points and OIT compositing through wgpu
+# pipelines (/root/reference/src/vector/, SURVEY §2.4). The TPU build
+# evaluates analytic coverage per pixel (vector/coverage.py) and composites
+# in linear color — same public add_points/add_lines/add_polygons/
+# clear_vectors + render seam (src/py_functions/vector/*).
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .coverage import (  # noqa: F401
+    composite_over,
+    disc_coverage,
+    oit_composite,
+    polygon_coverage,
+    stroke_coverage,
+)
+
+
+@dataclass
+class _Layer:
+    kind: str           # points|lines|polygons
+    data: object
+    color: Tuple[float, float, float]
+    opacity: float
+    width: float = 1.0  # stroke width / point radius
+    pick_id: int = 0
+
+
+@dataclass
+class VectorScene:
+    """Retained vector overlay scene; render() produces an RGBA overlay and
+    a pick-id map (reference: vector_render_oit_and_pick_py)."""
+
+    layers: List[_Layer] = field(default_factory=list)
+    _next_pick: int = 1
+
+    def add_points(self, points, color=(1.0, 0.2, 0.1), size: float = 4.0,
+                   opacity: float = 1.0) -> int:
+        pts = np.asarray(points, np.float32).reshape(-1, 2)
+        pid = self._next_pick
+        self._next_pick += 1
+        self.layers.append(_Layer("points", pts, tuple(color), float(opacity),
+                                  float(size), pid))
+        return pid
+
+    def add_lines(self, polyline, color=(0.1, 0.3, 0.9), width: float = 2.0,
+                  opacity: float = 1.0) -> int:
+        pl = np.asarray(polyline, np.float32).reshape(-1, 2)
+        if len(pl) < 2:
+            raise ValueError("polyline needs >= 2 vertices")
+        segs = np.concatenate([pl[:-1], pl[1:]], axis=1)
+        pid = self._next_pick
+        self._next_pick += 1
+        self.layers.append(_Layer("lines", segs, tuple(color), float(opacity),
+                                  float(width), pid))
+        return pid
+
+    def add_polygons(self, rings, color=(0.2, 0.7, 0.3), opacity: float = 1.0) -> int:
+        rings = [np.asarray(r, np.float32).reshape(-1, 2) for r in rings]
+        pid = self._next_pick
+        self._next_pick += 1
+        self.layers.append(_Layer("polygons", rings, tuple(color),
+                                  float(opacity), 0.0, pid))
+        return pid
+
+    def clear_vectors(self) -> None:
+        self.layers.clear()
+        self._next_pick = 1
+
+    def _layer_coverage(self, layer: _Layer, width: int, height: int):
+        if layer.kind == "points":
+            return disc_coverage(width, height, layer.data,
+                                 np.full(len(layer.data), layer.width * 0.5))
+        if layer.kind == "lines":
+            return stroke_coverage(width, height, layer.data, layer.width)
+        return polygon_coverage(width, height, layer.data)
+
+    def render(self, width: int, height: int,
+               base_rgb: Optional[np.ndarray] = None):
+        """Composite all layers. Returns (rgb (H,W,3) f32, alpha (H,W) f32,
+        pick (H,W) int32)."""
+        import jax.numpy as jnp
+
+        rgb = (jnp.zeros((height, width, 3), jnp.float32)
+               if base_rgb is None else jnp.asarray(base_rgb, jnp.float32))
+        alpha = jnp.zeros((height, width), jnp.float32)
+        pick = jnp.zeros((height, width), jnp.int32)
+        for layer in self.layers:
+            cov = self._layer_coverage(layer, width, height)
+            a = cov * layer.opacity
+            rgb = rgb * (1.0 - a[..., None]) + jnp.asarray(layer.color) * a[..., None]
+            alpha = alpha + a * (1.0 - alpha)
+            pick = jnp.where(cov > 0.5, layer.pick_id, pick)
+        return np.asarray(rgb), np.asarray(alpha), np.asarray(pick)
+
+    def pick_at(self, pick_map: np.ndarray, x: int, y: int) -> int:
+        return int(pick_map[int(y), int(x)])
+
+
+def render_overlay_rgba(scene: VectorScene, width: int, height: int) -> np.ndarray:
+    """Overlay as straight-alpha RGBA float32 (H, W, 4)."""
+    rgb, alpha, _ = scene.render(width, height)
+    safe = np.maximum(alpha, 1e-6)[..., None]
+    straight = np.where(alpha[..., None] > 0, rgb / safe, 0.0)
+    return np.concatenate([straight, alpha[..., None]], axis=-1).astype(np.float32)
