@@ -47,11 +47,16 @@ class TerrainScene(NamedTuple):
 
     Static geometry (cell counts, mip count, DEM dims) lives in
     :class:`TerrainSceneStatic` so jitted traversal specializes on it.
+
+    Gather-packing: the traversal loop is gather-bound on TPU, so paired
+    values ride single complex64 gathers — `mm_pack` packs (min, max) per
+    pyramid texel and `h_pair` packs (h[i], h[i+1]) per DEM texel, halving
+    the per-step gather count vs separate float tables.
     """
 
     heights_flat: jax.Array    # (h*w,) f32, exaggeration NOT applied
-    mm_min: jax.Array          # (total,) f32
-    mm_max: jax.Array          # (total,) f32
+    h_pair: jax.Array          # (h*w,) c64: (h[i], h[i+1 in row])
+    mm_pack: jax.Array         # (total,) c64: (min, max)
     level_offset: jax.Array    # (mips,) i32
     level_w: jax.Array         # (mips,) i32
     origin_xz: jax.Array       # (2,) f32
@@ -81,10 +86,14 @@ def scene_from_pyramid(
         # A ray crossing the whole grid visits O(perimeter) leaf cells, each
         # costing an advance plus bounded level moves; 4x is generous slack.
         max_iters = 4 * (pyr.cell_w + pyr.cell_h) + 16 * pyr.mip_count + 64
+    hf = pyr.heights.ravel()
+    h_next = np.concatenate([hf[1:], hf[-1:]])
     scene = TerrainScene(
-        heights_flat=jnp.asarray(pyr.heights.ravel(), _F32),
-        mm_min=jnp.asarray(pyr.mm_min, _F32),
-        mm_max=jnp.asarray(pyr.mm_max, _F32),
+        heights_flat=jnp.asarray(hf, _F32),
+        h_pair=jnp.asarray(hf.astype(np.complex64)
+                           + 1j * h_next.astype(np.complex64)),
+        mm_pack=jnp.asarray(pyr.mm_min.astype(np.complex64)
+                            + 1j * pyr.mm_max.astype(np.complex64)),
         level_offset=jnp.asarray(pyr.level_offset, _I32),
         level_w=jnp.asarray(pyr.level_w, _I32),
         origin_xz=jnp.asarray(origin_xz, _F32),
@@ -127,15 +136,17 @@ def _bilinear_h(h00, h10, h01, h11, u, v):
 
 
 def _cell_heights(scene: TerrainScene, static: TerrainSceneStatic, cx, cz):
-    """Exaggerated corner heights (h00, h10, h01, h11) of DEM cell (cx, cz)."""
+    """Exaggerated corner heights (h00, h10, h01, h11) of DEM cell (cx, cz).
+
+    Two complex64 gathers fetch all four corners: h_pair[i] packs the
+    row-adjacent pair (h[i], h[i+1])."""
     w = static.dem_w
     base = cz * w + cx
     ex = scene.exaggeration
-    h00 = jnp.take(scene.heights_flat, base) * ex
-    h10 = jnp.take(scene.heights_flat, base + 1) * ex
-    h01 = jnp.take(scene.heights_flat, base + w) * ex
-    h11 = jnp.take(scene.heights_flat, base + w + 1) * ex
-    return h00, h10, h01, h11
+    p0 = jnp.take(scene.h_pair, base)
+    p1 = jnp.take(scene.h_pair, base + w)
+    return (jnp.real(p0) * ex, jnp.imag(p0) * ex,
+            jnp.real(p1) * ex, jnp.imag(p1) * ex)
 
 
 def _leaf_intersect(scene, static, ro, rd, cx, cz, t0, t1, tmin, tmax):
@@ -289,8 +300,9 @@ def trace(
         lvl_off = jnp.take(scene.level_offset, level)
         lvl_w = jnp.take(scene.level_w, level)
         flat = lvl_off + nz * lvl_w + nx
-        bmin = jnp.take(scene.mm_min, flat) * scene.exaggeration
-        bmax = jnp.take(scene.mm_max, flat) * scene.exaggeration
+        mm = jnp.take(scene.mm_pack, flat)
+        bmin = jnp.real(mm) * scene.exaggeration
+        bmax = jnp.imag(mm) * scene.exaggeration
         ya = roy + nt0 * rdy
         yb = roy + nt1 * rdy
         band = (
@@ -300,9 +312,16 @@ def trace(
         )
 
         is_leaf = level == 0
-        leaf_ok, leaf_t = _leaf_intersect(
-            scene, static, (rox, roy, roz), (rdx, rdy, rdz),
-            cx, cz, nt0, nt1, tmin, tmax,
+        # Skip the leaf gathers entirely on iterations where no live lane is
+        # at a banded leaf (a scalar cond, cheap vs two c64 gathers).
+        any_leaf = jnp.any((~s["done"]) & band & is_leaf)
+        leaf_ok, leaf_t = jax.lax.cond(
+            any_leaf,
+            lambda: _leaf_intersect(
+                scene, static, (rox, roy, roz), (rdx, rdy, rdz),
+                cx, cz, nt0, nt1, tmin, tmax,
+            ),
+            lambda: (jnp.zeros(shape, jnp.bool_), jnp.full(shape, 1e30, _F32)),
         )
         got_hit = (~s["done"]) & band & is_leaf & leaf_ok
 

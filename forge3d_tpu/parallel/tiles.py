@@ -77,10 +77,10 @@ def render_frames_sharded(desc, n_frames: int, mesh=None):
         intensity=jax.device_put(env.intensity, rep),
     )
 
-    frame_step = jax.jit(_make_frame_step(desc, scene, static, env),
-                         donate_argnums=(0, 1))
+    frame_step = jax.jit(_make_frame_step(desc, static),
+                         donate_argnums=(2, 3))
     reuse_step = jax.jit(_make_reuse_step(desc), donate_argnums=(0,))
-    gbuf = jax.jit(lambda: _center_gbuffer(desc, scene, static))()
+    gbuf = jax.jit(lambda s: _center_gbuffer(desc, s, static))(scene)
     gb_n = gbuf["gb_n"]
 
     sh2 = tile_sharding(mesh, ndim=3)
@@ -94,7 +94,7 @@ def render_frames_sharded(desc, n_frames: int, mesh=None):
 
     for f in range(n_frames):
         accum, welford, curr, res_prev_c = frame_step(
-            accum, welford, res_prev, jnp.uint32(f)
+            scene, env, accum, welford, res_prev, jnp.uint32(f)
         )
         res_prev = reuse_step(res_prev_c, curr, gb_n, jnp.uint32(f))
     return accum, welford, res_prev

@@ -139,10 +139,12 @@ def _camera_rays(desc: TerrainRefDesc, jx, jy):
 
 def _make_frame_step(
     desc: TerrainRefDesc,
-    scene: TerrainScene,
     static: TerrainSceneStatic,
-    env: EnvMap,
 ):
+    """Build the per-frame device program. The scene tables and env map are
+    RUNTIME ARGUMENTS of the returned function, not closure constants —
+    closed-over arrays become jaxpr constants, which both explodes compile
+    time and re-ships the tables through the runtime on every call."""
     W, H = desc.width, desc.height
     n_pix = W * H
     spp = int(desc.spp)
@@ -159,7 +161,7 @@ def _make_frame_step(
     oy = jnp.full((H, W), desc.cam_origin[1], _F32)
     oz = jnp.full((H, W), desc.cam_origin[2], _F32)
 
-    def sample_radiance(st, prev_dir, prev_w, prev_ok):
+    def sample_radiance(scene, env, st, prev_dir, prev_w, prev_ok):
         """One jittered camera sample; returns (st, rgb, cand_pdf)."""
         st, u1 = xorshift32(st)
         st, u2 = xorshift32(st)
@@ -219,7 +221,8 @@ def _make_frame_step(
         b = jnp.where(hit.hit, sun_b + ibl_b, mb)
         return st, (r, g, b), cand_pdf, hit.hit
 
-    def frame_step(accum, welford, res_prev: rst.Reservoirs, frame_index):
+    def frame_step(scene, env, accum, welford, res_prev: rst.Reservoirs,
+                   frame_index):
         """One accumulation frame. accum: (H, W, 4); welford: (H, W, 2)."""
         xs = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1)
         ys = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0)
@@ -249,7 +252,8 @@ def _make_frame_step(
 
         def body(i, carry):
             st, fr, fg, fb, c_wsum, c_m, c_pdf = carry
-            st, (r, g, b), cand_pdf, was_hit = sample_radiance(st, pdir, pw, prev_ok)
+            st, (r, g, b), cand_pdf, was_hit = sample_radiance(
+                scene, env, st, pdir, pw, prev_ok)
             good = cand_pdf > 0.0
             c_wsum = c_wsum + jnp.where(good, cand_pdf, 0.0)
             c_m = c_m + jnp.where(good, 1, 0).astype(jnp.uint32)
@@ -389,12 +393,14 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
 
     try:
         frame_step = jax.jit(
-            _make_frame_step(desc, scene, static, env), donate_argnums=(0, 1)
+            _make_frame_step(desc, static), donate_argnums=(2, 3)
         )
         reuse_step = jax.jit(_make_reuse_step(desc), donate_argnums=(0,))
-        gbuf_fn = jax.jit(functools.partial(_center_gbuffer, desc, scene, static))
+        gbuf_fn = jax.jit(
+            lambda scene: _center_gbuffer(desc, scene, static)
+        )
 
-        gbuf = gbuf_fn()
+        gbuf = gbuf_fn(scene)
         gb_n = gbuf["gb_n"]
 
         accum = jnp.zeros((H, W, 4), _F32)
@@ -406,7 +412,7 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
         converged = False
         while frames < desc.max_frames:
             accum, welford, curr, res_prev_c = frame_step(
-                accum, welford, res_prev, jnp.uint32(frames)
+                scene, env, accum, welford, res_prev, jnp.uint32(frames)
             )
             res_prev = reuse_step(res_prev_c, curr, gb_n, jnp.uint32(frames))
             frames += 1
