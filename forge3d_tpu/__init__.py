@@ -92,4 +92,29 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module(".colormaps", __name__)
+    if name in ("load_mesh", "save_mesh", "load_obj", "save_obj", "load_ply",
+                "save_ply", "load_stl", "save_stl", "load_gltf", "MeshData"):
+        from .io import mesh as _mesh_io
+
+        return getattr(_mesh_io, name)
+    if name in ("extrude_polygon_py", "extrude_polygon"):
+        from .geometry import extrude_polygon
+
+        return extrude_polygon
+    if name == "uv_planar_unwrap_py":
+        from .geometry import uv_planar_unwrap
+
+        return uv_planar_unwrap
+    if name == "geometry":
+        import importlib
+
+        return importlib.import_module(".geometry", __name__)
+    if name == "buildings":
+        import importlib
+
+        return importlib.import_module(".buildings", __name__)
+    if name in ("_pt_render_gpu_mesh", "pt_render_gpu_mesh"):
+        from .pt.mesh_render import pt_render_gpu_mesh
+
+        return pt_render_gpu_mesh
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
