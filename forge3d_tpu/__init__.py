@@ -117,4 +117,21 @@ def __getattr__(name):
         from .pt.mesh_render import pt_render_gpu_mesh
 
         return pt_render_gpu_mesh
+    if name in ("compress_dem", "decompress_dem", "verify_dem"):
+        from .codec import f3dz as _f3dz
+
+        return getattr(_f3dz, name)
+    if name in ("encode_bc7_rgba8", "decode_bc7", "encode_bc5_rg8",
+                "decode_bc5"):
+        from .codec import bc as _bc
+
+        return getattr(_bc, name)
+    if name == "codec":
+        import importlib
+
+        return importlib.import_module(".codec", __name__)
+    if name == "labels":
+        import importlib
+
+        return importlib.import_module(".labels", __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
