@@ -134,4 +134,23 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module(".labels", __name__)
+    if name in ("open_viewer_async", "ViewerHandle", "open_viewer",
+                "open_terrain_viewer"):
+        from . import viewer as _viewer
+
+        return getattr(_viewer, name if name in ("open_viewer_async",
+                                                 "ViewerHandle")
+                       else "open_viewer_async")
+    if name in ("save_bundle", "load_bundle", "bundle_manifest"):
+        from . import bundle as _bundle
+
+        return getattr(_bundle, name)
+    if name in ("read_laz_points_info", "read_las_points", "PointBuffer"):
+        from . import pointcloud as _pc
+
+        return getattr(_pc, name)
+    if name in ("pointcloud", "viewer", "bundle"):
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
