@@ -153,4 +153,29 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module("." + name, __name__)
+    if name in ("dd_selftest", "dd_harness", "dd_jitter_demo"):
+        from . import precision as _prec
+
+        return getattr(_prec, name)
+    if name == "precision":
+        import importlib
+
+        return importlib.import_module(".precision", __name__)
+    if name in ("seal_provenance", "verify_provenance"):
+        from .assurance import provenance as _prov
+
+        return getattr(_prov, name)
+    if name in ("license_public_key_hex", "verify_license_signature"):
+        from .assurance import license as _lic
+
+        return getattr(_lic, name)
+    if name in ("begin_render_capture", "render_execution_report",
+                "sign_render_certificate_digest", "verify_render_certificate"):
+        from .assurance import certificate as _cert
+
+        return getattr(_cert, name)
+    if name == "assurance":
+        import importlib
+
+        return importlib.import_module(".assurance", __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")

@@ -7,9 +7,9 @@
 # entry point, Ed25519 signature over a canonical digest, `certificate=`
 # kwarg on render APIs.
 #
-# Round-1 scope: capture + canonical digest + HMAC-style signing via
-# hashlib (Ed25519 signing lands with the provenance subsystem). The wire
-# format (dict with schema/engine/passes/digest/signature) is stable.
+# Signing: real Ed25519 (assurance/ed25519.py, RFC 8032). A deterministic
+# dev key (derived from a fixed seed) signs by default so certificates are
+# reproducible in CI; callers supply their own 32-byte seed in production.
 
 from __future__ import annotations
 
@@ -78,12 +78,39 @@ def render_execution_report(capture: RenderCapture, inputs_digest: str = "") -> 
     return {**body, "digest": digest}
 
 
-def sign_render_certificate_digest(digest: str, key: bytes = b"forge3d-tpu-dev") -> str:
-    """Placeholder signature (HMAC-SHA256) until Ed25519 lands with the
-    provenance/license subsystem; format-compatible hex string."""
-    import hmac
+_DEV_SEED = hashlib.sha256(b"forge3d-tpu dev certificate key v1").digest()
 
-    return hmac.new(key, digest.encode(), hashlib.sha256).hexdigest()
+
+def certificate_public_key_hex(seed: Optional[bytes] = None) -> str:
+    from .ed25519 import public_key_from_seed
+
+    return public_key_from_seed(seed or _DEV_SEED).hex()
+
+
+def sign_render_certificate_digest(digest: str,
+                                   seed: Optional[bytes] = None) -> str:
+    """Ed25519 signature (hex) over the certificate digest."""
+    from .ed25519 import sign
+
+    return sign(seed or _DEV_SEED, digest.encode()).hex()
+
+
+def verify_render_certificate(report: dict,
+                              public_key_hex: Optional[str] = None) -> bool:
+    """Check digest integrity + Ed25519 signature of a certificate dict."""
+    from .ed25519 import verify
+
+    body = {k: v for k, v in report.items()
+            if k not in ("digest", "signature")}
+    digest = hashlib.sha256(canonical_json(body).encode()).hexdigest()
+    if digest != report.get("digest"):
+        return False
+    pk = bytes.fromhex(public_key_hex or certificate_public_key_hex())
+    try:
+        sig = bytes.fromhex(report.get("signature", ""))
+    except ValueError:
+        return False
+    return verify(pk, digest.encode(), sig)
 
 
 def emit_certificate(target, label: str, render_output: dict) -> None:
