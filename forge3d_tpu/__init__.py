@@ -178,4 +178,14 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module(".assurance", __name__)
+    if name.startswith("astro_") or name in ("body_info",
+                                              "sky_set_observation"):
+        from . import astro as _astro
+
+        if hasattr(_astro, name):
+            return getattr(_astro, name)
+    if name == "astro":
+        import importlib
+
+        return importlib.import_module(".astro", __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
