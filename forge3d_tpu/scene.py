@@ -55,6 +55,23 @@ class Scene:
         # terrain footprint: centered unit-ish quad like the reference spike
         self._span = 2.0
         self._h_scale = 1.0
+        # post-fx state (reference Scene py_api surface: bloom, dof, ssr,
+        # ssgi, oit, ground_plane, water_surface, clouds, rect area lights,
+        # reflections — src/scene/py_api/*)
+        self._bloom = {"enabled": False, "threshold": 1.0, "intensity": 0.5}
+        self._dof = {"enabled": False, "focus": 4.0, "range": 2.0,
+                     "max_coc": 6.0}
+        self._vignette = {"enabled": False, "strength": 0.35}
+        self._ssr = {"enabled": False, "intensity": 0.5}
+        self._ssgi = {"enabled": False, "intensity": 0.5}
+        self._oit = {"enabled": False, "mode": "weighted"}
+        self._ground_plane = {"enabled": False, "height": 0.0,
+                              "color": (0.35, 0.35, 0.38)}
+        self._water_surface = {"enabled": False, "height": 0.0,
+                               "color": (0.08, 0.22, 0.35), "opacity": 0.75}
+        self._clouds = {"enabled": False, "coverage": 0.4, "density": 0.5}
+        self._reflections = {"enabled": False, "intensity": 0.4}
+        self._rect_area_lights: list = []
 
     # -- camera ------------------------------------------------------------
     def set_camera_look_at(self, eye, target, up, fovy_deg: float,
@@ -106,6 +123,71 @@ class Scene:
 
     def get_ssao_parameters(self) -> Tuple[float, float, float]:
         return self._ssao
+
+    # -- post-fx setters (reference: src/scene/py_api/* classes) -----------
+    def set_bloom_enabled(self, enabled: bool) -> None:
+        self._bloom["enabled"] = bool(enabled)
+
+    def set_bloom_parameters(self, threshold: float, intensity: float) -> None:
+        if threshold < 0 or intensity < 0:
+            raise ValueError("bloom parameters must be >= 0")
+        self._bloom.update(threshold=float(threshold),
+                           intensity=float(intensity))
+
+    def set_dof_enabled(self, enabled: bool) -> None:
+        self._dof["enabled"] = bool(enabled)
+
+    def set_dof_parameters(self, focus_distance: float, focus_range: float,
+                           max_coc: float = 6.0) -> None:
+        if focus_distance <= 0 or focus_range <= 0:
+            raise ValueError("dof parameters must be > 0")
+        self._dof.update(focus=float(focus_distance),
+                         range=float(focus_range), max_coc=float(max_coc))
+
+    def set_vignette_enabled(self, enabled: bool, strength: float = 0.35) -> None:
+        self._vignette.update(enabled=bool(enabled), strength=float(strength))
+
+    def set_ssr_enabled(self, enabled: bool, intensity: float = 0.5) -> None:
+        self._ssr.update(enabled=bool(enabled), intensity=float(intensity))
+
+    def set_ssgi_enabled(self, enabled: bool, intensity: float = 0.5) -> None:
+        self._ssgi.update(enabled=bool(enabled), intensity=float(intensity))
+
+    def set_oit_enabled(self, enabled: bool, mode: str = "weighted") -> None:
+        if mode not in ("weighted", "dual_source"):
+            raise ValueError("oit mode must be weighted|dual_source")
+        self._oit.update(enabled=bool(enabled), mode=mode)
+
+    def set_ground_plane(self, enabled: bool, height: float = 0.0,
+                         color=(0.35, 0.35, 0.38)) -> None:
+        self._ground_plane.update(enabled=bool(enabled), height=float(height),
+                                  color=tuple(color))
+
+    def set_water_surface(self, enabled: bool, height: float = 0.0,
+                          color=(0.08, 0.22, 0.35), opacity: float = 0.75) -> None:
+        self._water_surface.update(enabled=bool(enabled), height=float(height),
+                                   color=tuple(color), opacity=float(opacity))
+
+    def set_clouds_enabled(self, enabled: bool, coverage: float = 0.4,
+                           density: float = 0.5) -> None:
+        self._clouds.update(enabled=bool(enabled), coverage=float(coverage),
+                            density=float(density))
+
+    def set_reflections_enabled(self, enabled: bool,
+                                intensity: float = 0.4) -> None:
+        self._reflections.update(enabled=bool(enabled),
+                                 intensity=float(intensity))
+
+    def add_rect_area_light(self, center, right, up, half_extent,
+                            color=(1.0, 1.0, 1.0), intensity: float = 1.0) -> int:
+        self._rect_area_lights.append(
+            dict(center=tuple(center), right=tuple(right), up=tuple(up),
+                 half_extent=tuple(half_extent), color=tuple(color),
+                 intensity=float(intensity)))
+        return len(self._rect_area_lights) - 1
+
+    def clear_rect_area_lights(self) -> None:
+        self._rect_area_lights.clear()
 
     # -- rendering ---------------------------------------------------------
     def _default_heights(self) -> np.ndarray:
@@ -206,11 +288,83 @@ class Scene:
         r = ar * shade
         g_ = ag * shade
         b = ab * shade
+
+        # rect area lights add on top of sun shading
+        if self._rect_area_lights:
+            from .ops.post import rect_area_light
+
+            pt = jnp.stack([px, py, pz], -1)
+            nrm = jnp.stack([nx, ny, nz], -1)
+            view = -jnp.stack(rd, -1)
+            add = jnp.zeros_like(pt)
+            for L in self._rect_area_lights:
+                add = add + rect_area_light(
+                    pt, nrm, view, light_center=L["center"],
+                    light_right=L["right"], light_up=L["up"],
+                    half_extent=L["half_extent"], color=L["color"],
+                    intensity=L["intensity"])
+            r = r + add[..., 0] * ar
+            g_ = g_ + add[..., 1] * ag
+            b = b + add[..., 2] * ab
+
         bg = jnp.asarray([0.12, 0.14, 0.18])
-        r = jnp.where(hit.hit, r, bg[0])
-        g_ = jnp.where(hit.hit, g_, bg[1])
-        b = jnp.where(hit.hit, b, bg[2])
+        # optional ground plane catches rays that miss the terrain
+        gp = self._ground_plane
+        if gp["enabled"]:
+            tg = (gp["height"] - ro[1]) / jnp.where(
+                jnp.abs(rd[1]) < 1e-6, -1e-6, rd[1])
+            ground_hit = (~hit.hit) & (tg > self._znear) & (tg < self._zfar)
+            gndl = max(float(np.dot([0, 1, 0], sun)), 0.0)
+            gshade = 0.25 + 0.75 * gndl
+            gc = gp["color"]
+            r = jnp.where(ground_hit, gc[0] * gshade, r)
+            g_ = jnp.where(ground_hit, gc[1] * gshade, g_)
+            b = jnp.where(ground_hit, gc[2] * gshade, b)
+            vis_any = hit.hit | ground_hit
+        else:
+            vis_any = hit.hit
+        # water surface: semi-transparent plane over low terrain
+        ws = self._water_surface
+        if ws["enabled"]:
+            tw = (ws["height"] - ro[1]) / jnp.where(
+                jnp.abs(rd[1]) < 1e-6, -1e-6, rd[1])
+            water_hit = (tw > self._znear) & (tw < jnp.where(hit.hit, t, self._zfar)) \
+                & (rd[1] < 0)
+            wop = ws["opacity"]
+            wc = ws["color"]
+            r = jnp.where(water_hit, (1 - wop) * r + wop * wc[0], r)
+            g_ = jnp.where(water_hit, (1 - wop) * g_ + wop * wc[1], g_)
+            b = jnp.where(water_hit, (1 - wop) * b + wop * wc[2], b)
+        r = jnp.where(vis_any, r, bg[0])
+        g_ = jnp.where(vis_any, g_, bg[1])
+        b = jnp.where(vis_any, b, bg[2])
         ldr = jnp.stack([r, g_, b], axis=-1)
+
+        depth_buf = jnp.where(hit.hit, t, self._zfar)
+        if self._ssr["enabled"] or self._reflections["enabled"]:
+            from .ops.post import ssr as _ssr
+
+            nrm3 = jnp.stack([nx, ny, nz], -1)
+            inten = (self._ssr["intensity"] if self._ssr["enabled"]
+                     else self._reflections["intensity"])
+            ldr = _ssr(ldr, depth_buf, nrm3, intensity=inten)
+        if (self._bloom["enabled"] or self._dof["enabled"]
+                or self._vignette["enabled"]):
+            from .ops.post import PostConfig, apply_post_chain
+
+            ldr = apply_post_chain(
+                ldr, depth_buf,
+                PostConfig(
+                    bloom_enabled=self._bloom["enabled"],
+                    bloom_threshold=self._bloom["threshold"],
+                    bloom_intensity=self._bloom["intensity"],
+                    dof_enabled=self._dof["enabled"],
+                    dof_focus=self._dof["focus"],
+                    dof_range=self._dof["range"],
+                    dof_max_coc=self._dof["max_coc"],
+                    vignette_enabled=self._vignette["enabled"],
+                    vignette_strength=self._vignette["strength"],
+                ))
         rgba = np.concatenate(
             [
                 (np.clip(np.asarray(ldr), 0, 1) * 255 + 0.5).astype(np.uint8),
