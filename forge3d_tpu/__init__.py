@@ -188,4 +188,20 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module(".astro", __name__)
+    if name in ("fetch_dem", "dataset_names", "mini_dem"):
+        from . import datasets as _ds
+
+        return getattr(_ds, name)
+    if name in ("read_cog", "CogReader"):
+        from .gis import cog as _cog
+
+        return getattr(_cog, name)
+    if name in ("decode_pnts", "decode_b3dm", "load_tileset"):
+        from . import tiles3d as _t3d
+
+        return getattr(_t3d, name)
+    if name in ("datasets", "tiles3d", "gis"):
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
