@@ -204,4 +204,20 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module("." + name, __name__)
+    if name in ("load_style", "parse_color", "MapStyle"):
+        from . import style as _style
+
+        return getattr(_style, name)
+    if name in ("export_svg", "export_pdf", "VectorDocument"):
+        from . import export as _export
+
+        return getattr(_export, name)
+    if name in ("RendererConfig", "load_renderer_config"):
+        from . import config as _config
+
+        return getattr(_config, name)
+    if name in ("style", "export", "config", "camera_rigs"):
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
