@@ -220,4 +220,21 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module("." + name, __name__)
+    if name in ("read_vector", "reproject_vector", "clip_vector",
+                "dissolve_vector", "buffer_geometry", "intersect_geometries",
+                "union_geometries", "difference_geometries", "geometry_mask"):
+        from .gis import vector as _vec
+
+        return getattr(_vec, name)
+    if name in ("parse_osm_features", "query_osm_features",
+                "prepare_osm_scene", "build_terrarium_dem",
+                "decode_terrarium_dem", "fetch_remote_geodata",
+                "cache_geodata"):
+        from .gis import osm as _osm
+
+        return getattr(_osm, name)
+    if name in ("reproject_raster", "align_raster_to"):
+        from .gis import warp as _warp
+
+        return getattr(_warp, name)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")

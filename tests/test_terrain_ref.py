@@ -118,7 +118,7 @@ class TestTerrainReference:
         quick(certificate=cert)
         assert cert["schema"].startswith("forge3d-tpu/certificate")
         assert len(cert["digest"]) == 64
-        assert len(cert["signature"]) == 64
+        assert len(cert["signature"]) == 128  # 64-byte Ed25519 sig, hex
 
     def test_memory_diagnostics(self):
         out = quick()
