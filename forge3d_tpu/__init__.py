@@ -237,4 +237,9 @@ def __getattr__(name):
         from .gis import warp as _warp
 
         return getattr(_warp, name)
+    if name in ("hybrid_render", "render_adjudication_pair",
+                "build_hybrid_scene"):
+        from .pt import hybrid as _hyb
+
+        return getattr(_hyb, name)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
