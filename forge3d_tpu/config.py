@@ -83,7 +83,8 @@ def merge_config(base: RendererConfig, *overrides: Optional[dict]
 
 
 PRESETS: Dict[str, dict] = {
-    "draft": {"spp": 4, "max_frames": 32, "variance_threshold": 1e-2,
+    # draft trades convergence for speed: no variance gate, denoise after
+    "draft": {"spp": 4, "max_frames": 32, "variance_threshold": 1e9,
               "denoise": "atrous"},
     "preview": {"spp": 16, "max_frames": 128, "variance_threshold": 3e-3},
     "production": {"spp": 64, "max_frames": 512,

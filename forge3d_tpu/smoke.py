@@ -434,10 +434,14 @@ class SmokeDomain:
         b = b + tr * bg[2]
         ldr = jnp.stack([r, g, b], -1)
         ldr = ldr / (1.0 + ldr)
+        # alpha = accumulated opacity (1 - transmittance), so the frame
+        # composites correctly as an overlay; standalone viewers still see
+        # the configured background color.
+        alpha = np.clip(np.asarray(1.0 - tr), 0.0, 1.0)
         rgba = np.concatenate(
             [
                 (np.clip(np.asarray(ldr), 0, 1) * 255 + 0.5).astype(np.uint8),
-                np.full((height, width, 1), 255, np.uint8),
+                (alpha[..., None] * 255 + 0.5).astype(np.uint8),
             ],
             axis=-1,
         )
