@@ -190,19 +190,23 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
     iota_x = jax.lax.broadcasted_iota(_I32, (N, cbw), 1)
     iota_p = jax.lax.broadcasted_iota(_I32, (N, P2), 1)
 
+    # B is a power of two by construction; use shifts (signed integer
+    # division does not lower on all TPU backends)
+    log2b = B.bit_length() - 1
+
     def block_of(t):
         pt = t + eps_t
         px = rox + pt * rdx
         pz = roz + pt * rdz
         cx = jnp.clip(jnp.floor((px - ox) / sx).astype(_I32), 0, cw - 1)
         cz = jnp.clip(jnp.floor((pz - oz) / sz).astype(_I32), 0, ch - 1)
-        return cx, cz, cx // B, cz // B
+        return cx, cz, cx >> log2b, cz >> log2b
 
     def block_span(bx, bz, t):
-        x0 = (bx * B).astype(_F32)
-        x1 = jnp.minimum((bx + 1) * B, cw).astype(_F32)
-        z0 = (bz * B).astype(_F32)
-        z1 = jnp.minimum((bz + 1) * B, ch).astype(_F32)
+        x0 = (bx << log2b).astype(_F32)
+        x1 = jnp.minimum((bx + 1) << log2b, cw).astype(_F32)
+        z0 = (bz << log2b).astype(_F32)
+        z1 = jnp.minimum((bz + 1) << log2b, ch).astype(_F32)
         nt0, nt1 = _slab_xz(rox, roz, inv_dx, inv_dz,
                             ox + x0 * sx, ox + x1 * sx,
                             oz + z0 * sz, oz + z1 * sz)
@@ -222,25 +226,32 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
         round=jnp.asarray(0, _I32),
     )
 
+    import os as _os
+
+    _dbg = _os.environ.get("FORGE3D_MXU_DEBUG_PHASE", "full")
+
     def coarse_step(s):
         live = (~s["done"]) & (~s["pending"])
         t = s["t"]
         _, _, bx, bz = block_of(t)
         nt0, nt1 = block_span(bx, bz, t)
-        # MXU lookup: rows = onehot_z @ cmm -> [min | max] for the whole
-        # block row; one-hot x-select on both halves.
-        ohz = (bz[:, None] == iota_z).astype(_F32)
-        ohx = (bx[:, None] == iota_x).astype(_F32)
-        rows = jax.lax.dot_general(
-            ohz, tables.cmm, (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32)                     # (N, 2cbw)
-        bmin = jnp.sum(rows[:, :cbw] * ohx, axis=1)
-        bmax = jnp.sum(rows[:, cbw:] * ohx, axis=1)
-        ya = roy + nt0 * rdy
-        yb = roy + nt1 * rdy
-        band = ((nt0 <= nt1)
-                & ~(jnp.minimum(ya, yb) > bmax)
-                & ~(jnp.maximum(ya, yb) < bmin))
+        if _dbg == "dda":
+            band = nt0 <= nt1          # debug: skip the matmul band test
+        else:
+            # MXU lookup: rows = onehot_z @ cmm -> [min | max] for the
+            # whole block row; one-hot x-select on both halves.
+            ohz = (bz[:, None] == iota_z).astype(_F32)
+            ohx = (bx[:, None] == iota_x).astype(_F32)
+            rows = jax.lax.dot_general(
+                ohz, tables.cmm, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32)                 # (N, 2cbw)
+            bmin = jnp.sum(rows[:, :cbw] * ohx, axis=1)
+            bmax = jnp.sum(rows[:, cbw:] * ohx, axis=1)
+            ya = roy + nt0 * rdy
+            yb = roy + nt1 * rdy
+            band = ((nt0 <= nt1)
+                    & ~(jnp.minimum(ya, yb) > bmax)
+                    & ~(jnp.maximum(ya, yb) < bmin))
         go_fine = live & band
         advance = live & ~band
         new_t = jnp.where(advance, jnp.maximum(nt1, t + eps_t) + 0.0, t)
@@ -279,8 +290,8 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
         nt0 = jnp.maximum(nt0, jnp.maximum(t, tmin))
         nt1 = jnp.minimum(nt1, t_exit)
         # corners from the ray's own patch row: one-hot multiply-sum
-        lx = cx - s["pbx"] * B
-        lz = cz - s["pbz"] * B
+        lx = cx - (s["pbx"] << log2b)
+        lz = cz - (s["pbz"] << log2b)
         base = lz * P + lx
         oh = (base[:, None] == iota_p)
         patch = s["patch"]
@@ -305,14 +316,25 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
                     cell_x=jnp.where(got, cx, s["cell_x"]),
                     cell_z=jnp.where(got, cz, s["cell_z"]))
 
+    import os
+
+    _phase = os.environ.get("FORGE3D_MXU_DEBUG_PHASE", "full")
+
     def round_body(s):
         s = jax.lax.fori_loop(0, ms.k_coarse, lambda i, ss: coarse_step(ss), s)
-        s = jax.lax.cond(jnp.any(s["pending"]), fetch_patches, lambda ss: ss, s)
-        s = jax.lax.cond(
-            jnp.any(s["pending"] & ~s["done"]),
-            lambda ss: jax.lax.fori_loop(
-                0, ms.f_fine, lambda i, sss: fine_step(sss), ss),
-            lambda ss: ss, s)
+        if _phase in ("patch", "full"):
+            s = jax.lax.cond(jnp.any(s["pending"]), fetch_patches,
+                             lambda ss: ss, s)
+        if _phase == "full":
+            s = jax.lax.cond(
+                jnp.any(s["pending"] & ~s["done"]),
+                lambda ss: jax.lax.fori_loop(
+                    0, ms.f_fine, lambda i, sss: fine_step(sss), ss),
+                lambda ss: ss, s)
+        if _phase != "full":
+            # debug phases: clear pending so the loop can terminate
+            s = dict(s, done=s["done"] | s["pending"],
+                     pending=jnp.zeros_like(s["pending"]))
         return dict(s, round=s["round"] + 1)
 
     def cond(s):

@@ -1,0 +1,166 @@
+# Tests: guiding cache, alignment reports, recipe manifests, widgets,
+# kernel contracts (PROBATUM).
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# guiding
+
+
+def test_octa_roundtrip():
+    from forge3d_tpu.guiding import octa_decode, octa_encode
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(200, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    res = 16
+    bins = octa_encode(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+                       jnp.asarray(d[:, 2]), res)
+    back = np.asarray(octa_decode(bins, res))
+    dots = (back * d).sum(1)
+    assert dots.min() > 0.97          # bin-center within ~14 deg
+
+
+def test_guiding_learns_direction():
+    from forge3d_tpu.guiding import GuidingCache
+
+    cache = GuidingCache.create((0, 0), (100, 100), cells=4, octa_res=8)
+    # record strong radiance toward +y at one cell
+    n = 500
+    px = np.full(n, 10.0)
+    pz = np.full(n, 10.0)
+    cache = cache.record(px, pz, np.zeros(n), np.ones(n), np.zeros(n),
+                         np.full(n, 5.0))
+    u1 = np.linspace(0.01, 0.99, 64)
+    u2 = np.full(64, 0.5)
+    dx, dy, dz, pdf = cache.sample(np.full(64, 10.0), np.full(64, 10.0),
+                                   u1, u2)
+    # most samples point up
+    assert float(np.mean(np.asarray(dy) > 0.5)) > 0.8
+    assert np.asarray(pdf).min() > 0
+    st = cache.stats()
+    assert st["total_energy"] > 2000
+
+
+# ---------------------------------------------------------------------------
+# alignment
+
+
+def test_alignment_report():
+    from forge3d_tpu.alignment import LayerGrid, alignment_report
+
+    ref = LayerGrid("dem", "EPSG:32610", (10.0, 0, 500000, 0, -10.0, 5200000),
+                    (100, 100))
+    good = LayerGrid("mask", "EPSG:32610",
+                     (10.0, 0, 500100, 0, -10.0, 5199900), (80, 80))
+    rep = alignment_report([ref, good])
+    assert rep["ok"], rep
+    bad_crs = LayerGrid("roads", "EPSG:4326",
+                        (10.0, 0, 500000, 0, -10.0, 5200000), (100, 100))
+    rep2 = alignment_report([ref, bad_crs])
+    assert not rep2["ok"]
+    assert rep2["issues"][0]["kind"] == "crs_mismatch"
+    phase = LayerGrid("ortho", "EPSG:32610",
+                      (10.0, 0, 500003.7, 0, -10.0, 5200000), (100, 100))
+    rep3 = alignment_report([ref, phase])
+    kinds = [i["kind"] for i in rep3["issues"]]
+    assert "grid_phase" in kinds
+    far = LayerGrid("other", "EPSG:32610",
+                    (10.0, 0, 900000, 0, -10.0, 5200000), (100, 100))
+    rep4 = alignment_report([ref, far])
+    assert not rep4["ok"]
+
+
+# ---------------------------------------------------------------------------
+# recipe manifest
+
+
+def test_manifest_roundtrip(tmp_path):
+    from forge3d_tpu.recipe_manifest import (build_manifest, load_manifest,
+                                             save_manifest, verify_manifest)
+
+    recipe = {"terrain": np.arange(16, dtype=np.float32).reshape(4, 4),
+              "camera": {"radius": 120.0, "phi": 225},
+              "layers": [{"kind": "vector", "name": "rivers"}]}
+    m = build_manifest(recipe, outputs={"png": "out.png"})
+    assert verify_manifest(m)
+    assert m["recipe"]["terrain"]["__ndarray__"]
+    p = tmp_path / "manifest.json"
+    save_manifest(p, m)
+    m2 = load_manifest(p)
+    assert verify_manifest(m2)
+    # identical recipes -> identical digests (golden bookkeeping contract)
+    m3 = build_manifest({"terrain": np.arange(16, dtype=np.float32).reshape(4, 4),
+                         "camera": {"radius": 120.0, "phi": 225},
+                         "layers": [{"kind": "vector", "name": "rivers"}]})
+    assert m3["recipe"] == m["recipe"]
+    m2["recipe"]["camera"]["radius"] = 130.0
+    assert not verify_manifest(m2)
+
+
+# ---------------------------------------------------------------------------
+# widgets (headless path)
+
+
+def test_terrain_widget_headless(tmp_path):
+    from forge3d_tpu.widgets import TerrainWidget, png_data_uri
+
+    calls = []
+
+    def render_fn(az, el, phi, theta):
+        calls.append((az, el, phi, theta))
+        img = np.zeros((16, 16, 4), np.uint8)
+        img[..., 0] = int(az) % 255
+        img[..., 3] = 255
+        return img
+
+    w = TerrainWidget(render_fn)
+    frame = w.render(azimuth=90)
+    assert frame[0, 0, 0] == 90
+    w.snapshot(tmp_path / "w.png")
+    assert (tmp_path / "w.png").exists()
+    uri = png_data_uri(frame)
+    assert uri.startswith("data:image/png;base64,")
+
+
+# ---------------------------------------------------------------------------
+# kernel contracts
+
+
+def test_kernel_contracts():
+    from forge3d_tpu.verify import (KernelContractError, ValueContract,
+                                    check_kernel, register_kernel,
+                                    shader_report, validate_output)
+
+    register_kernel("unit_test_kernel",
+                    ValueContract("out", 0.0, 1.0))
+    validate_output("unit_test_kernel", "out", np.array([0.0, 0.5, 1.0]))
+    with pytest.raises(KernelContractError):
+        validate_output("unit_test_kernel", "out", np.array([2.0]))
+    with pytest.raises(KernelContractError):
+        validate_output("unit_test_kernel", "out", np.array([np.nan]))
+    with pytest.raises(KernelContractError):
+        validate_output("nope", "out", np.array([0.0]))
+
+    out = check_kernel("unit_test_kernel", lambda: np.array([0.25]))
+    assert out[0] == 0.25
+
+    rep = shader_report()
+    assert "unit_test_kernel" in rep["kernels"]
+    assert rep["kernels"]["unit_test_kernel"]["checks_run"] >= 2
+    # built-in ledger entries exist
+    assert "terrain_reference" in rep["kernels"]
+
+
+def test_shader_report_fails_closed_on_unproven():
+    from forge3d_tpu.verify import (ValueContract, register_kernel,
+                                    shader_report)
+
+    register_kernel("never_run_kernel", ValueContract("out", 0, 1))
+    rep = shader_report()
+    assert rep["ok"] is False          # unproven kernel present
+    assert not rep["kernels"]["never_run_kernel"]["proven"]
