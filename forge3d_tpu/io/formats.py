@@ -1,0 +1,282 @@
+# forge3d_tpu/io/formats.py
+# HDR image formats: OpenEXR (uncompressed FLOAT scanlines), Radiance HDR
+# (RGBE), KTX2 container read.
+#
+# Parity notes (reference behavior, not code): /root/reference/src/formats/
+# + src/util/exr_write.rs + src/loaders/ (KTX2) expose EXR read/write for
+# HDR AOVs, Radiance .hdr, and KTX2 texture loading; Python seam
+# `numpy_to_exr`. Implemented from the public format specs; EXR is written
+# uncompressed (compression=NO_COMPRESSION) single-part scanline, FLOAT or
+# HALF, which every EXR reader accepts.
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..errors import RenderError
+
+__all__ = ["numpy_to_exr", "exr_to_numpy", "write_hdr", "read_hdr",
+           "read_ktx2", "FormatError"]
+
+
+class FormatError(RenderError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# OpenEXR (single-part scanline, uncompressed)
+
+_EXR_MAGIC = 0x01312F76
+_PIX_FLOAT = 2
+_PIX_HALF = 1
+
+
+def _exr_attr(name: str, atype: str, data: bytes) -> bytes:
+    return (name.encode() + b"\0" + atype.encode() + b"\0"
+            + struct.pack("<I", len(data)) + data)
+
+
+def numpy_to_exr(path, array: np.ndarray, *, half: bool = False,
+                 channel_names: Optional[Tuple[str, ...]] = None) -> None:
+    """Write (H, W) or (H, W, C<=4) float data as an EXR
+    (reference seam: numpy_to_exr)."""
+    a = np.asarray(array)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] > 4:
+        raise FormatError("expected (H, W) or (H, W, C<=4)")
+    H, W, C = a.shape
+    names = list(channel_names or (["Y"] if C == 1
+                                   else ["R", "G", "B", "A"][:C]))
+    if len(names) != C:
+        raise FormatError("channel_names length mismatch")
+    dtype = np.float16 if half else np.float32
+    ptype = _PIX_HALF if half else _PIX_FLOAT
+    data = a.astype(dtype)
+
+    # channels appear alphabetically in EXR
+    order = sorted(range(C), key=lambda i: names[i])
+    chan_list = b""
+    for i in order:
+        chan_list += (names[i].encode() + b"\0"
+                      + struct.pack("<iBBBBii", ptype, 0, 0, 0, 0, 1, 1))
+    chan_list += b"\0"
+
+    header = b""
+    header += _exr_attr("channels", "chlist", chan_list)
+    header += _exr_attr("compression", "compression", b"\x00")  # none
+    box = struct.pack("<4i", 0, 0, W - 1, H - 1)
+    header += _exr_attr("dataWindow", "box2i", box)
+    header += _exr_attr("displayWindow", "box2i", box)
+    header += _exr_attr("lineOrder", "lineOrder", b"\x00")
+    header += _exr_attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += _exr_attr("screenWindowCenter", "v2f",
+                        struct.pack("<2f", 0, 0))
+    header += _exr_attr("screenWindowWidth", "float",
+                        struct.pack("<f", 1.0))
+    header += b"\0"
+
+    psize = np.dtype(dtype).itemsize
+    scan_bytes = W * C * psize
+    offset_table_pos = 8 + len(header)
+    data_start = offset_table_pos + 8 * H
+    offsets = [data_start + y * (8 + scan_bytes) for y in range(H)]
+
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<I", _EXR_MAGIC))
+        fh.write(struct.pack("<I", 2))          # version 2, no flags
+        fh.write(header)
+        for off in offsets:
+            fh.write(struct.pack("<Q", off))
+        for y in range(H):
+            fh.write(struct.pack("<iI", y, scan_bytes))
+            for i in order:                      # channels alphabetical
+                fh.write(np.ascontiguousarray(
+                    data[y, :, i]).astype(dtype).tobytes())
+
+
+def exr_to_numpy(path) -> Tuple[np.ndarray, Tuple[str, ...]]:
+    """Read a single-part uncompressed scanline EXR written by
+    numpy_to_exr (or any writer using NO_COMPRESSION FLOAT/HALF)."""
+    raw = Path(path).read_bytes()
+    if struct.unpack_from("<I", raw, 0)[0] != _EXR_MAGIC:
+        raise FormatError("not an EXR file")
+    pos = 8
+    channels = []
+    compression = 0
+    dw = None
+    while True:
+        end = raw.index(b"\0", pos)
+        name = raw[pos:end].decode()
+        pos = end + 1
+        if name == "":
+            break
+        end = raw.index(b"\0", pos)
+        atype = raw[pos:end].decode()
+        pos = end + 1
+        (alen,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        aval = raw[pos:pos + alen]
+        pos += alen
+        if name == "channels":
+            cpos = 0
+            while aval[cpos] != 0:
+                cend = aval.index(b"\0", cpos)
+                cname = aval[cpos:cend].decode()
+                cpos = cend + 1
+                ptype = struct.unpack_from("<i", aval, cpos)[0]
+                cpos += 16
+                channels.append((cname, ptype))
+        elif name == "compression":
+            compression = aval[0]
+        elif name == "dataWindow":
+            dw = struct.unpack("<4i", aval)
+    if compression != 0:
+        raise FormatError("only uncompressed EXR supported")
+    if dw is None or not channels:
+        raise FormatError("EXR missing dataWindow/channels")
+    W = dw[2] - dw[0] + 1
+    H = dw[3] - dw[1] + 1
+    # offset table
+    offsets = struct.unpack_from(f"<{H}Q", raw, pos)
+    out = np.empty((H, len(channels), W), np.float32)
+    for yi, off in enumerate(offsets):
+        y, nbytes = struct.unpack_from("<iI", raw, off)
+        p = off + 8
+        for ci, (cname, ptype) in enumerate(channels):
+            dt = np.float16 if ptype == _PIX_HALF else np.float32
+            n = W * np.dtype(dt).itemsize
+            out[y - dw[1], ci] = np.frombuffer(
+                raw[p:p + n], dt).astype(np.float32)
+            p += n
+    names = tuple(c[0] for c in channels)
+    img = np.transpose(out, (0, 2, 1))
+    # reorder alphabetical -> RGBA when applicable
+    want = [n for n in ("R", "G", "B", "A", "Y") if n in names]
+    if len(want) == len(names):
+        idx = [names.index(n) for n in want]
+        img = img[..., idx]
+        names = tuple(want)
+    return (img[..., 0] if img.shape[2] == 1 else img), names
+
+
+# ---------------------------------------------------------------------------
+# Radiance HDR (RGBE, RLE scanlines)
+
+
+def write_hdr(path, rgb: np.ndarray) -> None:
+    """Write (H, W, 3) float RGB as Radiance .hdr (flat scanlines)."""
+    a = np.asarray(rgb, np.float64)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise FormatError("expected (H, W, 3)")
+    H, W, _ = a.shape
+    maxc = a.max(-1)
+    with np.errstate(divide="ignore"):
+        e = np.where(maxc > 1e-32, np.floor(np.log2(maxc)) + 1, 0)
+    scale = np.where(maxc > 1e-32, 2.0 ** (8 - e) , 0.0)
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    rgbe[..., :3] = np.clip(a * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc > 1e-32, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        fh.write(f"-Y {H} +X {W}\n".encode())
+        fh.write(rgbe.tobytes())
+
+
+def read_hdr(path) -> np.ndarray:
+    raw = Path(path).read_bytes()
+    if not raw.startswith(b"#?"):
+        raise FormatError("not a Radiance HDR file")
+    pos = raw.index(b"\n\n") + 2
+    dim_end = raw.index(b"\n", pos)
+    dims = raw[pos:dim_end].decode().split()
+    if dims[0] != "-Y" or dims[2] != "+X":
+        raise FormatError(f"unsupported HDR orientation {dims}")
+    H, W = int(dims[1]), int(dims[3])
+    pos = dim_end + 1
+    rgbe = np.empty((H, W, 4), np.uint8)
+    for y in range(H):
+        # adaptive RLE scanline?
+        if (pos + 4 <= len(raw) and raw[pos] == 2 and raw[pos + 1] == 2
+                and (raw[pos + 2] << 8 | raw[pos + 3]) == W):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < W:
+                    count = raw[pos]
+                    pos += 1
+                    if count > 128:       # run
+                        rgbe[y, x:x + count - 128, c] = raw[pos]
+                        pos += 1
+                        x += count - 128
+                    else:                 # literal
+                        rgbe[y, x:x + count, c] = np.frombuffer(
+                            raw[pos:pos + count], np.uint8)
+                        pos += count
+                        x += count
+        else:
+            row = np.frombuffer(raw[pos:pos + W * 4], np.uint8).reshape(W, 4)
+            rgbe[y] = row
+            pos += W * 4
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, 2.0 ** (e - 128 - 8), 0.0)
+    return (rgbe[..., :3].astype(np.float64) * scale[..., None]
+            ).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# KTX2 (read header + level data; no supercompression)
+
+_KTX2_ID = bytes([0xAB, 0x4B, 0x54, 0x58, 0x20, 0x32, 0x30, 0xBB,
+                  0x0D, 0x0A, 0x1A, 0x0A])
+
+_VK_FORMATS = {
+    37: ("R8G8B8A8_UNORM", 4, np.uint8),
+    43: ("R8G8B8A8_SRGB", 4, np.uint8),
+    23: ("R8G8B8_UNORM", 3, np.uint8),
+    109: ("R32G32B32A32_SFLOAT", 16, np.float32),
+    100: ("R32_SFLOAT", 4, np.float32),
+    16: ("R8G8_UNORM", 2, np.uint8),
+    9: ("R8_UNORM", 1, np.uint8),
+}
+
+
+def read_ktx2(path) -> dict:
+    """Parse a KTX2 container: header, per-level data (zstd unsupported ->
+    FormatError, fail-closed), decoded numpy for known uncompressed
+    formats."""
+    raw = Path(path).read_bytes()
+    if raw[:12] != _KTX2_ID:
+        raise FormatError("not a KTX2 file")
+    (vk_format, type_size, w, h, depth, layers, faces, levels,
+     scheme) = struct.unpack_from("<9I", raw, 12)
+    if scheme != 0:
+        raise FormatError(f"supercompression scheme {scheme} unsupported")
+    # level index starts at byte 80
+    level_index = []
+    for i in range(max(levels, 1)):
+        off, length, ulength = struct.unpack_from("<3Q", raw, 80 + i * 24)
+        level_index.append((off, length, ulength))
+    out = {"vk_format": vk_format, "width": w, "height": h,
+           "levels": max(levels, 1), "faces": max(faces, 1),
+           "layers": max(layers, 1), "level_data": [], "images": []}
+    fmt = _VK_FORMATS.get(vk_format)
+    for li, (off, length, _) in enumerate(level_index):
+        data = raw[off:off + length]
+        out["level_data"].append(data)
+        if fmt is not None:
+            name, bpp, dt = fmt
+            lw = max(w >> li, 1)
+            lh = max(h >> li, 1)
+            ch = bpp // np.dtype(dt).itemsize
+            expect = lw * lh * bpp
+            if len(data) >= expect:
+                arr = np.frombuffer(data[:expect], dt)
+                out["images"].append(
+                    arr.reshape(lh, lw, ch) if ch > 1 else arr.reshape(lh, lw))
+    return out
