@@ -164,3 +164,37 @@ def test_shader_report_fails_closed_on_unproven():
     rep = shader_report()
     assert rep["ok"] is False          # unproven kernel present
     assert not rep["kernels"]["never_run_kernel"]["proven"]
+
+
+# ---------------------------------------------------------------------------
+# sky (Preetham analytic daylight)
+
+
+def test_sky_model():
+    from forge3d_tpu.sky import make_sky, sky_environment_map, sky_radiance
+
+    sky = make_sky(135, 35, turbidity=3.0)
+    r, g, b = sky_radiance(sky, jnp.float32(0.0), jnp.float32(1.0),
+                           jnp.float32(0.0))
+    # clear-sky zenith is blue
+    assert float(b) > float(r)
+    rs, gs, bs = sky_radiance(sky, sky.sun_dir[0], sky.sun_dir[1],
+                              sky.sun_dir[2])
+    # circumsolar brighter than zenith
+    assert float(rs) + float(gs) + float(bs) > float(r) + float(g) + float(b)
+    env = sky_environment_map(sky, 64, 32)
+    assert env.shape == (32, 64, 3)
+    assert np.isfinite(env).all() and env.min() >= 0
+
+
+def test_sun_position_ephemeris():
+    from forge3d_tpu.astro import julian_date
+    from forge3d_tpu.sky import sun_position_at
+
+    # Seattle, June solstice, ~solar noon (20:00 UT): el ~ 90-47.6+23.4
+    az, alt = sun_position_at(julian_date(2026, 6, 21, 20), 47.6, -122.3)
+    assert alt == pytest.approx(65.8, abs=1.0)
+    assert 150 < az < 210
+    # midnight: below horizon
+    _, alt2 = sun_position_at(julian_date(2026, 6, 21, 9), 47.6, -122.3)
+    assert alt2 < 0
