@@ -198,3 +198,39 @@ def test_sun_position_ephemeris():
     # midnight: below horizon
     _, alt2 = sun_position_at(julian_date(2026, 6, 21, 9), 47.6, -122.3)
     assert alt2 < 0
+
+
+# ---------------------------------------------------------------------------
+# thematic mapping
+
+
+def test_classify_schemes():
+    from forge3d_tpu.thematic import classify_values
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(100, 20, 500)
+    for scheme in ("equal_interval", "quantile", "natural_breaks",
+                   "std_mean"):
+        idx, breaks = classify_values(v, scheme=scheme, k=5)
+        assert len(breaks) == 4
+        assert idx.min() >= 0 and idx.max() <= 4
+        assert sorted(breaks) == breaks
+    # quantile bins are balanced
+    idx, _ = classify_values(v, scheme="quantile", k=5)
+    counts = np.bincount(idx, minlength=5)
+    assert counts.min() > 60
+    with pytest.raises(ValueError):
+        classify_values(v, scheme="vibes")
+
+
+def test_apply_thematic():
+    from forge3d_tpu.thematic import ThematicStyle, apply_thematic
+
+    feats = [{"type": "Feature", "properties": {"pop": p},
+              "geometry": None} for p in [10, 20, 30, 40, 50, None]]
+    out = apply_thematic(feats, ThematicStyle(attribute="pop", k=3,
+                                              scheme="equal_interval"))
+    classes = [f["properties"]["__class"] for f in out["features"]]
+    assert classes[0] == 0 and classes[4] == 2 and classes[5] == -1
+    assert len(out["legend"]) == 3
+    assert out["features"][5]["properties"]["__fill"] == (128, 128, 128, 255)
