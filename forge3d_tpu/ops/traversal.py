@@ -49,14 +49,16 @@ class TerrainScene(NamedTuple):
     :class:`TerrainSceneStatic` so jitted traversal specializes on it.
 
     Gather-packing: the traversal loop is gather-bound on TPU, so paired
-    values ride single complex64 gathers — `mm_pack` packs (min, max) per
-    pyramid texel and `h_pair` packs (h[i], h[i+1]) per DEM texel, halving
-    the per-step gather count vs separate float tables.
+    values ride single row gathers — `mm_pack` packs (min, max) per
+    pyramid texel and `h_pair` packs (h[i], h[i+1]) per DEM texel as
+    (n, 2) f32 tables, halving the per-step gather count vs separate
+    float tables. (complex64 packing is NOT used: the axon TPU backend
+    does not implement complex.)
     """
 
     heights_flat: jax.Array    # (h*w,) f32, exaggeration NOT applied
-    h_pair: jax.Array          # (h*w,) c64: (h[i], h[i+1 in row])
-    mm_pack: jax.Array         # (total,) c64: (min, max)
+    h_pair: jax.Array          # (h*w, 2) f32: (h[i], h[i+1 in row])
+    mm_pack: jax.Array         # (total, 2) f32: (min, max)
     level_offset: jax.Array    # (mips,) i32
     level_w: jax.Array         # (mips,) i32
     origin_xz: jax.Array       # (2,) f32
@@ -90,10 +92,9 @@ def scene_from_pyramid(
     h_next = np.concatenate([hf[1:], hf[-1:]])
     scene = TerrainScene(
         heights_flat=jnp.asarray(hf, _F32),
-        h_pair=jnp.asarray(hf.astype(np.complex64)
-                           + 1j * h_next.astype(np.complex64)),
-        mm_pack=jnp.asarray(pyr.mm_min.astype(np.complex64)
-                            + 1j * pyr.mm_max.astype(np.complex64)),
+        h_pair=jnp.asarray(np.stack([hf, h_next], axis=1), _F32),
+        mm_pack=jnp.asarray(np.stack([pyr.mm_min, pyr.mm_max], axis=1),
+                            _F32),
         level_offset=jnp.asarray(pyr.level_offset, _I32),
         level_w=jnp.asarray(pyr.level_w, _I32),
         origin_xz=jnp.asarray(origin_xz, _F32),
@@ -138,15 +139,15 @@ def _bilinear_h(h00, h10, h01, h11, u, v):
 def _cell_heights(scene: TerrainScene, static: TerrainSceneStatic, cx, cz):
     """Exaggerated corner heights (h00, h10, h01, h11) of DEM cell (cx, cz).
 
-    Two complex64 gathers fetch all four corners: h_pair[i] packs the
+    Two row gathers fetch all four corners: h_pair[i] packs the
     row-adjacent pair (h[i], h[i+1])."""
     w = static.dem_w
     base = cz * w + cx
     ex = scene.exaggeration
-    p0 = jnp.take(scene.h_pair, base)
-    p1 = jnp.take(scene.h_pair, base + w)
-    return (jnp.real(p0) * ex, jnp.imag(p0) * ex,
-            jnp.real(p1) * ex, jnp.imag(p1) * ex)
+    p0 = jnp.take(scene.h_pair, base, axis=0)
+    p1 = jnp.take(scene.h_pair, base + w, axis=0)
+    return (p0[..., 0] * ex, p0[..., 1] * ex,
+            p1[..., 0] * ex, p1[..., 1] * ex)
 
 
 def _leaf_intersect(scene, static, ro, rd, cx, cz, t0, t1, tmin, tmax):
@@ -300,9 +301,9 @@ def trace(
         lvl_off = jnp.take(scene.level_offset, level)
         lvl_w = jnp.take(scene.level_w, level)
         flat = lvl_off + nz * lvl_w + nx
-        mm = jnp.take(scene.mm_pack, flat)
-        bmin = jnp.real(mm) * scene.exaggeration
-        bmax = jnp.imag(mm) * scene.exaggeration
+        mm = jnp.take(scene.mm_pack, flat, axis=0)
+        bmin = mm[..., 0] * scene.exaggeration
+        bmax = mm[..., 1] * scene.exaggeration
         ya = roy + nt0 * rdy
         yb = roy + nt1 * rdy
         band = (
@@ -313,7 +314,7 @@ def trace(
 
         is_leaf = level == 0
         # Skip the leaf gathers entirely on iterations where no live lane is
-        # at a banded leaf (a scalar cond, cheap vs two c64 gathers).
+        # at a banded leaf (a scalar cond, cheap vs two row gathers).
         any_leaf = jnp.any((~s["done"]) & band & is_leaf)
         leaf_ok, leaf_t = jax.lax.cond(
             any_leaf,
