@@ -51,13 +51,19 @@ def main():
         height=H,
         spp=SPP,
         exaggeration=1.0,
+        traversal="mxu",
     )
     pyr = build_pyramid(dem)
     scene, static = scene_from_pyramid(pyr, spacing_xz=desc.spacing,
                                        exaggeration=desc.exaggeration)
     scene = jax.device_put(scene)
+    from forge3d_tpu.ops.traversal_mxu import build_mxu_tables
+
+    tables, mxu_static = build_mxu_tables(dem, exaggeration=desc.exaggeration)
+    scene_arg = (scene, jax.device_put(tables))
     env = EnvMap(rgb=None, intensity=jnp.float32(desc.env_intensity))
-    step = jax.jit(_make_frame_step(desc, static), donate_argnums=(2, 3))
+    step = jax.jit(_make_frame_step(desc, static, mxu_static),
+                   donate_argnums=(2, 3))
 
     accum = jnp.zeros((H, W, 4), jnp.float32)
     welford = jnp.zeros((H, W, 2), jnp.float32)
@@ -69,15 +75,15 @@ def main():
         return float(jnp.sum(a[..., 3]))
 
     # warmup/compile
-    accum, welford, curr, _ = step(scene, env, accum, welford, res_prev,
+    accum, welford, curr, _ = step(scene_arg, env, accum, welford, res_prev,
                                    jnp.uint32(0))
     sync(accum)
 
     iters = 2
     t0 = time.perf_counter()
     for f in range(1, 1 + iters):
-        accum, welford, curr, _ = step(scene, env, accum, welford, res_prev,
-                                       jnp.uint32(f))
+        accum, welford, curr, _ = step(scene_arg, env, accum, welford,
+                                       res_prev, jnp.uint32(f))
     sync(accum)
     dt = (time.perf_counter() - t0) / iters
 

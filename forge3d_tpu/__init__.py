@@ -242,4 +242,23 @@ def __getattr__(name):
         from .pt import hybrid as _hyb
 
         return getattr(_hyb, name)
+    if name in ("numpy_to_exr", "exr_to_numpy", "write_hdr", "read_hdr",
+                "read_ktx2"):
+        from .io import formats as _formats
+
+        return getattr(_formats, name)
+    if name in ("shader_report",):
+        from . import verify as _verify
+
+        return _verify.shader_report
+    if name in ("terrain_culling_stats", "terrain_visibility_stats",
+                "terrain_vt_stats", "terrain_seam_stats"):
+        from .terrain import stats as _stats
+
+        return getattr(_stats, name)
+    if name in ("sky", "thematic", "widgets", "guiding", "alignment",
+                "recipe_manifest", "verify"):
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")

@@ -83,6 +83,10 @@ class TerrainRefDesc:
     min_frames: int = 32
     variance_threshold: float = 1e-3
     shadows_enabled: bool = True
+    #: "dda" = stackless maxmip DDA (ops/traversal); "mxu" = matmul-gather
+    #: traversal (ops/traversal_mxu) — ~2x faster on TPU for primary-style
+    #: ray batches, numerically equivalent to ~1e-4.
+    traversal: str = "dda"
 
 
 def _validate(desc: TerrainRefDesc) -> None:
@@ -140,6 +144,7 @@ def _camera_rays(desc: TerrainRefDesc, jx, jy):
 def _make_frame_step(
     desc: TerrainRefDesc,
     static: TerrainSceneStatic,
+    mxu_static=None,
 ):
     """Build the per-frame device program. The scene tables and env map are
     RUNTIME ARGUMENTS of the returned function, not closure constants —
@@ -161,6 +166,22 @@ def _make_frame_step(
     oy = jnp.full((H, W), desc.cam_origin[1], _F32)
     oz = jnp.full((H, W), desc.cam_origin[2], _F32)
 
+    if mxu_static is not None:
+        from ..ops.traversal_mxu import trace_mxu
+
+        def _tr(scene_pair, ro, rd):
+            base, tabs = scene_pair
+            return trace_mxu(base, static, tabs, mxu_static, ro, rd)
+
+        def _base(scene_pair):
+            return scene_pair[0]
+    else:
+        def _tr(scene_pair, ro, rd):
+            return trace(scene_pair, static, ro, rd)
+
+        def _base(scene_pair):
+            return scene_pair
+
     def sample_radiance(scene, env, st, prev_dir, prev_w, prev_ok):
         """One jittered camera sample; returns (st, rgb, cand_pdf)."""
         st, u1 = xorshift32(st)
@@ -168,12 +189,13 @@ def _make_frame_step(
         jx = tent_offset(u1) * 0.5
         jy = tent_offset(u2) * 0.5
         dx, dy, dz = _camera_rays(desc, jx, jy)
-        hit = trace(scene, static, (ox, oy, oz), (dx, dy, dz))
+        hit = _tr(scene, (ox, oy, oz), (dx, dy, dz))
         t = hit.t
         hx = ox + t * dx
         hy = oy + t * dy
         hz = oz + t * dz
-        nx, ny, nz = normal_at(scene, static, (hx, hy, hz), hit.cell_x, hit.cell_z)
+        nx, ny, nz = normal_at(_base(scene), static, (hx, hy, hz),
+                               hit.cell_x, hit.cell_z)
 
         # miss -> environment radiance along the primary ray
         mr, mg, mb = env_radiance(env, dx, dy, dz)
@@ -193,7 +215,7 @@ def _make_frame_step(
         nd = jnp.maximum(nx * sdx + ny * sdy + nz * sdz, 0.0)
         if shadows:
             sro = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
-            occ = trace(scene, static, sro, (sdx, sdy, sdz)).hit
+            occ = _tr(scene, sro, (sdx, sdy, sdz)).hit
             vis = jnp.where(occ, 0.0, 1.0)
         else:
             vis = jnp.ones_like(nd)
@@ -209,7 +231,7 @@ def _make_frame_step(
         st = jnp.where(hit.hit, st2, st)
         ex, ey, ez = cosine_dir(nx, ny, nz, u3, u4)
         ero = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
-        eocc = trace(scene, static, ero, (ex, ey, ez)).hit
+        eocc = _tr(scene, ero, (ex, ey, ez)).hit
         er, eg, eb = env_radiance(env, ex, ey, ez)
         evis = jnp.where(eocc, 0.0, 1.0)
         ibl_r = albedo[0] * er * evis
@@ -370,6 +392,18 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
         pyr, origin_xz=(0.0, 0.0), spacing_xz=desc.spacing,
         exaggeration=desc.exaggeration,
     )
+    mxu_static = None
+    scene_arg = scene
+    if desc.traversal == "mxu":
+        from ..ops.traversal_mxu import build_mxu_tables
+
+        # spacing/origin live in the scene; tables bake exaggeration only
+        tables, mxu_static = build_mxu_tables(
+            np.asarray(desc.heights, np.float32),
+            exaggeration=desc.exaggeration)
+        scene_arg = (scene, tables)
+    elif desc.traversal != "dda":
+        raise ValueError(f"unknown traversal {desc.traversal!r}")
 
     env = EnvMap(
         rgb=None if desc.env_map is None else jnp.asarray(desc.env_map, _F32),
@@ -393,7 +427,7 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
 
     try:
         frame_step = jax.jit(
-            _make_frame_step(desc, static), donate_argnums=(2, 3)
+            _make_frame_step(desc, static, mxu_static), donate_argnums=(2, 3)
         )
         reuse_step = jax.jit(_make_reuse_step(desc), donate_argnums=(0,))
         gbuf_fn = jax.jit(
@@ -412,7 +446,7 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
         converged = False
         while frames < desc.max_frames:
             accum, welford, curr, res_prev_c = frame_step(
-                scene, env, accum, welford, res_prev, jnp.uint32(frames)
+                scene_arg, env, accum, welford, res_prev, jnp.uint32(frames)
             )
             res_prev = reuse_step(res_prev_c, curr, gb_n, jnp.uint32(frames))
             frames += 1
@@ -512,6 +546,7 @@ def hybrid_render_terrain_reference(
     certificate=None,
     sun_color=None,
     cache=None,
+    traversal: str = "dda",
 ) -> dict:
     """Public entry; same signature/defaults as the reference pyfunction
     (terrain_reference.rs:57-105). `mesh_*` lands with the BVH subsystem;
@@ -554,6 +589,7 @@ def hybrid_render_terrain_reference(
         max_frames=int(max_frames),
         min_frames=int(min_frames),
         variance_threshold=float(variance_threshold),
+        traversal=str(traversal),
     )
     out = render_terrain_reference(desc)
     if certificate is not None:

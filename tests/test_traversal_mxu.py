@@ -144,3 +144,25 @@ def test_block_size_selection():
     assert ms2.block == 1 and ms2.cbw == 64
     _, ms3 = build_mxu_tables(np.zeros((1025, 257), np.float32))
     assert ms3.block == 16
+
+
+def test_terrain_reference_mxu_matches_dda():
+    """The flagship renderer produces near-identical frames through either
+    traversal backend."""
+    import forge3d_tpu as f3d
+
+    n = 33
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32)
+    dem = 3.0 * np.sin(x * 0.3) * np.cos(y * 0.25)
+    kw = dict(spp=2, min_frames=2, max_frames=6, variance_threshold=1e9,
+              seed=5)
+    cam = {"origin": (16, 14, 48), "look_at": (16, 0, 16)}
+    a = f3d.hybrid_render_terrain_reference(dem, 64, 48, cam,
+                                            traversal="dda", **kw)
+    b = f3d.hybrid_render_terrain_reference(dem, 64, 48, cam,
+                                            traversal="mxu", **kw)
+    diff = np.abs(a["rgba"].astype(int) - b["rgba"].astype(int))
+    assert diff.max() <= 2, diff.max()      # u8 quantization slack
+    with pytest.raises(ValueError):
+        f3d.hybrid_render_terrain_reference(dem, 8, 8, cam, max_frames=1,
+                                            traversal="warp")
