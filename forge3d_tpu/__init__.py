@@ -261,4 +261,20 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module("." + name, __name__)
+    if name in ("configure_csm", "set_csm_enabled", "set_csm_light_direction",
+                "set_csm_pcf_kernel", "set_csm_bias_params",
+                "set_csm_debug_mode", "get_csm_cascade_info",
+                "validate_csm_peter_panning"):
+        from . import shadows as _shadows
+
+        return getattr(_shadows, name)
+    if name in ("render_brdf_tile", "render_brdf_tile_overrides",
+                "render_debug_pattern_frame"):
+        from . import brdf as _brdf
+
+        return getattr(_brdf, name)
+    if name in ("shadows", "brdf"):
+        import importlib
+
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")

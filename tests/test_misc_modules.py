@@ -234,3 +234,66 @@ def test_apply_thematic():
     assert classes[0] == 0 and classes[4] == 2 and classes[5] == -1
     assert len(out["legend"]) == 3
     assert out["features"][5]["properties"]["__fill"] == (128, 128, 128, 255)
+
+
+# ---------------------------------------------------------------------------
+# CSM-equivalent shadow state + BRDF harness
+
+
+def test_csm_state_and_cascades():
+    from forge3d_tpu.shadows import (cascade_splits, configure_csm,
+                                     get_csm_cascade_info,
+                                     set_csm_bias_params, set_csm_enabled,
+                                     set_csm_light_direction,
+                                     set_csm_pcf_kernel)
+
+    configure_csm(cascade_count=4, near=0.5, far=500.0)
+    set_csm_light_direction(-1.0, -2.0, -0.5)
+    set_csm_pcf_kernel(5)
+    set_csm_bias_params(1e-3, 2e-3)
+    info = get_csm_cascade_info()
+    assert info["count"] == 4 and len(info["splits"]) == 4
+    # splits monotone, last == far
+    assert info["splits"] == sorted(info["splits"])
+    assert info["splits"][-1] == pytest.approx(500.0, rel=1e-6)
+    assert np.isclose(np.linalg.norm(info["light_direction"]), 1.0)
+    with pytest.raises(ValueError):
+        set_csm_pcf_kernel(4)
+    with pytest.raises(ValueError):
+        cascade_splits(10, 1, 4)
+    set_csm_enabled(True)
+
+
+def test_csm_peter_panning_probe():
+    from forge3d_tpu.shadows import (set_csm_bias_params,
+                                     validate_csm_peter_panning)
+
+    y, x = np.mgrid[0:33, 0:33].astype(np.float32)
+    dem = 5.0 * np.sin(x * 0.3) * np.cos(y * 0.3)
+    set_csm_bias_params(1e-3, 2e-3)
+    rep = validate_csm_peter_panning(dem, samples=64)
+    assert 0.0 <= rep["occluded_fraction"] <= 1.0
+    assert not rep["peter_panning_detected"] or \
+        rep["occluded_fraction"] < 0.01
+
+
+def test_brdf_tile_and_debug_pattern():
+    from forge3d_tpu.brdf import (render_brdf_tile,
+                                  render_brdf_tile_overrides,
+                                  render_debug_pattern_frame)
+
+    tile = render_brdf_tile(tile_px=32, rows=2, cols=3)
+    assert tile.shape == (64, 96, 4)
+    # roughness sweep changes pixels across columns
+    assert not np.array_equal(tile[:32, :32], tile[:32, 64:96])
+    t2 = render_brdf_tile_overrides({"rows": 2, "cols": 3, "tile_px": 32})
+    np.testing.assert_array_equal(tile, t2)
+    with pytest.raises(ValueError):
+        render_brdf_tile_overrides({"volume": 11})
+
+    pat = render_debug_pattern_frame(64, 48)
+    assert pat.shape == (48, 64, 4)
+    np.testing.assert_array_equal(pat,
+                                  render_debug_pattern_frame(64, 48))
+    with pytest.raises(ValueError):
+        render_debug_pattern_frame(8, 8, kind="noise")
