@@ -297,3 +297,35 @@ def test_brdf_tile_and_debug_pattern():
                                   render_debug_pattern_frame(64, 48))
     with pytest.raises(ValueError):
         render_debug_pattern_frame(8, 8, kind="noise")
+
+
+# ---------------------------------------------------------------------------
+# forge3d compat shim + bench harness
+
+
+def test_forge3d_shim():
+    import forge3d as f3d
+    import forge3d_tpu
+
+    assert f3d.__version__ == forge3d_tpu.__version__
+    assert f3d.hybrid_render_terrain_reference is \
+        forge3d_tpu.hybrid_render_terrain_reference
+    assert f3d.Scene is forge3d_tpu.Scene
+    import forge3d.gis
+    import forge3d.labels
+
+    assert forge3d.gis is forge3d_tpu.gis
+
+
+def test_bench_harness():
+    from forge3d_tpu.bench import BENCH_OPS, benchmark_op, run_benchmark
+
+    rec = benchmark_op(lambda: sum(range(1000)), iters=5, name="noop")
+    assert rec["op"] == "noop" and rec["iters"] == 5
+    assert rec["p50_ms"] <= rec["p95_ms"] <= rec["max_ms"] + 1e-9
+    assert "memory" in rec
+    out = run_benchmark(["numpy_png_roundtrip", "f3dz_roundtrip"], iters=2)
+    assert [r["op"] for r in out] == ["numpy_png_roundtrip",
+                                     "f3dz_roundtrip"]
+    with pytest.raises(KeyError):
+        run_benchmark(["warp_speed"])
