@@ -46,7 +46,7 @@ class MxuTables(NamedTuple):
     """Device tables for the matmul-gather traversal (exaggeration baked)."""
 
     cmm: jax.Array     # (CBH, 2*CBW) f32: per block-row [min | max]
-    ptab: jax.Array    # (CBH, CBW*P*P) f32: per block-row corner patches
+    ptab: jax.Array    # (CBH, CBW, P*P) f32: per-block corner patches
 
 
 @dataclass(frozen=True)
@@ -59,6 +59,8 @@ class MxuStatic:
     k_coarse: int     # coarse DDA steps per round
     f_fine: int       # fine DDA steps per round (covers a block crossing)
     chunk: int        # rays per matmul chunk
+    wz: int = 8       # patch-fetch window height (blocks)
+    wx: int = 16      # patch-fetch window width (blocks)
 
 
 def build_mxu_tables(heights: np.ndarray, *, exaggeration: float = 1.0,
@@ -98,17 +100,19 @@ def build_mxu_tables(heights: np.ndarray, *, exaggeration: float = 1.0,
 
     tables = MxuTables(
         cmm=jnp.asarray(np.concatenate([cmin, cmax], axis=1)),   # (cbh, 2cbw)
-        ptab=jnp.asarray(patches.reshape(cbh, cbw * P * P)),
+        ptab=jnp.asarray(patches.reshape(cbh, cbw, P * P)),
     )
     # worst case: a ray crosses <= cbw + cbh + 1 blocks; each banded block
-    # costs one round. Coarse capacity rounds*k must cover the crossing.
+    # costs one round, and a ray can additionally stall while the patch
+    # window serves nearer rays first. 4x slack covers grazing rays with
+    # worst-case stalls (validated against the DDA engine); the while loop
+    # exits early so typical chunks never pay for the cap.
     crossing = cbw + cbh + 2
-    rounds = crossing
+    rounds = 4 * crossing + 8
     k_coarse = 4
-    while rounds * k_coarse < crossing + 4:
-        k_coarse += 1
     static = MxuStatic(block=B, p=P, cbw=cbw, cbh=cbh, rounds=rounds,
-                       k_coarse=k_coarse, f_fine=2 * B + 2, chunk=chunk)
+                       k_coarse=k_coarse, f_fine=2 * B + 2, chunk=chunk,
+                       wz=min(8, cbh), wx=min(16, cbw))
     return tables, static
 
 
@@ -223,6 +227,7 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
         patch=jnp.zeros((N, P2), _F32),
         pbx=jnp.zeros(N, _I32),
         pbz=jnp.zeros(N, _I32),
+        fine=jnp.zeros(N, jnp.bool_),
         round=jnp.asarray(0, _I32),
     )
 
@@ -231,7 +236,7 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
     _dbg = _os.environ.get("FORGE3D_MXU_DEBUG_PHASE", "full")
 
     def coarse_step(s):
-        live = (~s["done"]) & (~s["pending"])
+        live = (~s["done"]) & (~s["pending"]) & (~s["fine"])
         t = s["t"]
         _, _, bx, bz = block_of(t)
         nt0, nt1 = block_span(bx, bz, t)
@@ -263,20 +268,49 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
                     pbx=jnp.where(go_fine, bx, s["pbx"]),
                     pbz=jnp.where(go_fine, bz, s["pbz"]))
 
+    WZ, WX = ms.wz, ms.wx
+    iota_wz = jax.lax.broadcasted_iota(_I32, (N, WZ), 1)
+    iota_wx = jax.lax.broadcasted_iota(_I32, (N, WX), 1)
+
     def fetch_patches(s):
-        # One matmul fetches each pending ray's (B+1)^2 patch.
+        """Windowed patch fetch: dynamic-slice a (WZ, WX) block window at
+        the min pending block, one-hot within the window — scans WZ*WX*P^2
+        per ray instead of cbh*cbw*P^2 (30x less one-hot work). Pending
+        rays outside the window stall one round; the window tracks the min
+        pending block, so every round serves the nearest stragglers and
+        progress is guaranteed."""
         pend = s["pending"]
-        ohz = (jnp.where(pend, s["pbz"], 0)[:, None] == iota_z).astype(_F32)
-        ohx = (jnp.where(pend, s["pbx"], 0)[:, None] == iota_x).astype(_F32)
+        big = jnp.asarray(1 << 30, _I32)
+        # anchor the window at ONE pending ray (argmin of the combined
+        # block key) so the window is guaranteed to serve at least the
+        # anchor — independent per-axis minima can form an empty window
+        key = jnp.where(pend, s["pbz"] * cbw + s["pbx"], big)
+        anchor = jnp.argmin(key)
+        az = jnp.take(s["pbz"], anchor)
+        ax = jnp.take(s["pbx"], anchor)
+        base_z = jnp.clip(az - WZ // 2, 0, max(cbh - WZ, 0))
+        base_x = jnp.clip(ax - WX // 2, 0, max(cbw - WX, 0))
+        window = jax.lax.dynamic_slice(
+            tables.ptab, (base_z, base_x, jnp.asarray(0, _I32)),
+            (WZ, WX, P2))
+        in_win = (pend
+                  & (s["pbz"] >= base_z) & (s["pbz"] < base_z + WZ)
+                  & (s["pbx"] >= base_x) & (s["pbx"] < base_x + WX))
+        lz = jnp.clip(s["pbz"] - base_z, 0, WZ - 1)
+        lx = jnp.clip(s["pbx"] - base_x, 0, WX - 1)
+        ohz = (lz[:, None] == iota_wz).astype(_F32)
+        ohx = (lx[:, None] == iota_wx).astype(_F32)
         S = jax.lax.dot_general(
-            ohz, tables.ptab, (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32)                 # (N, cbw*P2)
-        sel = jnp.einsum("nk,nkd->nd", ohx, S.reshape(N, cbw, P2))
-        patch = jnp.where(pend[:, None], sel, s["patch"])
-        return dict(s, patch=patch)
+            ohz, window.reshape(WZ, WX * P2), (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32)                 # (N, WX*P2)
+        sel = jnp.einsum("nk,nkd->nd", ohx, S.reshape(N, WX, P2))
+        patch = jnp.where(in_win[:, None], sel, s["patch"])
+        return dict(s, patch=patch,
+                    fine=s["fine"] | in_win,
+                    pending=pend & ~in_win)
 
     def fine_step(s):
-        live = (~s["done"]) & s["pending"]
+        live = (~s["done"]) & s["fine"]
         t = s["t"]
         cx, cz, bx, bz = block_of(t)
         in_block = (bx == s["pbx"]) & (bz == s["pbz"]) & (t < t_exit)
@@ -310,7 +344,7 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
         return dict(s,
                     t=new_t,
                     done=s["done"] | got | exhausted,
-                    pending=s["pending"] & ~(got | left | exhausted),
+                    fine=s["fine"] & ~(got | left | exhausted),
                     hit=s["hit"] | got,
                     hit_t=jnp.where(got, t_hit, s["hit_t"]),
                     cell_x=jnp.where(got, cx, s["cell_x"]),
@@ -327,14 +361,15 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
                              lambda ss: ss, s)
         if _phase == "full":
             s = jax.lax.cond(
-                jnp.any(s["pending"] & ~s["done"]),
+                jnp.any(s["fine"] & ~s["done"]),
                 lambda ss: jax.lax.fori_loop(
                     0, ms.f_fine, lambda i, sss: fine_step(sss), ss),
                 lambda ss: ss, s)
         if _phase != "full":
-            # debug phases: clear pending so the loop can terminate
-            s = dict(s, done=s["done"] | s["pending"],
-                     pending=jnp.zeros_like(s["pending"]))
+            # debug phases: clear pending/fine so the loop can terminate
+            s = dict(s, done=s["done"] | s["pending"] | s["fine"],
+                     pending=jnp.zeros_like(s["pending"]),
+                     fine=jnp.zeros_like(s["fine"]))
         return dict(s, round=s["round"] + 1)
 
     def cond(s):
