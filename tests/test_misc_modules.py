@@ -329,3 +329,25 @@ def test_bench_harness():
                                      "f3dz_roundtrip"]
     with pytest.raises(KeyError):
         run_benchmark(["warp_speed"])
+
+
+# ---------------------------------------------------------------------------
+# interactive session
+
+
+def test_interactive_session():
+    from forge3d_tpu.interactive import InteractiveSession
+
+    y, x = np.mgrid[0:17, 0:17].astype(np.float32)
+    dem = 2.0 * np.sin(x * 0.4) * np.cos(y * 0.4)
+    s = InteractiveSession(dem, width=64, height=48)
+    f1 = s.refine()
+    assert f1.shape == (48, 64, 4)
+    q1 = s.quality
+    f2 = s.refine()
+    assert s.renders == 2
+    # camera change restarts the quality ladder
+    s.set_camera(origin=(8, 12, 30))
+    assert s.quality == InteractiveSession.LADDER[0]
+    f3 = s.frame()
+    assert f3.shape == f1.shape
