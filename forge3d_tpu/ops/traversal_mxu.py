@@ -272,18 +272,14 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
     iota_wz = jax.lax.broadcasted_iota(_I32, (N, WZ), 1)
     iota_wx = jax.lax.broadcasted_iota(_I32, (N, WX), 1)
 
-    def fetch_patches(s):
-        """Windowed patch fetch: dynamic-slice a (WZ, WX) block window at
-        the min pending block, one-hot within the window — scans WZ*WX*P^2
-        per ray instead of cbh*cbw*P^2 (30x less one-hot work). Pending
-        rays outside the window stall one round; the window tracks the min
-        pending block, so every round serves the nearest stragglers and
-        progress is guaranteed."""
+    def _fetch_window(s):
+        """Windowed fetch: dynamic-slice a (WZ, WX) block window centered
+        at the min-key pending ray; one-hot inside the window scans
+        WZ*WX*P^2 per ray (~30x less than the full table). Pending rays
+        outside the window stall one round (the anchor is always served,
+        so progress is guaranteed)."""
         pend = s["pending"]
         big = jnp.asarray(1 << 30, _I32)
-        # anchor the window at ONE pending ray (argmin of the combined
-        # block key) so the window is guaranteed to serve at least the
-        # anchor — independent per-axis minima can form an empty window
         key = jnp.where(pend, s["pbz"] * cbw + s["pbx"], big)
         anchor = jnp.argmin(key)
         az = jnp.take(s["pbz"], anchor)
@@ -308,6 +304,43 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
         return dict(s, patch=patch,
                     fine=s["fine"] | in_win,
                     pending=pend & ~in_win)
+
+    def _fetch_full(s):
+        """Full-table fetch: serves every pending ray in one pass; the
+        one-hot scans cbh*cbw*P^2 per ray. Used when pending rays are
+        spatially spread (windowing would stall most of them)."""
+        pend = s["pending"]
+        ohz = (jnp.where(pend, s["pbz"], 0)[:, None] == iota_z).astype(_F32)
+        ohx = (jnp.where(pend, s["pbx"], 0)[:, None] == iota_x).astype(_F32)
+        S = jax.lax.dot_general(
+            ohz, tables.ptab.reshape(cbh, cbw * P2), (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32)                 # (N, cbw*P2)
+        sel = jnp.einsum("nk,nkd->nd", ohx, S.reshape(N, cbw, P2))
+        patch = jnp.where(pend[:, None], sel, s["patch"])
+        return dict(s, patch=patch,
+                    fine=s["fine"] | pend,
+                    pending=jnp.zeros_like(pend))
+
+    def fetch_patches(s):
+        """Adaptive fetch: window when the pending set clusters (primary
+        rays), full table when it spreads (shadow/bounce rays) — chosen
+        per round by window coverage."""
+        pend = s["pending"]
+        big = jnp.asarray(1 << 30, _I32)
+        key = jnp.where(pend, s["pbz"] * cbw + s["pbx"], big)
+        anchor = jnp.argmin(key)
+        az = jnp.take(s["pbz"], anchor)
+        ax = jnp.take(s["pbx"], anchor)
+        base_z = jnp.clip(az - WZ // 2, 0, max(cbh - WZ, 0))
+        base_x = jnp.clip(ax - WX // 2, 0, max(cbw - WX, 0))
+        in_win = (pend
+                  & (s["pbz"] >= base_z) & (s["pbz"] < base_z + WZ)
+                  & (s["pbx"] >= base_x) & (s["pbx"] < base_x + WX))
+        n_pend = jnp.sum(pend)
+        n_win = jnp.sum(in_win)
+        # window pays off when it serves a clear majority
+        use_window = (n_win * 4 >= n_pend * 3) & (cbh > WZ or cbw > WX)
+        return jax.lax.cond(use_window, _fetch_window, _fetch_full, s)
 
     def fine_step(s):
         live = (~s["done"]) & s["fine"]
