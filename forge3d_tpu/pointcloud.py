@@ -337,3 +337,32 @@ def render_points(width: int, height: int, positions, cam, *,
         img[..., :3] = (img[..., :3] * np.where(hit, factor, 1.0)[..., None]
                         ).astype(np.uint8)
     return img
+
+
+def copc_read_node_points(path, node: str = "0-0-0-0", **kw) -> PointBuffer:
+    """COPC node read (reference seam: copc_read_node_points_py).
+
+    COPC stores LAZ-compressed octree nodes; LAZ needs an external decoder
+    in this environment, so this seam parses the COPC info VLR (validating
+    the container) and then fails closed with LazUnsupported, mirroring
+    the LAZ gate."""
+    info = read_laz_points_info(path)
+    if not info["compressed"]:
+        # plain LAS masquerading as COPC: serve the points directly
+        return read_las_points(path, **kw)
+    raise LazUnsupported(
+        f"COPC node {node}: LAZ decompression needs an external decoder; "
+        "convert to LAS/PLY first")
+
+
+def read_laz_point_attributes(path) -> dict:
+    """Attribute schema probe (reference seam:
+    read_laz_point_attributes_py): names/types available per point format."""
+    info = read_laz_points_info(path)
+    fmt = info["point_format"]
+    attrs = ["x", "y", "z", "intensity", "return_number", "classification"]
+    if fmt in (1, 3, 4, 5) or fmt >= 6:
+        attrs.append("gps_time")
+    if info["has_rgb"]:
+        attrs += ["red", "green", "blue"]
+    return {**info, "attributes": attrs}

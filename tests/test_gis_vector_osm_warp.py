@@ -248,3 +248,84 @@ def test_align_raster_to():
     up = align_raster_to(data, src_t, ref_t, (20, 20))
     assert up.shape == (20, 20)
     assert np.nanmean(up) == pytest.approx(np.mean(data), rel=0.05)
+
+
+# ---------------------------------------------------------------------------
+# DEM preparation + gridded datasets + geoid
+
+
+def test_fill_nodata_and_prepare():
+    from forge3d_tpu.gis.dem import fill_nodata, prepare_dem
+
+    y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+    dem = 10 * np.sin(x * 0.2) * np.cos(y * 0.2)
+    holey = dem.copy()
+    holey[10:14, 10:14] = np.nan
+    filled, iters = fill_nodata(holey)
+    assert np.isfinite(filled).all()
+    assert np.abs(filled[12, 12] - dem[12, 12]) < 2.0   # plausible infill
+    out = prepare_dem(holey, clip_range=(-8, 8), out_shape=(16, 16))
+    assert out["heights"].shape == (16, 16)
+    assert out["report"]["nodata_cells"] == 16
+    assert out["heights"].max() <= 8 + 1e-5
+
+
+def test_read_gridded_dataset(tmp_path):
+    from forge3d_tpu.gis.dem import read_gridded_dataset
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.save(tmp_path / "g.npy", a)
+    out, meta = read_gridded_dataset(tmp_path / "g.npy")
+    np.testing.assert_array_equal(out, a)
+    np.savez(tmp_path / "g.npz", elevation=a, slope=a * 2)
+    out2, meta2 = read_gridded_dataset(tmp_path / "g.npz",
+                                       variable="slope")
+    np.testing.assert_array_equal(out2, a * 2)
+    with pytest.raises(Exception):
+        read_gridded_dataset(tmp_path / "g.xyz")
+
+
+def test_geoid_fail_closed_and_grid():
+    from forge3d_tpu.geo.geoid import (GeoidUnavailable, geoid_undulation,
+                                       load_geoid_grid,
+                                       orthometric_to_ellipsoidal,
+                                       synthetic_test_grid)
+    import forge3d_tpu.geo.geoid as G
+
+    G._ACTIVE["earth"] = None
+    with pytest.raises(GeoidUnavailable):
+        geoid_undulation(-122.3, 47.6)
+    grid = synthetic_test_grid()
+    load_geoid_grid(grid)
+    n = geoid_undulation(-122.3, 47.6)
+    assert -60 < n < 60
+    h_ell = orthometric_to_ellipsoidal(100.0, -122.3, 47.6)
+    assert h_ell == pytest.approx(100.0 + n)
+    # vectorized + interpolation continuity
+    lons = np.linspace(-123, -121, 5)
+    vals = geoid_undulation(lons, np.full(5, 47.6))
+    assert np.all(np.abs(np.diff(vals)) < 5.0)
+    G._ACTIVE["earth"] = None
+
+
+def test_copc_and_attr_seams(tmp_path):
+    import struct
+
+    from forge3d_tpu.pointcloud import (LazUnsupported,
+                                        copc_read_node_points,
+                                        read_laz_point_attributes)
+    from tests.test_viewer_pointcloud_bundle import _write_las
+
+    pts = np.random.default_rng(0).uniform(-5, 5, (20, 3))
+    p = tmp_path / "c.las"
+    _write_las(p, pts)
+    pb = copc_read_node_points(p)          # plain LAS serves directly
+    assert pb.count == 20
+    attrs = read_laz_point_attributes(p)
+    assert "intensity" in attrs["attributes"]
+    raw = bytearray(p.read_bytes())
+    raw[104] |= 0x80
+    p2 = tmp_path / "c.copc.laz"
+    p2.write_bytes(bytes(raw))
+    with pytest.raises(LazUnsupported):
+        copc_read_node_points(p2)
