@@ -172,3 +172,30 @@ class PathTracer:
 # Reference-parity module-level seams.
 _pt_render_gpu = pt_render_gpu
 render_aovs = pt_render_aovs
+
+
+def save_aovs(path_prefix, aovs: dict, *, format: str = "exr") -> list:
+    """Write AOV planes to disk (reference seam: save_aovs,
+    path_tracing.py:512-722): one EXR (or PNG for u8) per AOV named
+    `<prefix>_<aov>.<ext>`. Returns the written paths."""
+    import numpy as np
+
+    from ..io.formats import numpy_to_exr
+    from ..io.image import numpy_to_png
+
+    written = []
+    for name, plane in aovs.items():
+        arr = np.asarray(plane)
+        if format == "exr" and arr.dtype != np.uint8:
+            p = f"{path_prefix}_{name}.exr"
+            numpy_to_exr(p, arr.astype(np.float32))
+        else:
+            p = f"{path_prefix}_{name}.png"
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0, 1) * 255 + 0.5).astype(np.uint8)
+            if arr.ndim == 3 and arr.shape[2] == 3:
+                arr = np.concatenate(
+                    [arr, np.full((*arr.shape[:2], 1), 255, np.uint8)], -1)
+            numpy_to_png(p, arr)
+        written.append(p)
+    return written

@@ -186,3 +186,21 @@ class TestBvh:
         with pytest.raises(ValueError):
             build_sah_bvh(np.zeros((2, 3), np.float32),
                           np.array([[0, 1, 5]], np.uint32))
+
+
+def test_save_aovs(tmp_path):
+    from forge3d_tpu.io.formats import exr_to_numpy
+    from forge3d_tpu.pt.path_tracer import PathTracer, save_aovs
+
+    pt = PathTracer(32, 24)
+    aovs = pt.render_aovs(32, 24, [{"center": (0, 1, 0), "radius": 1.0}],
+                          {"origin": (0, 1, 3)},
+                          aovs=("depth", "normal"))
+    paths = save_aovs(str(tmp_path / "frame"), aovs)
+    assert any(p.endswith("rgba.png") for p in paths)
+    exrs = [p for p in paths if p.endswith(".exr")]
+    assert len(exrs) == 2
+    depth, names = exr_to_numpy(tmp_path / "frame_depth.exr")
+    import numpy as np
+
+    np.testing.assert_allclose(depth, aovs["depth"], atol=1e-6)
