@@ -277,4 +277,9 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module("." + name, __name__)
+    if name in ("rotate_x", "rotate_y", "rotate_z", "scale", "translate",
+                "grid_generate"):
+        from . import transforms as _tf
+
+        return getattr(_tf, name)
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")
