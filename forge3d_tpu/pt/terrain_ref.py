@@ -213,25 +213,36 @@ def _make_frame_step(
         sdz = jnp.where(prev_ok, prev_dir[2], sun[2])
         rw = jnp.where(prev_ok, jnp.clip(prev_w, 0.0, 4.0), 1.0)
         nd = jnp.maximum(nx * sdx + ny * sdy + nz * sdz, 0.0)
+
+        # env-sample RNG draws happen before the occlusion queries so the
+        # stream consumption matches the reference exactly
+        st2, u3 = xorshift32(st)
+        st2, u4 = xorshift32(st2)
+        # misses do not consume u3/u4 (reference `continue`)
+        st = jnp.where(hit.hit, st2, st)
+        ex, ey, ez = cosine_dir(nx, ny, nz, u3, u4)
+
+        # ONE batched occlusion trace for sun + env rays: per-ray results
+        # are independent, so stacking is bitwise-identical to two calls
+        # while halving the while_loop executions (PERF.md).
+        oro = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
         if shadows:
-            sro = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
-            occ = _tr(scene, sro, (sdx, sdy, sdz)).hit
+            occ2 = _tr(scene,
+                       tuple(jnp.stack([c, c]) for c in oro),
+                       (jnp.stack([jnp.broadcast_to(sdx, ex.shape), ex]),
+                        jnp.stack([jnp.broadcast_to(sdy, ey.shape), ey]),
+                        jnp.stack([jnp.broadcast_to(sdz, ez.shape), ez]))).hit
+            occ = occ2[0]
+            eocc = occ2[1]
             vis = jnp.where(occ, 0.0, 1.0)
         else:
+            eocc = _tr(scene, oro, (ex, ey, ez)).hit
             vis = jnp.ones_like(nd)
         lit = nd * vis * rw
         sun_r = albedo[0] * lc[0] * lit
         sun_g = albedo[1] * lc[1] * lit
         sun_b = albedo[2] * lc[2] * lit
 
-        # one cosine-weighted env (IBL) sample, with occlusion
-        st2, u3 = xorshift32(st)
-        st2, u4 = xorshift32(st2)
-        # misses do not consume u3/u4 (reference `continue`)
-        st = jnp.where(hit.hit, st2, st)
-        ex, ey, ez = cosine_dir(nx, ny, nz, u3, u4)
-        ero = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
-        eocc = _tr(scene, ero, (ex, ey, ez)).hit
         er, eg, eb = env_radiance(env, ex, ey, ez)
         evis = jnp.where(eocc, 0.0, 1.0)
         ibl_r = albedo[0] * er * evis
