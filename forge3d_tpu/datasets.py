@@ -169,3 +169,26 @@ def mini_dem() -> np.ndarray:
     """The bundled tiny DEM (always available, no cache required)."""
     e = _REGISTRY["mini"]
     return e["maker"](e["size"], e["seed"])
+
+
+def dem_spacing(info: dict) -> Tuple[float, float]:
+    """Meters-per-pixel (sx, sz) for a fetched DEM's geographic bounds —
+    pass as `spacing=` to the renderers so heights and extent share units."""
+    import math
+
+    w, s, e, n = info["bounds"]
+    # size from the cached raster when present, else the registry default
+    size = _REGISTRY[info["name"]]["size"]
+    if "path" in info:
+        try:
+            from .gis.geotiff import raster_info
+
+            ri = raster_info(info["path"])
+            return (abs(ri.transform[0]) * 111320
+                    * math.cos(math.radians((s + n) / 2)),
+                    abs(ri.transform[4]) * 110540)
+        except Exception:  # noqa: BLE001 — fall through to bounds math
+            pass
+    sx = (e - w) * 111320 * math.cos(math.radians((s + n) / 2)) / size
+    sz = (n - s) * 110540 / size
+    return (sx, sz)
