@@ -51,10 +51,20 @@ def verify_license_signature(license_doc: dict,
     return verify(pk, canonical_json(body).encode(), sig)
 
 
+# Matches the reference's post-expiry grace window (_license.py checks
+# date.today() with a 14-day grace period).
+GRACE_DAYS = 14
+
+
 def validate_license(license_doc, *, now: Optional[str] = None
                      ) -> Tuple[bool, str]:
     """Full validation: schema + signature + expiry (ISO dates compare
-    lexicographically)."""
+    lexicographically).
+
+    `now` defaults to the current UTC date, so expiry always fails closed;
+    pass an explicit ISO date for deterministic tests. A license within
+    GRACE_DAYS past expiry validates with reason "grace".
+    """
     if isinstance(license_doc, (str, bytes)):
         try:
             license_doc = json.loads(license_doc)
@@ -65,6 +75,18 @@ def validate_license(license_doc, *, now: Optional[str] = None
     if not verify_license_signature(license_doc):
         return False, "bad_signature"
     expires = license_doc.get("expires")
-    if expires is not None and now is not None and now > expires:
-        return False, "expired"
+    if expires is not None:
+        import datetime
+
+        if now is None:
+            now = datetime.datetime.now(datetime.timezone.utc).date().isoformat()
+        if now > expires:
+            try:
+                exp_date = datetime.date.fromisoformat(expires[:10])
+                now_date = datetime.date.fromisoformat(now[:10])
+            except ValueError:
+                return False, "expired"
+            if (now_date - exp_date).days <= GRACE_DAYS:
+                return True, "grace"
+            return False, "expired"
     return True, "ok"

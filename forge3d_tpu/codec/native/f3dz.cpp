@@ -211,7 +211,11 @@ long long f3dz_encode(const float* heights, uint32_t width, uint32_t height,
     }
     double slack = maxabs * std::pow(2.0, -23);
     double half = (double)max_error - slack;
-    if (half <= 0) half = (double)max_error * 0.5;  // bound below f32 ulp
+    // Fail closed when the requested bound is unachievable in f32 (the
+    // decoder reconstructs (float)(q*step), whose rounding alone can exceed
+    // max_error) — matching the NaN/Inf refuse-to-encode behavior rather
+    // than silently shipping a codec that violates its error contract.
+    if (half <= 0) return 0;
     const double step = 2.0 * half;
     ByteWriter w;
     w.u32(MAGIC); w.u32(VERSION);
@@ -252,7 +256,12 @@ long long f3dz_encode(const float* heights, uint32_t width, uint32_t height,
             for (uint32_t y = 0; y < th; y++)
                 for (uint32_t x = 0; x < tw; x++) {
                     int64_t pred = med_predict(q.data(), tw, x, y);
-                    uint32_t z = zigzag(q[(size_t)y * tw + x] - pred);
+                    int64_t delta = q[(size_t)y * tw + x] - pred;
+                    // Fail closed if the residual cannot round-trip through
+                    // 32-bit zigzag (huge height ranges at tiny max_error).
+                    if (delta > (int64_t)INT32_MAX || delta < (int64_t)INT32_MIN)
+                        return 0;
+                    uint32_t z = zigzag(delta);
                     if (z < ESCAPE) {
                         tokens.push_back((uint8_t)z);
                     } else {

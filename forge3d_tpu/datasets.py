@@ -144,6 +144,7 @@ def fetch_dem(name: str = "rainier", *, size: Optional[int] = None,
     info = dataset_info(name)
     e = _REGISTRY[name]
     n = int(size or e["size"])
+    info["size"] = n  # reflect a size= override so dem_spacing stays correct
     path = data_dir() / f"{name}_{n}.tif"
     digest_path = data_dir() / f"{name}_{n}.sha256"
     if cache and path.exists() and digest_path.exists():
@@ -177,8 +178,9 @@ def dem_spacing(info: dict) -> Tuple[float, float]:
     import math
 
     w, s, e, n = info["bounds"]
-    # size from the cached raster when present, else the registry default
-    size = _REGISTRY[info["name"]]["size"]
+    # size from the fetched raster itself (fetch_dem records any size=
+    # override in info["size"]); registry default only as a last resort
+    size = info.get("size") or _REGISTRY[info["name"]]["size"]
     if "path" in info:
         try:
             from .gis.geotiff import raster_info

@@ -340,6 +340,13 @@ def _trace_chunk(scene: TerrainScene, static: TerrainSceneStatic,
         n_win = jnp.sum(in_win)
         # window pays off when it serves a clear majority
         use_window = (n_win * 4 >= n_pend * 3) & (cbh > WZ or cbw > WX)
+        # Termination guarantee: in the last (crossing + 2) rounds force the
+        # full-table fetch so every pending ray is served each round and
+        # advances >= 1 block/round — a stalled ray can no longer reach the
+        # round cap and silently report a miss (wrong shadows/holes).
+        crossing = jnp.asarray(cbw + cbh + 2, _I32)
+        in_tail = s["round"] >= (jnp.asarray(ms.rounds, _I32) - crossing - 2)
+        use_window = use_window & ~in_tail
         return jax.lax.cond(use_window, _fetch_window, _fetch_full, s)
 
     def fine_step(s):
