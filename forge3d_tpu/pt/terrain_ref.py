@@ -87,6 +87,14 @@ class TerrainRefDesc:
     #: traversal (ops/traversal_mxu) — ~2x faster on TPU for primary-style
     #: ray batches, numerically equivalent to ~1e-4.
     traversal: str = "dda"
+    #: Shade the sun through the ReSTIR temporal+spatial reuse chain
+    #: (reference behavior — note the reference's spatial pass mixes
+    #: selection-pdf and luminance units for directional lights, so the
+    #: converged reuse weight is NOT 1; we reproduce that faithfully).
+    #: False = plain sun NEE with unit weight — the mathematically exact
+    #: single-directional-light estimator, and the integral the sweep
+    #: renderer (pt/terrain_sweep.py) computes.
+    restir: bool = True
 
 
 def _validate(desc: TerrainRefDesc) -> None:
@@ -272,6 +280,9 @@ def _make_frame_step(
             & (res_prev.target_pdf > 0.0)
             & (res_prev.light_type == 1)
         )
+        if not desc.restir:
+            # plain sun NEE: unit reuse weight, sun direction as-is
+            pv_flat = jnp.zeros_like(pv_flat)
         prev_ok = pv_flat.reshape(H, W)
         pdir = (
             res_prev.dir_x.reshape(H, W),
@@ -393,6 +404,13 @@ def _center_gbuffer(desc, scene, static):
 def render_terrain_reference(desc: TerrainRefDesc) -> dict:
     """Render the converged terrain reference; raises ConvergenceError
     rather than returning a non-converged image."""
+    if desc.traversal == "sweep":
+        # production path: sweep estimator (pt/terrain_sweep.py) — same
+        # converged integral as restir=False per-ray NEE, orders of
+        # magnitude faster on TPU (no per-ray gathers)
+        from .terrain_sweep import render_terrain_sweep
+
+        return render_terrain_sweep(desc)
     _validate(desc)
     tracker = global_tracker()
     W, H = desc.width, desc.height
@@ -405,7 +423,7 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
     )
     mxu_static = None
     scene_arg = scene
-    if desc.traversal == "mxu":
+    if desc.traversal == "mxu":  # (sweep dispatched above)
         from ..ops.traversal_mxu import build_mxu_tables
 
         # spacing/origin live in the scene; tables bake exaggeration only
