@@ -123,6 +123,80 @@ class RasterOverlayLayer:
 
 
 @dataclass
+class BuildingLayer:
+    """Extruded 3D buildings, depth-composited with the terrain.
+
+    Reference: python/forge3d/map_scene.py BuildingLayer (:3943) — footprint
+    extrusion + CityJSON import rendered into the scene. Here the merged
+    building mesh is ray-traced with the same camera (ops/bvh SAH build +
+    stackless traversal) and composited against the terrain depth AOV.
+    """
+
+    footprints: Optional[Sequence] = None   # list of (N,2) world-xz rings
+    heights: Optional[Sequence[float]] = None
+    cityjson_path: Optional[str] = None
+    mesh: Optional[object] = None           # io.mesh.MeshData
+    color: Tuple[float, float, float] = (0.72, 0.68, 0.64)
+    roof_color: Optional[Tuple[float, float, float]] = None
+    on_terrain: bool = True                  # base at terrain height
+    opacity: float = 1.0
+    name: str = ""
+
+
+@dataclass
+class PointCloudLayer:
+    """Point cloud splats, depth-tested against the terrain.
+
+    Reference: map_scene.py PointCloudLayer (:3922) — LAS/PLY/COPC points
+    (pointcloud.read_point_file) or raw positions."""
+
+    path: Optional[str] = None
+    positions: Optional[np.ndarray] = None   # world (N, 3): x, y, z
+    colors: Optional[np.ndarray] = None      # (N, 3) in [0,1]
+    color: Tuple[float, float, float] = (0.95, 0.6, 0.15)
+    point_size: int = 2
+    max_points: Optional[int] = None
+    height_scale: float = 1.0
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    name: str = ""
+
+
+@dataclass
+class Tiles3DLayer:
+    """3D Tiles content (tileset.json traversal; pnts points and b3dm
+    meshes). Reference: map_scene.py Tiles3DLayer (:4054)."""
+
+    tileset_path: str = ""
+    sse_threshold: float = 16.0
+    point_size: int = 2
+    color: Tuple[float, float, float] = (0.85, 0.8, 0.75)
+    max_tiles: int = 64
+    name: str = ""
+
+
+@dataclass
+class LabelLayer:
+    """Decluttered text labels with halos and terrain-depth occlusion.
+
+    Reference: map_scene.py LabelLayer (:3679) + _map_scene_labels.py —
+    candidates -> collision/declutter solve -> SDF text raster."""
+
+    labels: List[dict] = field(default_factory=list)
+    # each: {"text": str, "position": (x, z) or (x, y, z),
+    #        "size": px, "priority": float, "color": rgba,
+    #        "halo_color": rgba, "halo_width": px}
+    size_px: float = 13.0
+    color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    halo_color: Tuple[float, float, float, float] = (0.04, 0.05, 0.06, 0.9)
+    halo_width: float = 2.0
+    occlusion: str = "terrain"               # "terrain" | "none"
+    declutter: str = "greedy"                # labels/declutter algorithms
+    max_visible: int = 64
+    height_offset: float = 2.0
+    name: str = ""
+
+
+@dataclass
 class MapFurniture:
     legend: bool = False
     legend_label: str = "elevation"
@@ -214,6 +288,39 @@ class MapScene:
                 if img.ndim != 3 or img.shape[2] not in (3, 4):
                     rep.error("layer.raster", "raster overlay must be (H,W,3|4)",
                               f"layers[{i}]")
+            elif isinstance(layer, BuildingLayer):
+                srcs = [layer.footprints is not None,
+                        layer.cityjson_path is not None,
+                        layer.mesh is not None]
+                if sum(srcs) != 1:
+                    rep.error("layer.buildings",
+                              "BuildingLayer needs exactly one of "
+                              "footprints/cityjson_path/mesh", f"layers[{i}]")
+                if layer.footprints is not None and (
+                        layer.heights is None
+                        or len(layer.heights) != len(layer.footprints)):
+                    rep.error("layer.buildings",
+                              "footprints need matching heights",
+                              f"layers[{i}]")
+            elif isinstance(layer, PointCloudLayer):
+                if (layer.path is None) == (layer.positions is None):
+                    rep.error("layer.points",
+                              "PointCloudLayer needs exactly one of "
+                              "path/positions", f"layers[{i}]")
+            elif isinstance(layer, Tiles3DLayer):
+                if not layer.tileset_path:
+                    rep.error("layer.tiles3d", "tileset_path required",
+                              f"layers[{i}]")
+            elif isinstance(layer, LabelLayer):
+                for j, lab in enumerate(layer.labels):
+                    if "text" not in lab or "position" not in lab:
+                        rep.error("layer.labels",
+                                  f"label {j} needs text and position",
+                                  f"layers[{i}]")
+                if layer.occlusion not in ("terrain", "none"):
+                    rep.error("layer.labels",
+                              f"unknown occlusion {layer.occlusion!r}",
+                              f"layers[{i}]")
             else:
                 rep.error("layer.type", f"unknown layer type {type(layer).__name__}",
                           f"layers[{i}]")
@@ -300,6 +407,239 @@ class MapScene:
         py = (1 - ndc_y) * 0.5 * H - 0.5
         return np.stack([px, py], axis=1)
 
+    # -- 3D layer helpers ----------------------------------------------------
+    def _camera_frame(self, plan):
+        p = plan["params"]
+        W, H = p.size_px
+        origin = orbit_camera_origin(p.cam_target, p.cam_radius, p.cam_phi_deg,
+                                     p.cam_theta_deg)
+        right, up, fwd = camera_basis(origin, p.cam_target, (0, 1, 0))
+        half_h = math.tan(math.radians(p.fov_y_deg) * 0.5)
+        half_w = (W / H) * half_h
+        return np.asarray(origin, np.float64), right, up, fwd, half_w, half_h
+
+    def _pixel_rays(self, plan):
+        """Per-pixel unit ray directions (H, W, 3) + camera origin."""
+        origin, right, up, fwd, half_w, half_h = self._camera_frame(plan)
+        W, H = plan["params"].size_px
+        xs = (np.arange(W, dtype=np.float64) + 0.5) / W * 2.0 - 1.0
+        ys = 1.0 - (np.arange(H, dtype=np.float64) + 0.5) / H * 2.0
+        d = (fwd[None, None, :]
+             + xs[None, :, None] * half_w * right[None, None, :]
+             + ys[:, None, None] * half_h * up[None, None, :])
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return origin, d
+
+    def _terrain_height(self, plan, pts_xz):
+        dem = plan["dem"]
+        spacing = plan["spacing"]
+        p = plan["params"]
+        pts = np.asarray(pts_xz, np.float64).reshape(-1, 2)
+        cx = np.clip(pts[:, 0] / spacing[0], 0, dem.shape[1] - 1.001)
+        cz = np.clip(pts[:, 1] / spacing[1], 0, dem.shape[0] - 1.001)
+        x0 = cx.astype(int)
+        z0 = cz.astype(int)
+        fx = cx - x0
+        fz = cz - z0
+        x1 = np.minimum(x0 + 1, dem.shape[1] - 1)
+        z1 = np.minimum(z0 + 1, dem.shape[0] - 1)
+        hgt = (dem[z0, x0] * (1 - fx) * (1 - fz) + dem[z0, x1] * fx * (1 - fz)
+               + dem[z1, x0] * (1 - fx) * fz + dem[z1, x1] * fx * fz)
+        return hgt * p.z_scale
+
+    def _layer_mesh(self, plan, layer: "BuildingLayer"):
+        from .buildings import extrude_footprints, load_cityjson
+        from .io.mesh import merge_meshes
+
+        if layer.mesh is not None:
+            return layer.mesh
+        if layer.cityjson_path is not None:
+            meshes = load_cityjson(layer.cityjson_path)
+            return merge_meshes(meshes)
+        bases = None
+        if layer.on_terrain:
+            cents = [np.asarray(fp, np.float64).mean(axis=0)
+                     for fp in layer.footprints]
+            bases = self._terrain_height(plan, np.asarray(cents))
+        return extrude_footprints(layer.footprints, layer.heights,
+                                  bases=bases)
+
+    def _composite_mesh(self, plan, mesh, color, rgba, depth, opacity=1.0):
+        """Trace the mesh with the render camera; lambert-shade and
+        composite where it is nearer than the current depth buffer."""
+        import jax.numpy as jnp
+
+        from .ops.bvh import build_sah_bvh, mesh_scene, trace_mesh
+        from .ops.shading import sun_direction
+
+        v = np.asarray(mesh.vertices, np.float32)
+        f = np.asarray(mesh.indices, np.uint32)
+        if v.size == 0 or f.size == 0:
+            return
+        bvh = build_sah_bvh(v, f)
+        scene, n_nodes = mesh_scene(bvh)
+        origin, dirs = self._pixel_rays(plan)
+        hit = trace_mesh(
+            scene, n_nodes,
+            tuple(jnp.full(dirs.shape[:2], c, jnp.float32) for c in origin),
+            tuple(jnp.asarray(dirs[..., i], jnp.float32) for i in range(3)))
+        hitm = np.asarray(hit.hit)
+        t = np.asarray(hit.t)
+        prim = np.asarray(hit.prim)
+        e1 = np.asarray(scene.tri_e1)
+        e2 = np.asarray(scene.tri_e2)
+        n = np.cross(e1[prim], e2[prim])
+        nlen = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / np.maximum(nlen, 1e-12)
+        # flip normals toward the camera
+        facing = (n * dirs).sum(-1)
+        n = np.where(facing[..., None] > 0, -n, n)
+
+        light = plan["params"].light
+        sx, sy, sz = (float(np.asarray(c)) for c in sun_direction(
+            light.azimuth_deg, light.elevation_deg))
+        ndotl = np.maximum(n[..., 0] * sx + n[..., 1] * sy + n[..., 2] * sz,
+                           0.0)
+        col = np.asarray(color, np.float32)
+        lcol = np.asarray(light.color, np.float32) * light.intensity
+        acol = np.asarray(light.ambient_color, np.float32) * light.ambient
+        shade = col[None, None, :] * (lcol[None, None, :] * ndotl[..., None]
+                                      + acol[None, None, :])
+        ldr = np.clip(shade / (1.0 + shade), 0.0, 1.0)  # Reinhard like terrain
+
+        nearer = hitm & (t < depth)
+        a = float(opacity)
+        base = rgba[..., :3].astype(np.float32) / 255.0
+        out = np.where(nearer[..., None], base * (1 - a) + ldr * a, base)
+        rgba[..., :3] = (np.clip(out, 0, 1) * 255 + 0.5).astype(np.uint8)
+        np.copyto(depth, np.where(nearer, t, depth))
+
+    def _composite_points(self, plan, positions, colors, point_size,
+                          rgba, depth):
+        """Depth-tested square splats in screen space."""
+        origin, right, up, fwd, half_w, half_h = self._camera_frame(plan)
+        W, H = plan["params"].size_px
+        p = np.asarray(positions, np.float64).reshape(-1, 3)
+        rel = p - origin
+        zc = rel @ fwd
+        xc = rel @ right
+        yc = rel @ up
+        valid = zc > 1e-6
+        zs = np.where(valid, zc, 1.0)
+        px = (xc / (zs * half_w) + 1) * 0.5 * W - 0.5
+        py = (1 - yc / (zs * half_h)) * 0.5 * H - 0.5
+        # distance along the (unnormalized-to-unit) ray = |rel|
+        t = np.linalg.norm(rel, axis=-1)
+        cols = (np.asarray(colors, np.float32).reshape(-1, 3)
+                if colors is not None else None)
+        r = max(int(point_size) // 2, 0)
+        ix = np.round(px).astype(int)
+        iy = np.round(py).astype(int)
+        order = np.argsort(-t)  # far-to-near so near points win overdraw
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                gx = ix[order] + dx
+                gy = iy[order] + dy
+                ok = (valid[order] & (gx >= 0) & (gx < W)
+                      & (gy >= 0) & (gy < H))
+                sel = order[ok]
+                gxx, gyy = gx[ok], gy[ok]
+                closer = t[sel] < depth[gyy, gxx] + 1e-6
+                sel, gxx, gyy = sel[closer], gxx[closer], gyy[closer]
+                c = (cols[sel] if cols is not None
+                     else np.asarray(plan.get("_pc_color", (0.9, 0.6, 0.2)),
+                                     np.float32)[None, :].repeat(len(sel), 0))
+                rgba[gyy, gxx, :3] = (np.clip(c, 0, 1) * 255 + 0.5
+                                      ).astype(np.uint8)
+                depth[gyy, gxx] = np.minimum(depth[gyy, gxx], t[sel])
+
+    def _load_tiles3d(self, layer: "Tiles3DLayer"):
+        """Tileset traversal -> (points list, meshes list)."""
+        import os
+
+        from .tiles3d import decode_b3dm, decode_pnts, load_tileset, select_tiles
+
+        ts = load_tileset(layer.tileset_path)
+        base = os.path.dirname(str(layer.tileset_path))
+        tiles = select_tiles(ts, eye=(0.0, 1e9, 0.0),
+                             sse_threshold=layer.sse_threshold)
+        points, meshes = [], []
+        for tile in tiles[: layer.max_tiles]:
+            if not tile.content_uri:
+                continue
+            cpath = os.path.join(base, tile.content_uri)
+            with open(cpath, "rb") as fh:
+                raw = fh.read()
+            if raw[:4] == b"pnts":
+                d = decode_pnts(raw)
+                pos = d["positions"]
+                if tile.transform is not None:
+                    m = np.asarray(tile.transform, np.float64).reshape(4, 4)
+                    pos = pos @ m[:3, :3].T + m[:3, 3]
+                points.append((pos, d.get("colors")))
+            elif raw[:4] == b"b3dm":
+                d = decode_b3dm(raw)
+                for mesh in d["meshes"]:
+                    if tile.transform is not None:
+                        m = np.asarray(tile.transform, np.float64).reshape(4, 4)
+                        mesh.vertices = (mesh.vertices @ m[:3, :3].T
+                                         + m[:3, 3]).astype(np.float32)
+                    meshes.append(mesh)
+        return points, meshes
+
+    def _draw_labels(self, plan, layer: "LabelLayer", rgba, depth):
+        from .labels.plan import plan_labels, point_label_candidates
+        from .labels.render import draw_text_rgba
+
+        origin, right, up, fwd, half_w, half_h = self._camera_frame(plan)
+        W, H = plan["params"].size_px
+        cands = []
+        meta = {}
+        for i, lab in enumerate(layer.labels):
+            pos = np.asarray(lab["position"], np.float64)
+            if pos.size == 2:
+                y = float(self._terrain_height(plan, pos[None, :])[0]) \
+                    + layer.height_offset
+                world = np.array([pos[0], y, pos[1]])
+            else:
+                world = pos
+            rel = world - origin
+            zc = float(rel @ fwd)
+            if zc <= 1e-6:
+                continue
+            px = (float(rel @ right) / (zc * half_w) + 1) * 0.5 * W - 0.5
+            py = (1 - float(rel @ up) / (zc * half_h)) * 0.5 * H - 0.5
+            if layer.occlusion == "terrain":
+                ix = int(np.clip(round(px), 0, W - 1))
+                iy = int(np.clip(round(py), 0, H - 1))
+                t_anchor = float(np.linalg.norm(rel))
+                if t_anchor > depth[iy, ix] * 1.02 + 1.0:
+                    continue  # anchor hidden behind terrain/buildings
+            size = float(lab.get("size", layer.size_px))
+            cands.extend(point_label_candidates(
+                i, str(lab["text"]), px, py, size=size,
+                priority=float(lab.get("priority", 1.0))))
+            meta[i] = lab
+        if not cands:
+            return
+        style = {
+            "color": tuple(int(c * 255) for c in layer.color),
+            "halo_color": tuple(int(c * 255) for c in layer.halo_color),
+            "halo_width": layer.halo_width,
+        }
+        lp = plan_labels(cands, frame_size=(W, H), algorithm=layer.declutter,
+                         max_visible=layer.max_visible, style=style)
+        for pl_ in lp.placements:
+            lab = meta.get(pl_.label_id, {})
+            color = tuple(int(c * 255) for c in lab.get("color", layer.color))
+            halo_c = tuple(int(c * 255)
+                           for c in lab.get("halo_color", layer.halo_color))
+            draw_text_rgba(rgba, pl_.text, pl_.x, pl_.y, size=pl_.size,
+                           color=color, halo_color=halo_c,
+                           halo_width=float(lab.get("halo_width",
+                                                    layer.halo_width)),
+                           rotation_deg=pl_.rotation_deg)
+
     # -- render ------------------------------------------------------------
     def render(self, path=None, cache=None, certificate=None,
                render_policy: str = "block_on_error") -> Frame:
@@ -309,12 +649,61 @@ class MapScene:
 
         from .terrain.renderer import TerrainRenderer
 
+        layers = self.recipe.layers
+        needs_depth = any(
+            isinstance(l, (BuildingLayer, PointCloudLayer, Tiles3DLayer))
+            or (isinstance(l, LabelLayer) and l.occlusion == "terrain")
+            for l in layers)
+
         renderer = TerrainRenderer()
-        frame = renderer.render_terrain_pbr_pom(
-            params=plan["params"], heightmap=plan["dem"], cache=cache,
-        )
+        if needs_depth:
+            frame, aov = renderer.render_with_aov(
+                params=plan["params"], heightmap=plan["dem"], cache=cache)
+            depth = np.asarray(aov["depth"], np.float64).copy()
+            depth[~np.isfinite(depth)] = np.inf
+        else:
+            frame = renderer.render_terrain_pbr_pom(
+                params=plan["params"], heightmap=plan["dem"], cache=cache,
+            )
+            depth = None
         rgba = frame.rgba.copy()
         W, H = plan["params"].size_px
+
+        # 3D content layers (depth-composited against the terrain)
+        for layer in layers:
+            if isinstance(layer, BuildingLayer):
+                mesh = self._layer_mesh(plan, layer)
+                self._composite_mesh(plan, mesh, layer.color, rgba, depth,
+                                     layer.opacity)
+            elif isinstance(layer, Tiles3DLayer):
+                points, meshes = self._load_tiles3d(layer)
+                for mesh in meshes:
+                    self._composite_mesh(plan, mesh, layer.color, rgba, depth)
+                for pos, cols in points:
+                    if cols is None:
+                        cols = np.broadcast_to(
+                            np.asarray(layer.color, np.float32),
+                            (len(pos), 3))
+                    self._composite_points(plan, pos, cols,
+                                           layer.point_size, rgba, depth)
+            elif isinstance(layer, PointCloudLayer):
+                if layer.path is not None:
+                    from .pointcloud import read_point_file
+
+                    buf = read_point_file(layer.path,
+                                          max_points=layer.max_points)
+                    pos = np.asarray(buf.positions, np.float64)
+                    cols = buf.colors
+                else:
+                    pos = np.asarray(layer.positions, np.float64)
+                    cols = layer.colors
+                pos = pos * np.array([1.0, layer.height_scale, 1.0]) \
+                    + np.asarray(layer.offset, np.float64)
+                if cols is None:
+                    cols = np.broadcast_to(
+                        np.asarray(layer.color, np.float32), (len(pos), 3))
+                self._composite_points(plan, pos, cols, layer.point_size,
+                                       rgba, depth)
 
         # vector + raster overlays
         from .vector import VectorScene
@@ -351,6 +740,12 @@ class MapScene:
         if vs.layers:
             rgb, alpha, _ = vs.render(W, H, base_rgb=rgba[..., :3].astype(np.float32) / 255.0)
             rgba[..., :3] = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)
+
+        # labels on top of all scene content (depth buffer already includes
+        # buildings/tiles, so occlusion tests see the final 3D scene)
+        for layer in layers:
+            if isinstance(layer, LabelLayer):
+                self._draw_labels(plan, layer, rgba, depth)
 
         # furniture
         fur = self.recipe.furniture
