@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["PreethamSky", "make_sky", "sky_radiance", "sun_position_at",
-           "sky_environment_map"]
+           "sky_environment_map", "HosekSky", "make_hosek_sky",
+           "hosek_radiance", "hosek_environment_map"]
 
 _F32 = jnp.float32
 
@@ -158,5 +159,151 @@ def sky_environment_map(sky: PreethamSky, width: int = 256,
     dz = np.sin(Th) * np.cos(P)
     r, g, b = sky_radiance(sky, jnp.asarray(dx, _F32),
                            jnp.asarray(dy, _F32), jnp.asarray(dz, _F32))
+    return np.stack([np.asarray(r), np.asarray(g), np.asarray(b)],
+                    -1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Hosek-Wilkie RGB sky (the reference's model: src/terrain/hosek_sky.rs)
+# ---------------------------------------------------------------------------
+# Coefficients are the published Hosek/Wilkie RGB dataset
+# (ArHosekSkyModelData_RGB.h, (c) 2012-2013 Lukas Hosek & Alexander Wilkie,
+# BSD 3-clause), stored as assets/hosek_rgb.npz. Layout per channel:
+# config 1080 = 2 albedos x 10 turbidities x 6 elevation-Bezier knots x 9
+# coefficients; radiance 120 = 2 x 10 x 6.
+
+
+class HosekSky(NamedTuple):
+    """Cooked Hosek-Wilkie state for one (turbidity, albedo, sun)."""
+
+    sun_dir: jax.Array       # (3,) unit, y up
+    configs: jax.Array       # (3, 9) per-channel coefficients
+    radiances: jax.Array     # (3,) expected-value scale
+    exposure: jax.Array
+
+
+_HOSEK_DATA = None
+
+
+def _hosek_data():
+    global _HOSEK_DATA
+    if _HOSEK_DATA is None:
+        from pathlib import Path
+
+        z = np.load(Path(__file__).parent / "assets" / "hosek_rgb.npz")
+        _HOSEK_DATA = ([z[f"rgb{c}"] for c in (1, 2, 3)],
+                       [z[f"rad{c}"] for c in (1, 2, 3)])
+    return _HOSEK_DATA
+
+
+def _elevation_basis(solar_elevation: float) -> np.ndarray:
+    """Quintic Bezier basis over cbrt-warped normalized solar elevation
+    (hosek_sky.rs:71-84)."""
+    s = min(max(solar_elevation / (math.pi / 2), 0.0), 1.0) ** (1.0 / 3.0)
+    o = 1.0 - s
+    return np.array([o ** 5, 5 * o ** 4 * s, 10 * o ** 3 * s * s,
+                     10 * o * o * s ** 3, 5 * o * s ** 4, s ** 5])
+
+
+def _cook_channel(cfg: np.ndarray, rad: np.ndarray, turbidity: float,
+                  albedo: float, elev: float):
+    """Quad-linear blend over (albedo, turbidity) of Bezier-mixed elevation
+    blocks (hosek_sky.rs:107-186)."""
+    t = min(max(turbidity, 1.0), 10.0)
+    it = int(min(math.floor(t), 10.0))
+    rem = 0.0 if it == 10 else t - it
+    a = min(max(albedo, 0.0), 1.0)
+    basis = _elevation_basis(elev)
+
+    cfg = cfg.reshape(2, 10, 6, 9)
+    rad = rad.reshape(2, 10, 6)
+
+    def mix(arr, ai, ti):
+        return np.tensordot(basis, arr[ai, ti], axes=(0, 0))
+
+    out_c = ((1 - a) * (1 - rem) * mix(cfg, 0, it - 1)
+             + a * (1 - rem) * mix(cfg, 1, it - 1))
+    out_r = ((1 - a) * (1 - rem) * mix(rad, 0, it - 1)
+             + a * (1 - rem) * mix(rad, 1, it - 1))
+    if it != 10:
+        out_c += ((1 - a) * rem * mix(cfg, 0, it)
+                  + a * rem * mix(cfg, 1, it))
+        out_r += ((1 - a) * rem * mix(rad, 0, it)
+                  + a * rem * mix(rad, 1, it))
+    return out_c, float(out_r)
+
+
+def make_hosek_sky(sun_azimuth_deg: float, sun_elevation_deg: float, *,
+                   turbidity: float = 3.0, ground_albedo: float = 0.3,
+                   exposure: float = 1.0) -> HosekSky:
+    """Cook the Hosek-Wilkie RGB sky for a sun position."""
+    cfgs, rads = _hosek_data()
+    elev = math.radians(max(sun_elevation_deg, 0.0))
+    configs = []
+    radiances = []
+    for c in range(3):
+        cc, rr = _cook_channel(cfgs[c], rads[c], turbidity, ground_albedo,
+                               elev)
+        configs.append(cc)
+        radiances.append(rr)
+    az = math.radians(sun_azimuth_deg)
+    el = math.radians(sun_elevation_deg)
+    sun = np.array([math.cos(az) * math.cos(el), math.sin(el),
+                    math.sin(az) * math.cos(el)], np.float32)
+    return HosekSky(
+        sun_dir=jnp.asarray(sun),
+        configs=jnp.asarray(np.stack(configs), _F32),
+        radiances=jnp.asarray(np.asarray(radiances), _F32),
+        exposure=jnp.asarray(exposure, _F32),
+    )
+
+
+def hosek_radiance(sky: HosekSky, dx, dy, dz):
+    """Per-direction RGB radiance (fused jnp; hosek_sky.rs eval_channel /
+    ArHosekSkyModel_GetRadianceInternal). Directions below the horizon
+    clamp to the horizon value."""
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    dxn, dyn, dzn = dx * inv, dy * inv, dz * inv
+    cos_theta = jnp.maximum(dyn, 0.0)
+    cos_gamma = jnp.clip(dxn * sky.sun_dir[0] + dyn * sky.sun_dir[1]
+                         + dzn * sky.sun_dir[2], -1.0, 1.0)
+    gamma = jnp.arccos(cos_gamma)
+    ray_m = cos_gamma * cos_gamma
+    zenith = jnp.sqrt(cos_theta)
+
+    out = []
+    for c in range(3):
+        cf = sky.configs[c]
+        exp_m = jnp.exp(cf[4] * gamma)
+        mie_denom = jnp.maximum(1.0 + cf[8] * cf[8] - 2.0 * cf[8] * cos_gamma,
+                                1e-4)
+        mie_m = (1.0 + ray_m) / (mie_denom * jnp.sqrt(mie_denom))
+        val = ((1.0 + cf[0] * jnp.exp(cf[1] / (cos_theta + 0.01)))
+               * (cf[2] + cf[3] * exp_m + cf[5] * ray_m + cf[6] * mie_m
+                  + cf[7] * zenith))
+        out.append(val * sky.radiances[c] * sky.exposure)
+    return out[0], out[1], out[2]
+
+
+def hosek_environment_map(sun_azimuth_deg: float, sun_elevation_deg: float,
+                          *, turbidity: float = 3.0,
+                          ground_albedo: float = 0.3,
+                          exposure: float = 1.0,
+                          width: int = 256, height: int = 128) -> np.ndarray:
+    """Bake an equirect (H, W, 3) f32 env map in the convention consumed by
+    ops.shading.env_radiance (u = atan2(z, x)/2pi + 0.5, v = acos(y)/pi)."""
+    sky = make_hosek_sky(sun_azimuth_deg, sun_elevation_deg,
+                         turbidity=turbidity, ground_albedo=ground_albedo,
+                         exposure=exposure)
+    us = (np.arange(width) + 0.5) / width
+    vs = (np.arange(height) + 0.5) / height
+    phi = (us - 0.5) * 2 * math.pi
+    theta = vs * math.pi
+    P, Th = np.meshgrid(phi, theta)
+    dx = np.sin(Th) * np.cos(P)
+    dy = np.cos(Th)
+    dz = np.sin(Th) * np.sin(P)
+    r, g, b = hosek_radiance(sky, jnp.asarray(dx, _F32),
+                             jnp.asarray(dy, _F32), jnp.asarray(dz, _F32))
     return np.stack([np.asarray(r), np.asarray(g), np.asarray(b)],
                     -1).astype(np.float32)

@@ -33,6 +33,13 @@ class IblSettings:
     intensity: float = 0.35
     rotation_deg: float = 0.0
     env_map: Optional[np.ndarray] = None  # (H, W, 3) f32 equirect
+    #: analytic sky used when no env_map is supplied: "hosek" bakes the
+    #: Hosek-Wilkie RGB model (the reference's sky, src/terrain/
+    #: hosek_sky.rs) aligned to the sun; "gradient" keeps the simple
+    #: two-tone fallback
+    sky_model: str = "hosek"
+    turbidity: float = 3.0
+    ground_albedo: float = 0.3
 
 
 @dataclass

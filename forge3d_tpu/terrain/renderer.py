@@ -214,6 +214,16 @@ class TerrainRenderer:
             env_rgb = jnp.asarray(
                 p.ibl.env_map if p.ibl.env_map is not None else env.env_map, _F32
             )
+        elif p.ibl.enabled and getattr(p.ibl, "sky_model", "hosek") == "hosek":
+            # bake the reference's analytic sky (Hosek-Wilkie RGB) as the
+            # environment when IBL is on but no explicit map is bound
+            from ..sky import hosek_environment_map
+
+            env_rgb = jnp.asarray(hosek_environment_map(
+                p.light.azimuth_deg, p.light.elevation_deg,
+                turbidity=p.ibl.turbidity,
+                ground_albedo=p.ibl.ground_albedo, width=128, height=64), _F32)
+            has_env = True
         wm = None
         if water_mask is not None:
             wm = np.asarray(water_mask, np.float32)
