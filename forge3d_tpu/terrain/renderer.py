@@ -47,13 +47,26 @@ _F32 = jnp.float32
 
 
 class MaterialSet:
-    """Material description for the terrain surface. The reference's
-    MaterialSet carries PBR texture stacks (src/render/material_set.rs); the
-    TPU build currently drives colormap/constant albedo + layer colors, with
-    texture stacks arriving alongside virtual texturing."""
+    """Material description for the terrain surface.
 
-    def __init__(self, name: str = "default"):
+    The reference's MaterialSet carries PBR texture stacks resolved
+    through virtual texturing (src/terrain/vt/, terrain_pbr_pom.wgsl
+    :1939-2283). Here a MaterialSet can bind a packed VT store
+    (terrain/vt.py): per render, the residency pass decodes the needed
+    albedo pages under the budget into a fixed-capacity atlas, and the
+    shader samples it by (level, page, texel) with graceful fallback to
+    the colormap/constant albedo where pages are not resident (fallback
+    texels are counted per render — the TESSELLA evidence metric)."""
+
+    def __init__(self, name: str = "default", vt_store=None,
+                 vt_budget_bytes: int = 64 * 1024 * 1024):
         self.name = name
+        self.vt_budget_bytes = int(vt_budget_bytes)
+        if vt_store is not None and not hasattr(vt_store, "request"):
+            from .vt import VTStore
+
+            vt_store = VTStore(vt_store, budget_bytes=self.vt_budget_bytes)
+        self.vt_store = vt_store
 
     @staticmethod
     def default() -> "MaterialSet":
@@ -77,8 +90,9 @@ class IBL:
 
 
 def _static_key(p: TerrainRenderParams, has_env: bool, has_water_mask: bool,
-                W: int, H: int, dem_shape) -> tuple:
+                W: int, H: int, dem_shape, vt_static=None) -> tuple:
     return (
+        vt_static,
         W, H, int(p.sampling.aa_samples), p.albedo_mode, p.tonemap.mode,
         bool(p.output_srgb_eotf), bool(p.shadows.enabled), int(p.shadows.samples),
         p.fog is not None and p.fog.enabled,
@@ -230,10 +244,22 @@ class TerrainRenderer:
             if wm.shape != hm.shape:
                 raise UploadError("water_mask must match heightmap shape")
 
-        key = _static_key(p, has_env, wm is not None, W, H, hm.shape)
+        vt_static = None
+        vt_uni = None
+        vt = getattr(material_set, "vt_store", None) \
+            if material_set is not None else None
+        if vt is not None:
+            vt_static, vt_uni = self._vt_residency(
+                vt, p, span, W, H,
+                budget=getattr(material_set, "vt_budget_bytes",
+                               64 * 1024 * 1024))
+
+        key = _static_key(p, has_env, wm is not None, W, H, hm.shape,
+                          vt_static)
         if key not in self._fn_cache:
             self._fn_cache[key] = jax.jit(
-                self._build_program(p, static, W, H, has_env, wm is not None)
+                self._build_program(p, static, W, H, has_env, wm is not None,
+                                    vt_static)
             )
         fn = self._fn_cache[key]
 
@@ -242,8 +268,15 @@ class TerrainRenderer:
             uni["env_rgb"] = env_rgb
         if wm is not None:
             uni["water_mask"] = jnp.asarray(wm.ravel())
+        if vt_uni is not None:
+            uni.update(vt_uni)
 
         out = fn(scene, uni)
+        if vt is not None:
+            self.last_vt_stats = {
+                **vt.stats(),
+                "fallback_texels_frame": float(out["vt_fallback"]),
+            }
         ldr = np.asarray(out["ldr"])
         rgba = np.concatenate(
             [
@@ -345,8 +378,80 @@ class TerrainRenderer:
             uni["rock_rgb"] = f(layers.rock_color)
         return uni
 
+    def _vt_residency(self, vt, p: TerrainRenderParams, span, W, H, *,
+                      budget: int):
+        """Analytic residency pass: pick the albedo pages whose mip level
+        matches their on-screen footprint from this camera, decode them
+        under the budget into a fixed-capacity atlas, and build the page
+        table (ref: src/terrain/vt/{store,requests}.rs + in-shader resolve
+        terrain_pbr_pom.wgsl:1939-2283). Returns (vt_static, uniforms)."""
+        from .vt import PAGE_SIZE
+
+        levels = sorted({k[1] for k in vt.index if k[0] == "albedo"})
+        if not levels:
+            raise UploadError("VT store has no albedo pages")
+        tiles = []
+        for lv in levels:
+            n = max(k[2] for k in vt.index if k[0] == "albedo"
+                    and k[1] == lv) + 1
+            tiles.append(int(n))
+        level_offs = []
+        acc = 0
+        for n in tiles:
+            level_offs.append(acc)
+            acc += n * n
+        capacity = max(int(budget) // (PAGE_SIZE * PAGE_SIZE * 3 * 4), 1)
+
+        origin = orbit_camera_origin(p.cam_target, p.cam_radius,
+                                     p.cam_phi_deg, p.cam_theta_deg)
+        pix_angle = 2.0 * math.tan(math.radians(p.fov_y_deg) * 0.5) / H
+        tpw0 = tiles[0] * PAGE_SIZE / max(span, 1e-6)
+
+        # desired level per candidate page from its center's distance
+        cands = []
+        for li, lv in enumerate(levels):
+            n = tiles[li]
+            for (kind, lvv, x, y) in vt.index:
+                if kind != "albedo" or lvv != lv:
+                    continue
+                cx = (x + 0.5) / n * span
+                cz = (y + 0.5) / n * span
+                d = math.dist((cx, 0.0, cz),
+                              (origin[0], origin[1], origin[2]))
+                desired = math.log2(max(d * pix_angle * tpw0, 1e-9))
+                # the shader clamps per-pixel levels into the pyramid
+                # range, so clamp the estimate the same way
+                desired = min(max(desired, levels[0]), levels[-1])
+                prio = abs(desired - lv)
+                cands.append((prio, d, li, x, y))
+        cands.sort()
+        table = np.full(acc, -1, np.int32)
+        atlas = np.zeros((capacity, PAGE_SIZE, PAGE_SIZE, 3), np.float32)
+        slot = 0
+        for prio, d, li, x, y in cands:
+            if slot >= capacity or prio > 1.0:
+                break
+            page = vt.request("albedo", levels[li], x, y)
+            rgb = np.asarray(page, np.float32)
+            if rgb.dtype != np.float32 or rgb.max() > 1.5:
+                rgb = rgb.astype(np.float32) / 255.0
+            atlas[slot] = rgb[..., :3]
+            table[level_offs[li] + y * tiles[li] + x] = slot
+            slot += 1
+
+        vt_static = (tuple(levels), tuple(tiles), tuple(level_offs),
+                     PAGE_SIZE)
+        vt_uni = {
+            "vt_atlas": jnp.asarray(atlas.reshape(-1, 3)),
+            "vt_table": jnp.asarray(table),
+            "vt_pix_angle": jnp.asarray(pix_angle, _F32),
+            "vt_tpw0": jnp.asarray(tpw0, _F32),
+            "vt_inv_span": jnp.asarray(1.0 / max(span, 1e-6), _F32),
+        }
+        return vt_static, vt_uni
+
     def _make_shade(self, p: TerrainRenderParams, static, W, H, has_env,
-                    has_water_mask):
+                    has_water_mask, vt_static=None):
         """Build the shared per-sample shading closure used by both the
         one-shot program and the offline accumulation step."""
         aa = int(p.sampling.aa_samples)
@@ -449,6 +554,46 @@ class TerrainRenderer:
                 ar = jnp.full((H, W), u["constant_albedo"][0])
                 ag = jnp.full((H, W), u["constant_albedo"][1])
                 ab = jnp.full((H, W), u["constant_albedo"][2])
+
+            vt_fallback = jnp.zeros((), _F32)
+            if vt_static is not None:
+                # virtual-texture albedo resolve: desired mip from the
+                # pixel footprint at the hit distance, page-table lookup,
+                # atlas fetch; non-resident pages fall back to the
+                # colormap/constant albedo and are counted (TESSELLA
+                # evidence metric; ref terrain_pbr_pom.wgsl:1939-2283)
+                levels, tiles, level_offs, page = vt_static
+                L = len(levels)
+                tiles_arr = jnp.asarray(tiles, jnp.int32)
+                offs_arr = jnp.asarray(level_offs, jnp.int32)
+                foot = t * u["vt_pix_angle"]
+                des = jnp.log2(jnp.maximum(foot * u["vt_tpw0"], 1e-9))
+                lvl = jnp.clip(jnp.round(des), levels[0], levels[-1])
+                lvl_i = (lvl - levels[0]).astype(jnp.int32)
+                ntl = jnp.take(tiles_arr, lvl_i)
+                offs = jnp.take(offs_arr, lvl_i)
+                ntl_f = ntl.astype(_F32)
+                uu = jnp.clip(px_ * u["vt_inv_span"], 0.0, 0.9999990)
+                vv = jnp.clip(pz_ * u["vt_inv_span"], 0.0, 0.9999990)
+                gx = uu * ntl_f * page
+                gz = vv * ntl_f * page
+                tx = jnp.floor(uu * ntl_f).astype(jnp.int32)
+                tz = jnp.floor(vv * ntl_f).astype(jnp.int32)
+                tix = jnp.clip(gx - tx.astype(_F32) * page, 0,
+                               page - 1).astype(jnp.int32)
+                tiz = jnp.clip(gz - tz.astype(_F32) * page, 0,
+                               page - 1).astype(jnp.int32)
+                flat_tile = offs + tz * ntl + tx
+                slot = jnp.take(u["vt_table"], flat_tile)
+                addr = jnp.maximum(slot, 0) * (page * page) + tiz * page + tix
+                var = jnp.take(u["vt_atlas"][:, 0], addr)
+                vag = jnp.take(u["vt_atlas"][:, 1], addr)
+                vab = jnp.take(u["vt_atlas"][:, 2], addr)
+                resident = (slot >= 0) & hit.hit
+                ar = jnp.where(resident, var, ar)
+                ag = jnp.where(resident, vag, ag)
+                ab = jnp.where(resident, vab, ab)
+                vt_fallback = jnp.sum((hit.hit & ~resident).astype(_F32))
 
             if layers_on:
                 snow = jnp.clip((hn - u["snow_h"]) / u["snow_blend"], 0.0, 1.0)
@@ -564,17 +709,21 @@ class TerrainRenderer:
             r = jnp.where(hit_any, r, sr)
             g = jnp.where(hit_any, g, sg)
             b = jnp.where(hit_any, b, sb)
-            return (r, g, b), st, (hit, t, (nx, ny, nz), (ar, ag, ab))
+            return (r, g, b), st, {"hit": hit, "t": t,
+                                    "n": (nx, ny, nz),
+                                    "albedo": (ar, ag, ab),
+                                    "vt_fallback": vt_fallback}
 
         return shade
 
     def _build_program(self, p: TerrainRenderParams, static, W, H, has_env,
-                       has_water_mask):
+                       has_water_mask, vt_static=None):
         aa = int(p.sampling.aa_samples)
         tonemap_mode = p.tonemap.mode
         srgb_out = bool(p.output_srgb_eotf)
         debug_mode = p.debug_mode
-        shade = self._make_shade(p, static, W, H, has_env, has_water_mask)
+        shade = self._make_shade(p, static, W, H, has_env, has_water_mask,
+                                 vt_static)
 
         def program(scene, u):
             xs = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1)
@@ -605,7 +754,7 @@ class TerrainRenderer:
             hdr = jnp.stack([r, g, b], axis=-1)
 
             if debug_mode == "normals":
-                hit, t, (nx, ny, nz), _ = aux
+                nx, ny, nz = aux["n"]
                 ldr = jnp.stack([nx, ny, nz], -1) * 0.5 + 0.5
             else:
                 if tonemap_mode == "off":
@@ -619,8 +768,12 @@ class TerrainRenderer:
                 else:
                     ldr = jnp.power(jnp.clip(ldr, 0.0, 1.0), u["inv_gamma"])
 
-            hit, t, (nx, ny, nz), (ar, ag, ab) = aux
+            hit = aux["hit"]
+            t = aux["t"]
+            nx, ny, nz = aux["n"]
+            ar, ag, ab = aux["albedo"]
             return {
+                "vt_fallback": aux["vt_fallback"],
                 "ldr": ldr,
                 "hdr": hdr,
                 "albedo": jnp.stack([ar, ag, ab], -1) * hit.hit[..., None],
