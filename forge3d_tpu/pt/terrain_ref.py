@@ -95,6 +95,11 @@ class TerrainRefDesc:
     #: single-directional-light estimator, and the integral the sweep
     #: renderer (pt/terrain_sweep.py) computes.
     restir: bool = True
+    #: Additional typed lights (lighting.Light tuple) integrated by
+    #: alias-table NEE — one light sample per camera sample, selection
+    #: weighted by emitted power (ref: src/path_tracing/alias_table.rs,
+    #: importance.rs). None = sun + env only (reference default).
+    lights: Optional[tuple] = None
 
 
 def _validate(desc: TerrainRefDesc) -> None:
@@ -169,6 +174,15 @@ def _make_frame_step(
 
     sun = sun_direction(desc.sun_azimuth_deg, desc.sun_elevation_deg)
     sun = tuple(jnp.asarray(s, _F32) for s in sun)
+
+    light_buf = None
+    alias = None
+    if desc.lights:
+        from ..lighting import LightBuffer
+        from ..ops.lightsample import alias_table_build, light_power_weights
+
+        light_buf = LightBuffer.from_lights(list(desc.lights))
+        alias = alias_table_build(light_power_weights(light_buf))
 
     ox = jnp.full((H, W), desc.cam_origin[0], _F32)
     oy = jnp.full((H, W), desc.cam_origin[1], _F32)
@@ -257,9 +271,24 @@ def _make_frame_step(
         ibl_g = albedo[1] * eg * evis
         ibl_b = albedo[2] * eb * evis
 
-        r = jnp.where(hit.hit, sun_r + ibl_r, mr)
-        g = jnp.where(hit.hit, sun_g + ibl_g, mg)
-        b = jnp.where(hit.hit, sun_b + ibl_b, mb)
+        lr = lg = lb = 0.0
+        if light_buf is not None:
+            from ..ops.lightsample import sample_light_nee
+
+            st, u5 = xorshift32(st)
+            st, u6 = xorshift32(st)
+            st, u7 = xorshift32(st)
+            ldx, ldy, ldz, ldist, wr, wg, wb = sample_light_nee(
+                light_buf, alias, hx, hy, hz, nx, ny, nz, u5, u6, u7)
+            locc = _tr(scene, oro, (ldx, ldy, ldz)).t < ldist * 0.999
+            lvis = jnp.where(locc, 0.0, 1.0)
+            lr = albedo[0] * wr * lvis
+            lg = albedo[1] * wg * lvis
+            lb = albedo[2] * wb * lvis
+
+        r = jnp.where(hit.hit, sun_r + ibl_r + lr, mr)
+        g = jnp.where(hit.hit, sun_g + ibl_g + lg, mg)
+        b = jnp.where(hit.hit, sun_b + ibl_b + lb, mb)
         return st, (r, g, b), cand_pdf, hit.hit
 
     def frame_step(scene, env, accum, welford, res_prev: rst.Reservoirs,

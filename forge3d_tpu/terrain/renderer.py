@@ -244,6 +244,7 @@ class TerrainRenderer:
             if wm.shape != hm.shape:
                 raise UploadError("water_mask must match heightmap shape")
 
+        t_scene = _time.perf_counter()
         vt_static = None
         vt_uni = None
         vt = getattr(material_set, "vt_store", None) \
@@ -271,11 +272,17 @@ class TerrainRenderer:
         if vt_uni is not None:
             uni.update(vt_uni)
 
+        t_prep = _time.perf_counter()
         out = fn(scene, uni)
+        # scalar readback forces real completion of the device program (the
+        # only reliable sync on the TPU tunnel, PERF.md) so the main-pass
+        # timing excludes host readback
+        vt_fallback = float(out["vt_fallback"])
+        t_exec = _time.perf_counter()
         if vt is not None:
             self.last_vt_stats = {
                 **vt.stats(),
-                "fallback_texels_frame": float(out["vt_fallback"]),
+                "fallback_texels_frame": vt_fallback,
             }
         ldr = np.asarray(out["ldr"])
         rgba = np.concatenate(
@@ -285,12 +292,28 @@ class TerrainRenderer:
             ],
             axis=-1,
         )
-        ms = ( _time.perf_counter() - t0) * 1000.0
-        self.last_gpu_timings = {"terrain_main_pass_ms": ms}
+        t_read = _time.perf_counter()
+        ms = (t_read - t0) * 1000.0
+        # per-pass wall timings (compile included on first use of a config;
+        # ref: src/core/gpu_timing.rs scopes + certificates-with-timing)
+        self.last_gpu_timings = {
+            "terrain_main_pass_ms": (t_exec - t_prep) * 1000.0,
+            "prepare_ms": (t_scene - t0) * 1000.0,
+            "vt_residency_ms": (t_prep - t_scene) * 1000.0,
+            "readback_ms": (t_read - t_exec) * 1000.0,
+            "total_ms": ms,
+        }
+        from ..assurance.certificate import current_capture
+
+        cap = current_capture()
+        if cap is not None:
+            for name, v in self.last_gpu_timings.items():
+                if name != "total_ms":
+                    cap.record_pass(name, v)
         meta = {
             "width": W, "height": H, "aa_samples": p.sampling.aa_samples,
             "albedo_mode": p.albedo_mode, "tonemap": p.tonemap.mode,
-            "render_ms": ms,
+            "render_ms": ms, "gpu_timings": dict(self.last_gpu_timings),
         }
         frame = Frame(rgba=rgba, metadata=meta)
         aov_frame = None
