@@ -539,21 +539,38 @@ def _trace_outline(mask: np.ndarray, xs, ys) -> List[List[List[float]]]:
 
 
 def _overlay(a_poly, b_poly, op: str, samples: int = 256):
-    rings = _grid_overlay(_poly_rings(a_poly), _poly_rings(b_poly), op,
-                          samples)
-    mask, xs, ys = rings
-    outlines = _trace_outline(mask, xs, ys)
+    """Boolean overlay via the EXACT snapped-integer plane-sweep
+    (geometry/overlay.py, EUCLIDEA parity — ref src/geometry/exact/ +
+    overlay/); the legacy supersampled grid path remains behind
+    FORGE3D_GRID_OVERLAY=1 for comparison."""
+    import os
+
+    if os.environ.get("FORGE3D_GRID_OVERLAY") == "1":
+        mask, xs, ys = _grid_overlay(_poly_rings(a_poly),
+                                     _poly_rings(b_poly), op, samples)
+        outlines = _trace_outline(mask, xs, ys)
+    else:
+        from ..geometry.overlay import boolean_overlay
+
+        outlines = boolean_overlay(_poly_rings(a_poly), _poly_rings(b_poly),
+                                   op)
     # group into polygons: each outer ring is its own polygon (holes are
-    # traced as separate CW rings; attach by containment)
-    outers = [r for r in outlines if polygon_area(r) > 0]
-    holes = [r for r in outlines if polygon_area(r) < 0]
+    # separate rings; attach by containment, even-odd semantics)
+    outers = []
+    holes = []
+    for r in outlines:
+        inside = sum(
+            1 for o in outlines
+            if o is not r and point_in_polygon(r[0][0], r[0][1], o))
+        (holes if inside % 2 == 1 else outers).append(r)
     polys = []
     for o in outers:
         p = [o]
         for h in holes:
             hx, hy = h[0]
             if point_in_polygon(hx, hy, o):
-                p.append(h)
+                # GeoJSON convention: holes wind opposite to the outer
+                p.append(h[::-1] if polygon_area(h) > 0 else h)
         polys.append(p)
     return polys
 

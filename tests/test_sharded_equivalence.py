@@ -1,0 +1,48 @@
+# Sharded-vs-unsharded estimator equivalence (VERDICT round-1 item 2):
+# the tile-sharded frame program must produce the SAME accumulation as the
+# single-device program for the same seed — GSPMD sharding (including the
+# halo collectives ReSTIR spatial reuse induces under row sharding) must
+# not change the estimator. Runs on the 8-device virtual CPU mesh from
+# conftest at a realistic frame size (256x256, per the round-1 verdict).
+
+import numpy as np
+import pytest
+
+from forge3d_tpu.parallel.mesh import frame_mesh
+from forge3d_tpu.parallel.tiles import render_frames_sharded
+from forge3d_tpu.pt.terrain_ref import TerrainRefDesc
+
+
+def _desc(w, h):
+    n = 65
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float32)
+    dem = (6.0 * np.sin(xx * 0.15) * np.cos(yy * 0.12)).astype(np.float32)
+    return TerrainRefDesc(
+        heights=dem, cam_origin=(32.0, 25.0, 88.0),
+        cam_look_at=(32.0, 0.0, 32.0), fov_y_deg=42.0,
+        width=w, height=h, spp=1, seed=1234)
+
+
+@pytest.mark.slow
+def test_sharded_accum_matches_unsharded_256():
+    import jax
+
+    desc = _desc(256, 256)
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh8 = frame_mesh(devs[:8])
+    mesh1 = frame_mesh(devs[:1])
+
+    acc8, wf8, _ = render_frames_sharded(desc, n_frames=2, mesh=mesh8)
+    acc1, wf1, _ = render_frames_sharded(desc, n_frames=2, mesh=mesh1)
+    a8 = np.asarray(acc8)
+    a1 = np.asarray(acc1)
+    assert a8.shape == a1.shape == (256, 256, 4)
+    assert np.isfinite(a8).all()
+    # identical estimator: same RNG streams per pixel, so the accumulations
+    # agree to f32 arithmetic tolerance
+    np.testing.assert_allclose(a8, a1, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(wf8), np.asarray(wf1),
+                               rtol=2e-5, atol=2e-5)
+    assert (a8[..., 3] == 2.0).all()
