@@ -72,3 +72,99 @@ GOLDEN_SCENES = {
     "mesh_box": render_mesh_box,
     "night_sky": render_night_sky,
 }
+
+
+def render_mapscene_buildings():
+    from forge3d_tpu.mapscene import (BuildingLayer, MapScene, OrbitCamera,
+                                      OutputSpec, SceneRecipe, TerrainSource)
+
+    fps = [np.array([[14.0, 14.0], [22.0, 14.0], [22.0, 22.0], [14.0, 22.0]]),
+           np.array([[28.0, 20.0], [34.0, 22.0], [32.0, 28.0], [26.0, 26.0]])]
+    rec = SceneRecipe(
+        terrain=TerrainSource(dem=_dem()),
+        camera=OrbitCamera(phi_deg=225, theta_deg=35),
+        output=OutputSpec(size_px=(96, 72)),
+        layers=[BuildingLayer(footprints=fps, heights=[8.0, 12.0],
+                              color=(0.75, 0.55, 0.45))],
+    )
+    return MapScene(rec).render().rgba
+
+
+def render_mapscene_labels():
+    from forge3d_tpu.mapscene import (LabelLayer, MapScene, OrbitCamera,
+                                      OutputSpec, SceneRecipe, TerrainSource)
+
+    rec = SceneRecipe(
+        terrain=TerrainSource(dem=_dem()),
+        camera=OrbitCamera(phi_deg=225, theta_deg=40),
+        output=OutputSpec(size_px=(128, 96)),
+        layers=[LabelLayer(labels=[
+            {"text": "Summit", "position": (24.0, 20.0), "priority": 2.0},
+            {"text": "Valley", "position": (12.0, 34.0)},
+        ])],
+    )
+    return MapScene(rec).render().rgba
+
+
+def render_label_arabic_joining():
+    # Arabic text shapes with joining forms before rasterization
+    # (ref: tests' Arabic-joining recipe golden)
+    from forge3d_tpu.labels.render import draw_text_rgba
+
+    img = np.full((48, 192, 4), (30, 34, 40, 255), np.uint8)
+    draw_text_rgba(img, "مرحبا", 30.0, 30.0,
+                   size=18, color=(255, 255, 255, 255),
+                   halo_color=(0, 0, 0, 255), halo_width=2.0)
+    return img
+
+
+def render_terrain_water():
+    from forge3d_tpu.terrain.params import WaterSettings, make_terrain_params
+    from forge3d_tpu.terrain.renderer import TerrainRenderer
+
+    dem = _dem() - 2.0  # sink the valleys below the water level
+    p = make_terrain_params(size_px=(96, 72))
+    p.water = WaterSettings(enabled=True, level=-1.0)
+    return TerrainRenderer().render_terrain_pbr_pom(
+        params=p, heightmap=dem).rgba
+
+
+def render_smoke_overlay():
+    from forge3d_tpu.smoke import SmokeDomain, SmokeEmitter
+
+    dom = SmokeDomain(24, 24, 24)
+    em = SmokeEmitter(center=(12.0, 4.0, 12.0), radius=3.0)
+    for _ in range(6):
+        dom.step(emitters=[em])
+    return dom.render_rgba(96, 72)
+
+
+def render_sweep_terrain():
+    import forge3d_tpu as f3d
+
+    out = f3d.hybrid_render_terrain_reference(
+        _dem(65, seed=5), 96, 72,
+        {"origin": (32, 22, 85), "look_at": (32, 0, 32)},
+        spp=2, seed=9, traversal="sweep")
+    return out["rgba"]
+
+
+def render_aov_normal():
+    from forge3d_tpu.terrain.params import make_terrain_params
+    from forge3d_tpu.terrain.renderer import TerrainRenderer
+
+    _, aov = TerrainRenderer().render_with_aov(
+        params=make_terrain_params(size_px=(96, 72)), heightmap=_dem())
+    n = np.asarray(aov["normal"], np.float32)
+    return (np.clip(n * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
+
+
+GOLDEN_SCENES.update({
+    "mapscene_buildings": render_mapscene_buildings,
+    "mapscene_labels": render_mapscene_labels,
+    "label_arabic_joining": render_label_arabic_joining,
+    "terrain_water": render_terrain_water,
+    "smoke_overlay": render_smoke_overlay,
+    "sweep_terrain": render_sweep_terrain,
+    "aov_normal": render_aov_normal,
+})
