@@ -156,17 +156,28 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         q_prof, s_h = profile_hit_tangents(h_p, ps, xi=xi, ja=ja)
         t_dist = s_h * jnp.sqrt(1.0 + q_prof * q_prof)
         ones = jnp.ones_like(h_p)
+        # boundary-entry flag: the first valid sample after out-of-DEM
+        # samples. A crossing landing there means the ray entered the
+        # heightfield region from outside already BELOW the surface — the
+        # per-ray reference treats that as passing under the terrain, not
+        # a hit from above; such crossings are suppressed to env below.
+        valid = h_p > -1e20
+        valid_prev = jnp.concatenate(
+            [jnp.zeros((1, valid.shape[1]), bool), valid[:-1]], axis=0)
+        entry = (valid & ~valid_prev).astype(_F32)
         values = jnp.concatenate([
             rgb, t_dist[..., None], nx[..., None], ny[..., None],
-            nz[..., None], ones[..., None]], axis=-1)
+            nz[..., None], ones[..., None], entry[..., None]], axis=-1)
 
         dx, dy, dz, _, _ = polar_directions(ps, ja=ja, je=je)
         mr, mg, mb = env_radiance(env_arg, dx, dy, dz)
         zero = jnp.zeros_like(mr)
-        miss = jnp.stack([mr, mg, mb, zero, zero, zero, zero, zero],
+        miss = jnp.stack([mr, mg, mb, zero, zero, zero, zero, zero, zero],
                          axis=-1)
 
         polar = synthesize_polar(values, q_prof, miss, ps, je=je)
+        phantom = polar[..., 8:9] > 0.5
+        polar = jnp.where(phantom, miss, polar)
         return accum + polar
 
     frame_fn = jax.jit(frame, donate_argnums=(8,))
@@ -222,7 +233,7 @@ def render_terrain_sweep(desc: TerrainRefDesc, frames: int | None = None,
     shadow_eps = jnp.asarray(1e-4 * (h_rng + 1.0), _F32)
 
     rot_bytes = rg.n_v * rg.n_u * 4 * 10
-    polar_bytes = ps.e_count * ps.a_count * 4 * 8
+    polar_bytes = ps.e_count * ps.a_count * 4 * 9
     rids = [
         tracker.track("terrain-sweep.rotgrid", rot_bytes, "buffer"),
         tracker.track("terrain-sweep.polar", polar_bytes, "buffer"),
@@ -230,7 +241,7 @@ def render_terrain_sweep(desc: TerrainRefDesc, frames: int | None = None,
 
     try:
         h_rot, du, dv = prepare(jnp.asarray(heights))
-        accum = jnp.zeros((ps.e_count, ps.a_count, 8), _F32)
+        accum = jnp.zeros((ps.e_count, ps.a_count, 9), _F32)
         key = jax.random.PRNGKey(desc.seed)
         for f in range(n_frames):
             accum = frame_fn(h_rot, du, dv, env, lc, albedo, shadow_eps,
