@@ -148,7 +148,7 @@ def polar_directions(ps: PolarStatic, ja=0.0, je=0.0):
 
 
 def extract_profiles(rotbuf, ps: PolarStatic, *, xi=0.0, ja=0.0,
-                     chunk: int = 64):
+                     chunk: int = 128):
     """Sample per-azimuth profiles from the rotated channel buffer.
 
     rotbuf: (n_v, n_u, C) — channel 0 MUST be world height (used for the
@@ -282,16 +282,37 @@ def warp_to_screen(polar, ps: PolarStatic, *, width: int, height: int,
     e_f = (q - ps.q_lo) / ps.q_step - 0.5
     a0 = jnp.clip(jnp.floor(a_f), 0, A - 2).astype(jnp.int32)
     e0 = jnp.clip(jnp.floor(e_f), 0, E - 2).astype(jnp.int32)
-    wa = jnp.clip(a_f - a0, 0.0, 1.0)[..., None]
-    we = jnp.clip(e_f - e0, 0.0, 1.0)[..., None]
-    flat = polar.reshape(E * A, C)
-    base = e0 * A + a0
-    p00 = jnp.take(flat, base, axis=0)
-    p01 = jnp.take(flat, base + 1, axis=0)
-    p10 = jnp.take(flat, base + A, axis=0)
-    p11 = jnp.take(flat, base + A + 1, axis=0)
-    img = (p00 * (1 - wa) * (1 - we) + p01 * wa * (1 - we)
-           + p10 * (1 - wa) * we + p11 * wa * we)
-    if ss > 1:
-        img = img.reshape(height, ss, width, ss, C).mean(axis=(1, 3))
-    return img
+    wa = jnp.clip(a_f - a0, 0.0, 1.0)[None, ...]
+    we = jnp.clip(e_f - e0, 0.0, 1.0)[None, ...]
+    base = (e0 * A + a0).reshape(-1)
+    # Row-takes of (E*A, C) pad the small channel dim to the 128-lane tile
+    # (14x HBM expansion) — fine for small frames and far fewer gathers;
+    # large frames use per-channel flat takes to stay inside HBM.
+    if Hs * Ws * 128 * 4 <= (1 << 31):
+        flat = polar.reshape(E * A, C)
+        wa2 = wa.reshape(Hs, Ws)[..., None]
+        we2 = we.reshape(Hs, Ws)[..., None]
+        p00 = jnp.take(flat, base, axis=0).reshape(Hs, Ws, C)
+        p01 = jnp.take(flat, base + 1, axis=0).reshape(Hs, Ws, C)
+        p10 = jnp.take(flat, base + A, axis=0).reshape(Hs, Ws, C)
+        p11 = jnp.take(flat, base + A + 1, axis=0).reshape(Hs, Ws, C)
+        img = (p00 * (1 - wa2) * (1 - we2) + p01 * wa2 * (1 - we2)
+               + p10 * (1 - wa2) * we2 + p11 * wa2 * we2)
+        if ss > 1:
+            img = img.reshape(height, ss, width, ss, C).mean(axis=(1, 3))
+        return img
+    w00 = ((1 - wa) * (1 - we)).reshape(Hs, Ws)
+    w01 = (wa * (1 - we)).reshape(Hs, Ws)
+    w10 = ((1 - wa) * we).reshape(Hs, Ws)
+    w11 = (wa * we).reshape(Hs, Ws)
+    chans = []
+    for c in range(C):
+        flat_c = polar[..., c].reshape(-1)
+        v = (jnp.take(flat_c, base).reshape(Hs, Ws) * w00
+             + jnp.take(flat_c, base + 1).reshape(Hs, Ws) * w01
+             + jnp.take(flat_c, base + A).reshape(Hs, Ws) * w10
+             + jnp.take(flat_c, base + A + 1).reshape(Hs, Ws) * w11)
+        if ss > 1:
+            v = v.reshape(height, ss, width, ss).mean(axis=(1, 3))
+        chans.append(v)
+    return jnp.stack(chans, axis=-1)

@@ -170,8 +170,10 @@ def _propagate_group(h, du, dv, invn, tau, delta, w_u, w_v, w_y, env_w,
         return (z_new, h_row), (e_row, z_in[0])
 
     z0 = jnp.full((B, U), _NEG, _F32)
+    # unroll: the per-step body is small (B x U vector work), so loop
+    # overhead dominates on TPU without it
     _, (e_sky, z_in0) = jax.lax.scan(
-        step, (z0, h[0]), (h, du, dv, invn))
+        step, (z0, h[0]), (h, du, dv, invn), unroll=8)
     return e_sky, z_in0
 
 
@@ -185,7 +187,8 @@ class SweepMaps(NamedTuple):
 
 def sweep_lighting(h, du, dv, *, strata: SkyStrata, key,
                    env: EnvMap, e_u, e_v, sun_world, spacing,
-                   sun_only: bool = False, substeps: int = 2) -> SweepMaps:
+                   sun_only: bool = False, substeps: int = 2,
+                   sky_substeps: int = 1) -> SweepMaps:
     """Run all direction-bin propagations for one frame.
 
     e_u, e_v: (3,) world-frame unit vectors of the rotated grid axes
@@ -253,6 +256,10 @@ def sweep_lighting(h, du, dv, *, strata: SkyStrata, key,
         if sun_only and has_sun:
             g_wu, g_wv, g_wy, g_env = (g_wu[:1], g_wv[:1], g_wy[:1],
                                        g_env[:1])
+        # sun accuracy matters per-pixel (sharp shadow boundaries) -> full
+        # substeps; sky bins are jitter-averaged over frames -> coarser
+        # sampling is absorbed by the stratification noise
+        grp_substeps = substeps if has_sun else sky_substeps
 
         # Orient the grid so the group's march is +rows. Light travels
         # along l = -(w_u, w_v, w_y); per oriented-row step (spacing world
@@ -284,7 +291,7 @@ def sweep_lighting(h, du, dv, *, strata: SkyStrata, key,
         invn_o = jax.lax.rsqrt(1.0 + duu * duu + dvv * dvv)
         e_g, z0_g = _propagate_group(hh, duu, dvv, invn_o, tau, delta,
                                      g_wu, g_wv, g_wy, g_env,
-                                     emit_z0=has_sun, substeps=substeps)
+                                     emit_z0=has_sun, substeps=grp_substeps)
         # undo orientation
         if q == 1:
             e_g, z0_g = e_g[::-1], z0_g[::-1]

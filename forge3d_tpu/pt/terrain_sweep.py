@@ -118,7 +118,7 @@ def _build_pipeline(dem_shape: Tuple[int, int],
             with_derivatives=True)
         return h_rot, du, dv
 
-    def frame(h_rot, du, dv, env_arg, lc, albedo, shadow_eps, key, accum):
+    def frame_one(h_rot, du, dv, env_arg, lc, albedo, shadow_eps, key):
         k_sky, k_jv, k_ja, k_je = jax.random.split(key, 4)
         maps = sweep_lighting(
             h_rot, du, dv, strata=strata, key=k_sky, env=env_arg,
@@ -175,24 +175,59 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         miss = jnp.stack([mr, mg, mb, zero, zero, zero, zero, zero, zero],
                          axis=-1)
 
-        polar = synthesize_polar(values, q_prof, miss, ps, je=je)
+        polar = synthesize_polar(values, q_prof, miss, ps, je=je,
+                                 a_chunk=a_chunk)
         phantom = polar[..., 8:9] > 0.5
         polar = jnp.where(phantom, miss, polar)
-        return accum + polar
+        return polar
 
-    frame_fn = jax.jit(frame, donate_argnums=(8,))
+    # All frames of one batch run as ONE vmapped program: the per-frame
+    # ops are individually too small to fill the chip (8 sequential frames
+    # ran ~15x slower than one vmapped batch on v5e). Batch width and the
+    # synthesis azimuth chunk adapt to an HBM budget — the first-crossing
+    # contraction's (E, K, a_chunk) temporaries are the peak.
+    HBM_BUDGET = 5 * 1024 ** 3
+    a_chunk = 128
+    k_chunk = 128
+    per_lane = (ps.e_count * ps.k_count * a_chunk * 8      # synth ge+cross
+                + k_chunk * rg.n_u * ps.a_count * 4        # extract weights
+                + ps.k_count * ps.a_count * 9 * 4 * 3)     # profiles/values
+    batch_n = max(min(HBM_BUDGET // max(per_lane, 1), 8), 1)
+    while batch_n == 1 and a_chunk > 32 \
+            and ps.e_count * ps.k_count * a_chunk * 8 > HBM_BUDGET // 2:
+        a_chunk //= 2
+
+    def batch(h_rot, du, dv, env_arg, lc, albedo, shadow_eps, keys):
+        return jnp.sum(jax.vmap(
+            lambda k: frame_one(h_rot, du, dv, env_arg, lc, albedo,
+                                shadow_eps, k))(keys), axis=0)
+
+    frame_fn = jax.jit(batch)
+    frame_fn.batch_n = int(batch_n)
+
+    # supersampled warp only where the gather volume stays cheap; large
+    # frames rely on the polar grid's own >=1.3x density for AA
+    warp_ss = 2 if width * height <= 600_000 else 1
 
     @jax.jit
-    def resolve(mean_polar):
+    def resolve(mean_polar, exposure):
         img = warp_to_screen(
             mean_polar, ps, width=width, height=height,
             fov_y_deg=fov_y_deg, right=right, up=up_v, fwd=fwd,
-            supersample=2)
+            supersample=warp_ss)
         aov = warp_to_screen(
             mean_polar[..., 3:], ps, width=width, height=height,
             fov_y_deg=fov_y_deg, right=right, up=up_v, fwd=fwd,
             supersample=1)
-        return img, aov
+        # tonemap on device; ship compact dtypes through the (slow) host
+        # link: u8 beauty, f16 hdr/aovs — readback is the dominant cost of
+        # a converged render on the tunnel
+        from ..ops import tonemap as tmod
+
+        hdr = img[..., :3]
+        ldr = tmod.f16_round(tmod.reinhard(hdr, exposure))
+        rgb_u8 = jnp.clip(ldr * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+        return rgb_u8, hdr.astype(jnp.float16), aov.astype(jnp.float16)
 
     return rg, ps, prepare, frame_fn, resolve
 
@@ -241,18 +276,25 @@ def render_terrain_sweep(desc: TerrainRefDesc, frames: int | None = None,
 
     try:
         h_rot, du, dv = prepare(jnp.asarray(heights))
-        accum = jnp.zeros((ps.e_count, ps.a_count, 9), _F32)
         key = jax.random.PRNGKey(desc.seed)
-        for f in range(n_frames):
-            accum = frame_fn(h_rot, du, dv, env, lc, albedo, shadow_eps,
-                             jax.random.fold_in(key, f), accum)
+        # frames run in vmapped batches of a STATIC size (keeps the jit
+        # cache warm across renders); frame counts round UP to a batch
+        # multiple — extra jittered frames only improve convergence
+        BATCH = getattr(frame_fn, "batch_n", 8)
+        n_batches = max((n_frames + BATCH - 1) // BATCH, 1)
+        n_frames = n_batches * BATCH
+        accum = jnp.zeros((ps.e_count, ps.a_count, 9), _F32)
+        for b in range(n_batches):
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(b * BATCH, (b + 1) * BATCH))
+            accum = accum + frame_fn(h_rot, du, dv, env, lc, albedo,
+                                     shadow_eps, keys)
 
-        img, aov = resolve(accum / _F32(n_frames))
-        hdr = np.asarray(img[..., :3], np.float32)
-        ldr = tm.f16_round(tm.reinhard(jnp.asarray(hdr), desc.exposure))
-        rgba = np.asarray(tm.to_u8(ldr)).astype(np.uint8)
-        rgba = np.concatenate([rgba, np.full((H, W, 1), 255, np.uint8)],
-                              axis=-1)
+        rgb_u8, hdr16, aov = resolve(accum / _F32(n_frames),
+                                     jnp.asarray(desc.exposure, _F32))
+        rgba = np.concatenate([np.asarray(rgb_u8),
+                               np.full((H, W, 1), 255, np.uint8)], axis=-1)
+        hdr = np.asarray(hdr16, np.float32)
 
         aov = np.asarray(aov, np.float32)
         vis = aov[..., 4]
