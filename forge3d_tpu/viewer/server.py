@@ -205,6 +205,7 @@ class ViewerServer:
         W = int(width or s.width)
         H = int(height or s.height)
         with self._render_lock:
+            has_content = bool(s.meshes) or s.pointcloud is not None
             if s.terrain is None:
                 # no terrain: sky-only gradient placeholder frame
                 y = np.linspace(0, 1, H, dtype=np.float32)[:, None]
@@ -214,15 +215,128 @@ class ViewerServer:
                 rgba[..., 2] = (210 + 40 * y).astype(np.uint8)
                 rgba[..., 3] = 255
                 frame = rgba
+                depth = np.full((H, W), np.inf)
+                p = self._render_params(W, H)
             else:
                 renderer = self._get_renderer()
                 p = self._render_params(W, H)
-                frame = renderer.render_terrain_pbr_pom(
-                    params=p, heightmap=s.terrain).rgba.copy()
+                if has_content:
+                    fr, aov = renderer.render_with_aov(
+                        params=p, heightmap=s.terrain)
+                    frame = fr.rgba.copy()
+                    depth = np.asarray(aov["depth"], np.float64).copy()
+                    depth[~np.isfinite(depth)] = np.inf
+                else:
+                    frame = renderer.render_terrain_pbr_pom(
+                        params=p, heightmap=s.terrain).rgba.copy()
+                    depth = None
+            if has_content:
+                frame = self._composite_content(frame, depth, p)
             frame = self._composite_overlays(frame)
             frame = self._composite_labels(frame, W, H)
             s.stats["frames_rendered"] += 1
             return frame
+
+    def _composite_content(self, frame, depth, p):
+        """Loaded meshes (BVH-traced, lambert shaded) and point clouds
+        (depth-tested splats) composited against the terrain depth — the
+        viewer renders what it loads, not just terrain (ref: the
+        interactive viewer's full scene pipeline, src/viewer/render)."""
+        import math as _math
+
+        from ..camera import camera_basis, orbit_camera_origin
+        from ..ops.shading import sun_direction
+
+        s = self.state
+        H, W = frame.shape[:2]
+        origin = np.asarray(orbit_camera_origin(
+            p.cam_target, p.cam_radius, p.cam_phi_deg, p.cam_theta_deg),
+            np.float64)
+        right, up, fwd = camera_basis(origin, p.cam_target, (0, 1, 0))
+        half_h = _math.tan(_math.radians(p.fov_y_deg) * 0.5)
+        half_w = (W / H) * half_h
+
+        if s.meshes:
+            import jax.numpy as jnp
+
+            from ..io.mesh import merge_meshes
+            from ..ops.bvh import build_sah_bvh, mesh_scene, trace_mesh
+
+            meshes = []
+            for name, m in sorted(s.meshes.items()):
+                v = np.asarray(m.vertices, np.float64)
+                t = s.transforms.get(name)
+                if t is not None:
+                    t = np.asarray(t, np.float64).reshape(4, 4)
+                    v = v @ t[:3, :3].T + t[:3, 3]
+                mm = type(m)(vertices=v.astype(np.float32),
+                             indices=np.asarray(m.indices, np.uint32))
+                meshes.append(mm)
+            mesh = merge_meshes(meshes) if len(meshes) > 1 else meshes[0]
+            if mesh.indices.size:
+                bvh = build_sah_bvh(np.asarray(mesh.vertices, np.float32),
+                                    np.asarray(mesh.indices, np.uint32))
+                scene, n_nodes = mesh_scene(bvh)
+                xs = (np.arange(W) + 0.5) / W * 2.0 - 1.0
+                ys = 1.0 - (np.arange(H) + 0.5) / H * 2.0
+                d = (fwd[None, None, :]
+                     + xs[None, :, None] * half_w * right[None, None, :]
+                     + ys[:, None, None] * half_h * up[None, None, :])
+                d /= np.linalg.norm(d, axis=-1, keepdims=True)
+                hit = trace_mesh(
+                    scene, n_nodes,
+                    tuple(jnp.full((H, W), c, jnp.float32) for c in origin),
+                    tuple(jnp.asarray(d[..., i], jnp.float32)
+                          for i in range(3)))
+                hitm = np.asarray(hit.hit)
+                t = np.asarray(hit.t)
+                prim = np.asarray(hit.prim)
+                e1 = np.asarray(scene.tri_e1)[prim]
+                e2 = np.asarray(scene.tri_e2)[prim]
+                n = np.cross(e1, e2)
+                n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True),
+                                1e-12)
+                n = np.where((n * d).sum(-1)[..., None] > 0, -n, n)
+                sx, sy, sz = (float(np.asarray(c)) for c in sun_direction(
+                    s.sun["azimuth_deg"], s.sun["elevation_deg"]))
+                ndl = np.maximum(n[..., 0] * sx + n[..., 1] * sy
+                                 + n[..., 2] * sz, 0.0)
+                shade = 0.75 * (s.sun["intensity"] * ndl[..., None]
+                                * np.array([1.0, 0.97, 0.92]) + 0.25)
+                ldr = np.clip(shade / (1 + shade), 0, 1)
+                nearer = hitm & (t < depth)
+                frame[..., :3] = np.where(
+                    nearer[..., None], (ldr * 255 + 0.5).astype(np.uint8),
+                    frame[..., :3])
+                np.copyto(depth, np.where(nearer, t, depth))
+
+        if s.pointcloud is not None and len(s.pointcloud):
+            pp = np.asarray(s.pointcloud, np.float64)
+            rel = pp - origin
+            zc = rel @ np.asarray(fwd)
+            xc = rel @ np.asarray(right)
+            yc = rel @ np.asarray(up)
+            ok = zc > 1e-6
+            zs = np.where(ok, zc, 1.0)
+            px = ((xc / (zs * half_w) + 1) * 0.5 * W - 0.5).round().astype(int)
+            py = ((1 - yc / (zs * half_h)) * 0.5 * H - 0.5).round().astype(int)
+            tdist = np.linalg.norm(rel, axis=-1)
+            size = int(self.state.pointcloud_params.get("point_size", 2))
+            r = max(size // 2, 0)
+            order = np.argsort(-tdist)
+            col = np.asarray(self.state.pointcloud_params.get(
+                "color", (250, 170, 60)), np.uint8)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    gx = px[order] + dx
+                    gy = py[order] + dy
+                    sel = (ok[order] & (gx >= 0) & (gx < W)
+                           & (gy >= 0) & (gy < H))
+                    gxx, gyy = gx[sel], gy[sel]
+                    closer = tdist[order][sel] < depth[gyy, gxx] + 1e-6
+                    gxx, gyy = gxx[closer], gyy[closer]
+                    frame[gyy, gxx, :3] = col
+        return frame
 
     def _composite_overlays(self, frame: np.ndarray) -> np.ndarray:
         s = self.state

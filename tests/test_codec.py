@@ -159,3 +159,41 @@ def test_bc5_flat_exact():
     img = np.full((8, 8, 2), 177, np.uint8)
     dec = decode_bc5(encode_bc5_rg8(img), 8, 8)
     np.testing.assert_array_equal(dec, img)
+
+
+def test_f3dz_second_lane_byte_identity():
+    """Independent Python decode lane must agree with the native decoder
+    BYTE-IDENTICALLY (the reference's CPU/GPU byte-identity evidence,
+    src/codec/f3dz/mod.rs:1-12 + benches/f3dz_bench.rs)."""
+    import numpy as np
+
+    from forge3d_tpu.codec import compress_dem, decompress_dem
+    from forge3d_tpu.codec.f3dz_pylane import decompress_dem_pylane
+
+    rng = np.random.default_rng(9)
+    corpora = [
+        rng.normal(0, 50, (130, 97)).astype(np.float32),
+        (np.outer(np.linspace(0, 900, 300), np.ones(280))
+         + rng.normal(0, 5, (300, 280))).astype(np.float32),
+        np.zeros((64, 64), np.float32),
+    ]
+    for heights in corpora:
+        blob = compress_dem(heights, max_error=0.02)
+        a = decompress_dem(blob)
+        b = decompress_dem_pylane(blob)
+        assert a.tobytes() == b.tobytes(), "decode lanes diverge"
+
+
+def test_f3dz_second_lane_fails_closed():
+    import numpy as np
+    import pytest as _pytest
+
+    from forge3d_tpu.codec import F3dzError, compress_dem
+    from forge3d_tpu.codec.f3dz_pylane import decompress_dem_pylane
+
+    blob = bytearray(compress_dem(
+        np.random.default_rng(1).normal(0, 10, (80, 80)).astype(np.float32),
+        max_error=0.1))
+    blob[60] ^= 0xFF
+    with _pytest.raises(F3dzError):
+        decompress_dem_pylane(bytes(blob))
