@@ -49,7 +49,8 @@ def main() -> int:
                     default="fast")
     ap.add_argument("--list", action="store_true")
     ap.add_argument("extra", nargs="*", help="extra pytest args")
-    ns = ap.parse_args()
+    ns, unknown = ap.parse_known_args()
+    ns.extra = [*ns.extra, *unknown]  # pass flags like -x through to pytest
 
     if ns.list:
         print("fast lane:")
