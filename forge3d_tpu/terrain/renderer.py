@@ -930,7 +930,11 @@ class TerrainRenderer:
             raise RenderError("no samples accumulated")
         accum = np.asarray(sess["accum"])
         hdr = accum[..., :3] / accum[..., 3:4]
-        hit, t, (nx, ny, nz), (ar, ag, ab) = sess["aux"]
+        aux = sess["aux"]
+        hit = aux["hit"]
+        t = aux["t"]
+        nx, ny, nz = aux["n"]
+        ar, ag, ab = aux["albedo"]
         hitm = np.asarray(hit.hit)[..., None]
         aov = AovFrame(
             aovs={
