@@ -437,6 +437,12 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
         # production path: sweep estimator (pt/terrain_sweep.py) — same
         # converged integral as restir=False per-ray NEE, orders of
         # magnitude faster on TPU (no per-ray gathers)
+        if desc.lights:
+            # typed point/area lights need per-ray NEE occlusion; refusing
+            # beats silently dropping scene lighting (fail-closed)
+            raise RenderError(
+                "traversal='sweep' integrates sun+env only; typed lights "
+                "need traversal='dda'/'mxu' (alias-table NEE)")
         from .terrain_sweep import render_terrain_sweep
 
         return render_terrain_sweep(desc)

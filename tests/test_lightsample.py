@@ -134,3 +134,20 @@ def test_area_light_occlusion():
     # the wall blocks the light from the visible ground
     assert np.median(walled) < np.median(open_lit) * 0.05, (
         float(np.median(walled)), float(np.median(open_lit)))
+
+
+def test_sweep_refuses_typed_lights():
+    """traversal='sweep' integrates sun+env only; typed lights must be
+    refused, not silently dropped (fail-closed contract)."""
+    import numpy as np
+
+    from forge3d_tpu.errors import RenderError
+    from forge3d_tpu.pt.terrain_ref import (TerrainRefDesc,
+                                            render_terrain_reference)
+
+    desc = TerrainRefDesc(
+        heights=np.zeros((17, 17), np.float32), width=32, height=24,
+        traversal="sweep",
+        lights=(Light(type="point", position=(8.0, 5.0, 8.0)),))
+    with pytest.raises(RenderError, match="typed lights"):
+        render_terrain_reference(desc)
