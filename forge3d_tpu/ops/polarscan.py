@@ -45,16 +45,34 @@ def _round_up(x: int, m: int) -> int:
 @dataclass(frozen=True)
 class PolarStatic:
     """Static polar-scan geometry (python floats; jitted programs
-    specialize on the camera, which is static per render)."""
+    specialize on the camera, which is static per render).
+
+    SCREEN-ALIGNED ROWS: polar elevation rows are parameterized by screen
+    NDC-y (row e sits at ndc_y = 1 - (e + 0.5) * y_step), not by uniform
+    elevation tangent. For a roll-free camera, cu = ndc_x * hw exactly and
+    cv(y) = fv + y * uvhh, so a polar row maps 1:1 onto a (supersampled)
+    screen row and the final screen resolve needs only a per-row 1D
+    azimuth resample (a hat-weight matmul) plus a vertical box average —
+    no gathers. A ray's elevation comparison uses the REDUCED tangent
+    Q(y) = dy(y)/cv(y) = (h_hit - cam_y)/(horizontal-forward distance),
+    which is azimuth-independent, so the first-crossing contraction is
+    unchanged in structure.
+    """
 
     a_count: int       # azimuth columns
-    e_count: int       # elevation rows
+    e_count: int       # elevation rows = row_ss * height + pad
+    e_pad: int         # trailing pad rows (ignored by the resolve)
+    row_ss: int        # vertical supersampling factor (rows per pixel row)
     k_count: int       # radial samples (camera-aligned grid rows)
     k0: int            # first rotated-grid row index used (floor(cam_iv))
     t_lo: float        # tan(beta) of azimuth column 0
     t_step: float
-    q_lo: float        # elevation tangent of row 0
-    q_step: float
+    y_step: float      # ndc-y per polar row (rows run top -> bottom)
+    hw: float          # tan(fov_x/2)
+    fy: float          # fwd . y-hat
+    uyhh: float        # (up . y-hat) * tan(fov_y/2)
+    fv: float          # fwd . e_v
+    uvhh: float        # (up . e_v) * tan(fov_y/2)
     cam_y: float
     # world-frame unit axes of the rotated grid (horizontal)
     e_u: Tuple[float, float, float]
@@ -63,12 +81,24 @@ class PolarStatic:
     cam_iv: float
     spacing: float
 
+    def ndc_rows(self, je=0.0):
+        """ndc-y of each polar row center (+ sub-row jitter je)."""
+        e = jnp.arange(self.e_count, dtype=_F32)
+        return 1.0 - (e + 0.5 + je) * self.y_step
+
+    def q_rows(self, je=0.0):
+        """Reduced elevation tangent Q = dy/cv of each polar row."""
+        ndc = self.ndc_rows(je)
+        cv = jnp.maximum(self.fv + ndc * self.uvhh, 0.02)
+        return (self.fy + ndc * self.uyhh) / cv
+
 
 def plan_polar(*, width: int, height: int, fov_y_deg: float,
                right, up, fwd, cam_y: float,
                rg_n_v: int, rg_n_u: int, rg_spacing: float,
                e_u, e_v, cam_iu: float, cam_iv: float,
-               density: float = 1.3, max_axis: int = 4096) -> PolarStatic:
+               density: float = 1.3, max_axis: int = 4096,
+               row_ss: int = 2) -> PolarStatic:
     """Size the polar grid from the camera frustum.
 
     Requires a roll-free camera whose forward has a horizontal component
@@ -93,30 +123,23 @@ def plan_polar(*, width: int, height: int, fov_y_deg: float,
          + gy[..., None] * hh * up_v[None, None, :])
     cu = d @ e_u3
     cv = d @ e_v3
-    cy = d[..., 1]
     if float(cv.min()) < 0.05:
         raise ValueError(
             "frustum contains near-vertical rays; polar scan unsupported "
             "(fall back to traversal='dda'/'mxu')")
     tanb = cu / cv
-    q = cy / np.sqrt(cu * cu + cv * cv)
     t_margin = 0.02 * (tanb.max() - tanb.min() + 1e-6)
-    q_margin = 0.02 * (q.max() - q.min() + 1e-6)
     t_lo, t_hi = float(tanb.min() - t_margin), float(tanb.max() + t_margin)
-    q_lo, q_hi = float(q.min() - q_margin), float(q.max() + q_margin)
 
-    # pixel-footprint-matched grid densities (a touch denser than the
-    # densest screen mapping so the final warp never undersamples)
+    # azimuth density: a touch denser than the densest screen mapping so
+    # the horizontal resolve never undersamples
     dt_pix = (2.0 * hw / width) / float(cv.max())
-    dq_pix = np.inf
-    qg = q
-    dq_pix = min(float(np.abs(np.diff(qg, axis=0)).min()) / (ys[1] - ys[0])
-                 * (2.0 / height), np.inf)
     a_count = _round_up(int(math.ceil((t_hi - t_lo) / (dt_pix / density))), 128)
-    e_count = _round_up(int(math.ceil((q_hi - q_lo) / max(dq_pix / density,
-                                                          1e-6))), 128)
     a_count = min(a_count, max_axis)
-    e_count = min(e_count, max_axis)
+
+    # screen-aligned elevation rows: row_ss rows per output pixel row
+    rows = int(row_ss) * int(height)
+    e_count = _round_up(rows, 8)
 
     # first radial row: just past the camera when it sits inside the grid,
     # else the grid start (the grid covers only the DEM bbox; the camera
@@ -124,9 +147,12 @@ def plan_polar(*, width: int, height: int, fov_y_deg: float,
     k0 = min(max(int(math.floor(cam_iv)), 0), max(rg_n_v - 12, 0))
     k_count = max(rg_n_v - k0 - 3, 8)
     return PolarStatic(
-        a_count=a_count, e_count=e_count, k_count=k_count, k0=k0,
+        a_count=a_count, e_count=e_count, e_pad=e_count - rows,
+        row_ss=int(row_ss), k_count=k_count, k0=k0,
         t_lo=t_lo, t_step=(t_hi - t_lo) / a_count,
-        q_lo=q_lo, q_step=(q_hi - q_lo) / e_count,
+        y_step=2.0 / rows, hw=float(hw),
+        fy=float(fwd[1]), uyhh=float(hh * up_v[1]),
+        fv=float(fwd @ e_v3), uvhh=float(hh * (up_v @ e_v3)),
         cam_y=float(cam_y), e_u=tuple(map(float, e_u3)),
         e_v=tuple(map(float, e_v3)), cam_iu=float(cam_iu),
         cam_iv=float(cam_iv), spacing=float(rg_spacing))
@@ -134,17 +160,20 @@ def plan_polar(*, width: int, height: int, fov_y_deg: float,
 
 def polar_directions(ps: PolarStatic, ja=0.0, je=0.0):
     """World-frame unit direction for each (elevation, azimuth) polar texel
-    center (+ sub-texel jitter)."""
+    center (+ sub-texel jitter). The true elevation tangent of texel (e, a)
+    is q = Q(e) / sec(beta_a) (screen-aligned rows; see PolarStatic)."""
     t = ps.t_lo + (jnp.arange(ps.a_count, dtype=_F32) + 0.5 + ja) * ps.t_step
-    q = ps.q_lo + (jnp.arange(ps.e_count, dtype=_F32) + 0.5 + je) * ps.q_step
-    inv_h = jax.lax.rsqrt(1.0 + t * t)
+    qr = ps.q_rows(je)                                    # (E,) reduced
+    inv_sec = jax.lax.rsqrt(1.0 + t * t)
+    q = qr[:, None] * inv_sec[None, :]                    # (E, A) true tan
+    inv_h = inv_sec
     hx = (ps.e_v[0] + t * ps.e_u[0]) * inv_h
     hz = (ps.e_v[2] + t * ps.e_u[2]) * inv_h
-    inv = jax.lax.rsqrt(1.0 + q * q)[:, None]
+    inv = jax.lax.rsqrt(1.0 + q * q)
     dx = hx[None, :] * inv
     dz = hz[None, :] * inv
-    dy = q[:, None] * inv * jnp.ones((1, ps.a_count), _F32)
-    return dx, dy, dz, t, q
+    dy = q * inv
+    return dx, dy, dz, t, qr
 
 
 def extract_profiles(rotbuf, ps: PolarStatic, *, xi=0.0, ja=0.0,
@@ -195,55 +224,65 @@ def extract_profiles(rotbuf, ps: PolarStatic, *, xi=0.0, ja=0.0,
 
 
 def profile_hit_tangents(h_prof, ps: PolarStatic, xi=0.0, ja=0.0):
-    """Elevation tangent of each profile sample as seen from the camera,
-    plus the horizontal distance per sample. Returns (q_prof, s_h)."""
+    """REDUCED elevation tangent of each profile sample as seen from the
+    camera (rise over horizontal-FORWARD distance — azimuth-independent,
+    comparable directly against PolarStatic.q_rows), plus the true ray
+    distance to the sample. Returns (q_red, t_dist)."""
     K, A = h_prof.shape
     t = ps.t_lo + (jnp.arange(A, dtype=_F32) + 0.5 + ja) * ps.t_step
-    sec_b = jnp.sqrt(1.0 + t * t)
+    sec2 = (1.0 + t * t)[None, :]
     base = ps.k0 + 1.0 - ps.cam_iv                        # static offset
     koff = jnp.arange(K, dtype=_F32) + base + xi
-    s_h = koff[:, None] * ps.spacing * sec_b[None, :]     # (K, A) horizontal
-    q_prof = (h_prof - ps.cam_y) / jnp.maximum(s_h, 1e-6)
+    s_f = koff[:, None] * ps.spacing                      # (K, 1) forward
+    rise = h_prof - ps.cam_y
+    q_red = rise / jnp.maximum(s_f, 1e-6)
     # out-of-DEM samples carry h = -1e30; clamp the tangent to a finite
     # sentinel (still far below any real ray tangent) so downstream
     # squaring can't overflow to inf and poison 0*inf = NaN in the
     # first-crossing contraction. Rows at/behind the camera (possible when
     # the camera ground point is past the grid) can never be hit.
-    q_prof = jnp.clip(q_prof, -1e4, 1e4)
-    q_prof = jnp.where(koff[:, None] > 0.25, q_prof, -1e4)
-    return q_prof, s_h
+    q_red = jnp.clip(q_red, -1e4, 1e4)
+    q_red = jnp.where(koff[:, None] > 0.25, q_red, -1e4)
+    t_dist = jnp.maximum(s_f, 1e-6) * jnp.sqrt(sec2 + q_red * q_red)
+    return q_red, t_dist
 
 
 def synthesize_polar(values, q_prof, miss_values, ps: PolarStatic,
-                     je=0.0, a_chunk: int = 128):
+                     je=0.0, a_chunk: int = 128, mxu_dtype=None):
     """First-hit contraction: polar(e, a, c) = values at the first profile
-    sample whose running-max tangent crosses the ray tangent q_e; rays with
-    no crossing get miss_values.
+    sample whose running-max REDUCED tangent crosses the row tangent Q(e);
+    rays with no crossing get miss_values.
 
     values:      (K, A, C) per-profile-sample shaded values
-    q_prof:      (K, A) sample elevation tangents
+    q_prof:      (K, A) sample reduced elevation tangents
     miss_values: (E, A, C) environment values
+    mxu_dtype:   optional storage dtype for the crossing-indicator tensor
+                 and values operand of the contraction (e.g. jnp.bfloat16
+                 on TPU halves the HBM traffic of the dominant (E, K, A)
+                 indicator; indicators are exactly representable).
     Returns (E, A, C).
     """
     K, A, C = values.shape
     E = ps.e_count
     M = jax.lax.cummax(q_prof, axis=0)                    # (K, A) monotone
-    q_e = ps.q_lo + (jnp.arange(E, dtype=_F32) + 0.5 + je) * ps.q_step
+    q_e = ps.q_rows(je)                                   # (E,) reduced
+    idt = _F32 if mxu_dtype is None else mxu_dtype
+    vals = values if mxu_dtype is None else values.astype(mxu_dtype)
 
     def do_chunk(args):
         m_c, v_c = args                                   # (K, Ac), (K, Ac, C)
-        ge = (m_c[None, :, :] >= q_e[:, None, None]).astype(_F32)  # (E,K,Ac)
+        ge = (m_c[None, :, :] >= q_e[:, None, None]).astype(idt)  # (E,K,Ac)
         cross = ge - jnp.concatenate(
-            [jnp.zeros((E, 1, ge.shape[2]), _F32), ge[:, :-1]], axis=1)
+            [jnp.zeros((E, 1, ge.shape[2]), idt), ge[:, :-1]], axis=1)
         out = jnp.einsum("eka,kac->eac", cross, v_c,
                          preferred_element_type=_F32)
-        hit_any = ge[:, -1, :]                            # (E, Ac)
+        hit_any = ge[:, -1, :].astype(_F32)               # (E, Ac)
         return out, hit_any
 
     n_chunks = (A + a_chunk - 1) // a_chunk
     Ap = n_chunks * a_chunk
     m_p = jnp.pad(M, ((0, 0), (0, Ap - A)))
-    v_p = jnp.pad(values, ((0, 0), (0, Ap - A), (0, 0)))
+    v_p = jnp.pad(vals, ((0, 0), (0, Ap - A), (0, 0)))
     out, hit_any = jax.lax.map(
         do_chunk,
         (m_p.reshape(K, n_chunks, a_chunk).transpose(1, 0, 2),
@@ -254,65 +293,54 @@ def synthesize_polar(values, q_prof, miss_values, ps: PolarStatic,
 
 
 def warp_to_screen(polar, ps: PolarStatic, *, width: int, height: int,
-                   fov_y_deg: float, right, up, fwd, supersample: int = 2):
-    """Resample the polar image to the screen (bilinear, box-downsampled
-    from a supersampled grid). polar: (E, A, C) -> (height, width, C)."""
+                   fov_y_deg: float = 0.0, right=None, up=None, fwd=None,
+                   supersample: int = 2, row_chunk: int = 32):
+    """Resolve the screen-aligned polar image to the screen.
+
+    polar: (E, A, C) -> (height, width, C). Vertical: polar rows ARE
+    supersampled screen rows (ps.row_ss per pixel row) — a box average.
+    Horizontal: per-row 1D azimuth resample at `supersample` box-filtered
+    sub-positions, evaluated as chunked hat-weight matmuls (MXU; no
+    gathers). The legacy fov/right/up/fwd arguments are accepted and
+    ignored — all geometry lives in PolarStatic now.
+    """
     E, A, C = polar.shape
-    ss = int(supersample)
-    Ws, Hs = width * ss, height * ss
-    hh = math.tan(math.radians(fov_y_deg) * 0.5)
-    hw = hh * (width / height)
-    xs = jax.lax.broadcasted_iota(_F32, (Hs, Ws), 1)
-    ys = jax.lax.broadcasted_iota(_F32, (Hs, Ws), 0)
-    ndc_x = ((xs + 0.5) / Ws) * 2.0 - 1.0
-    ndc_y = (1.0 - (ys + 0.5) / Hs) * 2.0 - 1.0
-    r = jnp.asarray(right, _F32)
-    u = jnp.asarray(up, _F32)
-    f = jnp.asarray(fwd, _F32)
-    dx = f[0] + ndc_x * hw * r[0] + ndc_y * hh * u[0]
-    dy = f[1] + ndc_x * hw * r[1] + ndc_y * hh * u[1]
-    dz = f[2] + ndc_x * hw * r[2] + ndc_y * hh * u[2]
-    eu = ps.e_u
-    ev = ps.e_v
-    cu = dx * eu[0] + dy * eu[1] + dz * eu[2]
-    cv = dx * ev[0] + dy * ev[1] + dz * ev[2]
-    tanb = cu / jnp.maximum(cv, 1e-6)
-    q = dy * jax.lax.rsqrt(cu * cu + cv * cv)
-    a_f = (tanb - ps.t_lo) / ps.t_step - 0.5
-    e_f = (q - ps.q_lo) / ps.q_step - 0.5
-    a0 = jnp.clip(jnp.floor(a_f), 0, A - 2).astype(jnp.int32)
-    e0 = jnp.clip(jnp.floor(e_f), 0, E - 2).astype(jnp.int32)
-    wa = jnp.clip(a_f - a0, 0.0, 1.0)[None, ...]
-    we = jnp.clip(e_f - e0, 0.0, 1.0)[None, ...]
-    base = (e0 * A + a0).reshape(-1)
-    # Row-takes of (E*A, C) pad the small channel dim to the 128-lane tile
-    # (14x HBM expansion) — fine for small frames and far fewer gathers;
-    # large frames use per-channel flat takes to stay inside HBM.
-    if Hs * Ws * 128 * 4 <= (1 << 31):
-        flat = polar.reshape(E * A, C)
-        wa2 = wa.reshape(Hs, Ws)[..., None]
-        we2 = we.reshape(Hs, Ws)[..., None]
-        p00 = jnp.take(flat, base, axis=0).reshape(Hs, Ws, C)
-        p01 = jnp.take(flat, base + 1, axis=0).reshape(Hs, Ws, C)
-        p10 = jnp.take(flat, base + A, axis=0).reshape(Hs, Ws, C)
-        p11 = jnp.take(flat, base + A + 1, axis=0).reshape(Hs, Ws, C)
-        img = (p00 * (1 - wa2) * (1 - we2) + p01 * wa2 * (1 - we2)
-               + p10 * (1 - wa2) * we2 + p11 * wa2 * we2)
-        if ss > 1:
-            img = img.reshape(height, ss, width, ss, C).mean(axis=(1, 3))
-        return img
-    w00 = ((1 - wa) * (1 - we)).reshape(Hs, Ws)
-    w01 = (wa * (1 - we)).reshape(Hs, Ws)
-    w10 = ((1 - wa) * we).reshape(Hs, Ws)
-    w11 = (wa * we).reshape(Hs, Ws)
-    chans = []
-    for c in range(C):
-        flat_c = polar[..., c].reshape(-1)
-        v = (jnp.take(flat_c, base).reshape(Hs, Ws) * w00
-             + jnp.take(flat_c, base + 1).reshape(Hs, Ws) * w01
-             + jnp.take(flat_c, base + A).reshape(Hs, Ws) * w10
-             + jnp.take(flat_c, base + A + 1).reshape(Hs, Ws) * w11)
-        if ss > 1:
-            v = v.reshape(height, ss, width, ss).mean(axis=(1, 3))
-        chans.append(v)
-    return jnp.stack(chans, axis=-1)
+    if height * ps.row_ss != E - ps.e_pad:
+        raise ValueError(
+            f"polar rows {E}-{ps.e_pad} do not match height {height} * "
+            f"row_ss {ps.row_ss}")
+    ss = max(int(supersample), 1)
+    ndc_rows = 1.0 - (np.arange(E, dtype=np.float64) + 0.5) * ps.y_step
+    cv_rows = jnp.asarray(np.maximum(ps.fv + ndc_rows * ps.uvhh, 0.02), _F32)
+    # sub-pixel ndc-x positions folded into the weights (box of hats)
+    sub = (np.arange(ss, dtype=np.float64) + 0.5) / ss
+    ndc_x = ((np.arange(width, dtype=np.float64)[:, None] + sub[None, :])
+             / width) * 2.0 - 1.0                          # (W, ss)
+    ndc_x = jnp.asarray(ndc_x, _F32)
+    iota_a = jnp.arange(A, dtype=_F32)
+
+    n_chunks = (E + row_chunk - 1) // row_chunk
+    Ep = n_chunks * row_chunk
+    pol_p = jnp.pad(polar, ((0, Ep - E), (0, 0), (0, 0)))
+    cv_p = jnp.pad(cv_rows, (0, Ep - E), constant_values=1.0)
+
+    def do_chunk(args):
+        pol_c, cv_c = args                                 # (R, A, C), (R,)
+        # a_f(row, x, sub): azimuth position of the sub-pixel ray
+        tanb = ndc_x[None, :, :] * (ps.hw / cv_c)[:, None, None]
+        a_f = (tanb - ps.t_lo) / ps.t_step - 0.5
+        a_f = jnp.clip(a_f, 0.0, A - 1.0)                  # (R, W, ss)
+        # hat weights vs the azimuth iota, box-summed over sub-positions
+        w = jnp.maximum(
+            0.0, 1.0 - jnp.abs(a_f[:, None, :, :] - iota_a[None, :, None,
+                                                           None]))
+        w = w.sum(axis=-1) * (1.0 / ss)                    # (R, A, W)
+        return jnp.einsum("raw,rac->rwc", w, pol_c,
+                          preferred_element_type=_F32)
+
+    out = jax.lax.map(
+        do_chunk,
+        (pol_p.reshape(n_chunks, row_chunk, A, C),
+         cv_p.reshape(n_chunks, row_chunk)))
+    out = out.reshape(Ep, width, C)[:E - ps.e_pad]
+    return out.reshape(height, ps.row_ss, width, C).mean(axis=1)

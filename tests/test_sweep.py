@@ -181,8 +181,7 @@ def test_polar_hits_match_dda():
                     cam_iu=rg.cam_iu, cam_iv=rg.cam_iv)
     rotbuf = h_rot[..., None]
     prof = extract_profiles(rotbuf, ps, xi=0.0, ja=0.0)
-    q_prof, s_h = profile_hit_tangents(prof[..., 0], ps, xi=0.0, ja=0.0)
-    t_dist = s_h * jnp.sqrt(1.0 + jnp.clip(q_prof, -10, 10) ** 2)
+    q_prof, t_dist = profile_hit_tangents(prof[..., 0], ps, xi=0.0, ja=0.0)
     ones = jnp.ones_like(q_prof)
     values = jnp.stack([t_dist, ones], -1)
     miss = jnp.zeros((ps.e_count, ps.a_count, 2), jnp.float32)
