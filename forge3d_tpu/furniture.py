@@ -187,11 +187,22 @@ def draw_graticule(frame: np.ndarray, spec: GraticuleSpec,
 
 def draw_title_plate(frame: np.ndarray, title: str, subtitle: str = "",
                      scale: int = 2) -> None:
-    """Title block along the top edge (reference: map_plate.py)."""
+    """Title along the top edge (reference: map_plate.py): centered dark
+    text with a light halo; a full-width plate band only on large frames."""
+    W = frame.shape[1]
     mask = _text_mask(title, scale=scale)
     h = mask.shape[0] + (14 if subtitle else 6)
-    plate = np.full((h + 8, frame.shape[1]), 0.0, np.float32)
-    _blend(frame, (1, 1, 1), np.full((h + 8, frame.shape[1]), 0.65, np.float32), 0, 0)
-    _blend(frame, (0, 0, 0), mask, 8, 4)
+    if W >= 400:
+        _blend(frame, (1, 1, 1),
+               np.full((h + 8, W), 0.65, np.float32), 0, 0)
+    x = max(2, (W - mask.shape[1]) // 2)
+    # halo: dilated mask underneath
+    halo = np.minimum(1.0, (
+        np.pad(mask, 1)[:-2, 1:-1] + np.pad(mask, 1)[2:, 1:-1]
+        + np.pad(mask, 1)[1:-1, :-2] + np.pad(mask, 1)[1:-1, 2:] + mask))
+    _blend(frame, (0.95, 0.96, 0.97), halo * 0.85, x, 3)
+    _blend(frame, (0.08, 0.1, 0.12), mask, x, 3)
     if subtitle:
-        _blend(frame, (0.15, 0.15, 0.15), _text_mask(subtitle), 8, 6 + mask.shape[0])
+        sub = _text_mask(subtitle)
+        _blend(frame, (0.15, 0.15, 0.15), sub,
+               max(2, (W - sub.shape[1]) // 2), 6 + mask.shape[0])

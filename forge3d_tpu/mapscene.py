@@ -228,6 +228,12 @@ class SceneRecipe:
     furniture: MapFurniture = field(default_factory=MapFurniture)
     output: OutputSpec = field(default_factory=OutputSpec)
     name: str = "map"
+    #: "perspective" = ray-traced orbit camera (this engine's native path);
+    #: "screen" = the reference's default fullscreen-triangle framing
+    #: (terrain_pbr_pom.wgsl vs_main screen branch: DEM UV [0,1]^2 maps
+    #: directly to NDC, the orbit camera only drives lighting) — used by
+    #: the reference-golden parity harness.
+    camera_mode: str = "perspective"
 
 
 # ---------------------------------------------------------------------------
@@ -364,13 +370,100 @@ class MapScene:
         plan = {
             "dem": dem, "spacing": spacing, "crs": crs, "params": params,
             "span": span, "target": target, "radius": radius,
+            "camera_mode": getattr(r, "camera_mode", "perspective"),
         }
         self._plan = plan
         return plan
 
+    # -- screen-mode terrain (reference default framing) --------------------
+    def _render_screen_terrain(self, plan):
+        """Orthographic full-frame terrain pass matching the reference's
+        screen camera mode (terrain_pbr_pom.wgsl vs_main screen branch +
+        fragment colormap/lambert essentials): DEM UV fills the frame,
+        per-pixel shading from the DEM's own normals, camera unused."""
+        from .colormaps import get_lut
+
+        p = plan["params"]
+        dem = np.asarray(plan["dem"], np.float32)
+        spacing = plan["spacing"]
+        W, H = p.size_px
+        h, w = dem.shape
+        lo, hi = float(dem.min()), float(dem.max())
+        t01 = (dem - lo) / max(hi - lo, 1e-9)
+
+        ys, xs = np.mgrid[0:H, 0:W]
+        u = (xs + 0.5) / W
+        v = 1.0 - (ys + 0.5) / H             # tex v: row 0 at screen bottom
+        fx = np.clip(u * (w - 1), 0, w - 1.001)
+        fz = np.clip(v * (h - 1), 0, h - 1.001)
+        x0 = fx.astype(np.int32)
+        z0 = fz.astype(np.int32)
+        ax = fx - x0
+        az = fz - z0
+        t00 = t01[z0, x0]
+        t10 = t01[z0, x0 + 1]
+        t01v = t01[z0 + 1, x0]
+        t11 = t01[z0 + 1, x0 + 1]
+        t = (t00 * (1 - ax) * (1 - az) + t10 * ax * (1 - az)
+             + t01v * (1 - ax) * az + t11 * ax * az)
+
+        lut = get_lut(p.colormap)
+        idx = np.clip(t * (len(lut) - 1), 0, len(lut) - 1)
+        i0 = idx.astype(np.int32)
+        f = (idx - i0)[..., None]
+        i1 = np.minimum(i0 + 1, len(lut) - 1)
+        # legacy screen mode shades the colormap in display space
+        # (colormap_srgb=true, output_srgb_eotf=false — A.4 param defaults
+        # of the reference's TerrainRenderParams)
+        albedo = (lut[i0][..., :3] * (1 - f)
+                  + lut[i1][..., :3] * f).astype(np.float32)
+
+        # per-pixel surface normal from the exact bilinear patch slopes
+        zs = p.z_scale * max(hi - lo, 1e-9)
+        dydx = ((t10 - t00) * (1 - az) + (t11 - t01v) * az) \
+            * (zs / spacing[0])
+        dydz = ((t01v - t00) * (1 - ax) + (t11 - t10) * ax) \
+            * (zs / spacing[1])
+        invn = 1.0 / np.sqrt(1.0 + dydx ** 2 + dydz ** 2)
+        light = p.light
+        az_r = math.radians(light.azimuth_deg)
+        el_r = math.radians(light.elevation_deg)
+        lx = math.cos(el_r) * math.sin(az_r)
+        ly = math.sin(el_r)
+        lz = math.cos(el_r) * math.cos(az_r)
+        ndotl = np.maximum((-dydx * lx + ly - dydz * lz) * invn, 0.0)
+        sun = np.asarray(light.color, np.float32) * light.intensity
+        amb = np.asarray(light.ambient_color, np.float32) * light.ambient
+        radiance = albedo * (sun[None, None] * ndotl[..., None]
+                             + amb[None, None])
+        exposure = getattr(p, "exposure", 1.0)
+        ldr = radiance * exposure / (1.0 + radiance * exposure)
+        rgba = np.concatenate(
+            [(np.clip(ldr, 0, 1) * 255 + 0.5).astype(np.uint8),
+             np.full((H, W, 1), 255, np.uint8)], axis=-1)
+        return rgba
+
+    def _project_screen(self, plan, pts_xz):
+        """World (x, z) -> screen pixels under the screen camera mode
+        (direct UV mapping; z grows toward screen top like the reference's
+        uv.y-up fullscreen triangle)."""
+        p = plan["params"]
+        dem = plan["dem"]
+        spacing = plan["spacing"]
+        W, H = p.size_px
+        h, w = dem.shape
+        pts = np.asarray(pts_xz, np.float64).reshape(-1, 2)
+        u = pts[:, 0] / ((w - 1) * spacing[0])
+        v = pts[:, 1] / ((h - 1) * spacing[1])
+        px = u * W - 0.5
+        py = (1.0 - v) * H - 0.5
+        return np.stack([px, py], axis=1)
+
     # -- overlay projection ------------------------------------------------
     def _project(self, plan, pts_xz: np.ndarray, height_offset: float) -> np.ndarray:
         """World (x, z) -> screen pixel coords using the render camera."""
+        if plan.get("camera_mode") == "screen":
+            return self._project_screen(plan, pts_xz)
         p = plan["params"]
         dem = plan["dem"]
         spacing = plan["spacing"]
@@ -655,17 +748,23 @@ class MapScene:
             or (isinstance(l, LabelLayer) and l.occlusion == "terrain")
             for l in layers)
 
-        renderer = TerrainRenderer()
-        if needs_depth:
-            frame, aov = renderer.render_with_aov(
-                params=plan["params"], heightmap=plan["dem"], cache=cache)
-            depth = np.asarray(aov["depth"], np.float64).copy()
-            depth[~np.isfinite(depth)] = np.inf
+        if plan.get("camera_mode") == "screen":
+            rgba = self._render_screen_terrain(plan)
+            depth = (np.full(rgba.shape[:2], np.inf)
+                     if needs_depth else None)
+            frame = Frame(rgba=rgba, metadata={"camera_mode": "screen"})
         else:
-            frame = renderer.render_terrain_pbr_pom(
-                params=plan["params"], heightmap=plan["dem"], cache=cache,
-            )
-            depth = None
+            renderer = TerrainRenderer()
+            if needs_depth:
+                frame, aov = renderer.render_with_aov(
+                    params=plan["params"], heightmap=plan["dem"], cache=cache)
+                depth = np.asarray(aov["depth"], np.float64).copy()
+                depth[~np.isfinite(depth)] = np.inf
+            else:
+                frame = renderer.render_terrain_pbr_pom(
+                    params=plan["params"], heightmap=plan["dem"], cache=cache,
+                )
+                depth = None
         rgba = frame.rgba.copy()
         W, H = plan["params"].size_px
 
@@ -751,23 +850,34 @@ class MapScene:
         fur = self.recipe.furniture
         from . import furniture as fx
 
+        # layout follows the reference's furniture compositor: title
+        # top-center, legend panel bottom-left, scale bar bottom-center,
+        # north arrow beside it — all scaled to the frame
         if fur.title:
-            fx.draw_title_plate(rgba, fur.title, fur.subtitle)
+            fx.draw_title_plate(rgba, fur.title, fur.subtitle,
+                                scale=2 if W >= 400 else 1)
         if fur.legend:
             dem = plan["dem"]
+            lg_h = max(24, min(140, H // 3))
+            lg_w = max(6, min(22, W // 12))
             fx.draw_legend(
                 rgba,
                 fx.LegendSpec(colormap=plan["params"].colormap,
                               vmin=float(dem.min()), vmax=float(dem.max()),
-                              label=fur.legend_label),
-                x=W - 70, y=H - 180,
+                              label=fur.legend_label,
+                              width=lg_w, height=lg_h),
+                x=8, y=H - lg_h - 14,
             )
         if fur.scale_bar:
             mpp = plan["span"] / W
-            fx.draw_scale_bar(rgba, fx.ScaleBarSpec(meters_per_pixel=mpp),
-                              x=16, y=H - 28)
+            fx.draw_scale_bar(
+                rgba,
+                fx.ScaleBarSpec(meters_per_pixel=mpp,
+                                max_width_px=max(40, W // 3)),
+                x=W // 2 - max(40, W // 3) // 2, y=H - 22)
         if fur.north_arrow:
-            fx.draw_north_arrow(rgba, x=16, y=16)
+            na = max(12, min(28, H // 5))
+            fx.draw_north_arrow(rgba, x=W - na - 10, y=H - na - 26, size=na)
         if fur.graticule_spacing > 0:
             fx.draw_graticule(
                 rgba, fx.GraticuleSpec(spacing=fur.graticule_spacing),

