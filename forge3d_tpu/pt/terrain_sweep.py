@@ -225,6 +225,7 @@ def _build_pipeline(dem_shape: Tuple[int, int],
 
     frame_fn = jax.jit(batch)
     frame_fn.batch_n = int(batch_n)
+    frame_fn.raw = batch          # unjitted body for shard_map composition
 
     # horizontal supersampling folds into the resolve matmul weights for
     # free; keep it everywhere
@@ -381,68 +382,83 @@ def render_terrain_sweep(desc: TerrainRefDesc, frames: int | None = None,
                             jnp.uint32(desc.seed & 0xFFFFFFFF),
                             n_batches, BATCH)
 
-        buf = np.asarray(packed)                 # ONE host transfer
-        hw = H * W
-        off = 0
-
-        def take(n):
-            nonlocal off
-            out = buf[off:off + n]
-            off += n
-            return out
-
-        vis_u8 = take(hw).reshape(H, W)
-        oct_u8 = take(hw * 2).reshape(H, W, 2)
-        depth = take(hw * 2).copy().view(np.float16).astype(
-            np.float32).reshape(H, W)
-        rgbe = take(hw * 4).reshape(H, W, 4)
-        exp = rgbe[..., 3].astype(np.int32)
-        hscale = np.ldexp(1.0, exp - 136).astype(np.float32)   # 2^(e-128)/256
-        hdr = np.where(exp[..., None] > 0,
-                       (rgbe[..., :3].astype(np.float32) + 0.5)
-                       * hscale[..., None],
-                       0.0).astype(np.float32)
-
-        # beauty: host tonemap of the shipped HDR (same formula the device
-        # used to apply; see resolve_impl packing comment)
-        xexp = hdr * float(desc.exposure)
-        ldr = (xexp / (1.0 + xexp)).astype(np.float16).astype(np.float32)
-        rgb_u8 = np.clip(ldr * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        rgba = np.concatenate([rgb_u8,
-                               np.full((H, W, 1), 255, np.uint8)], axis=-1)
-
-        hitm = vis_u8 >= 128
-        # octahedral decode (y primary)
-        f = oct_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
-        ny = 1.0 - np.abs(f[..., 0]) - np.abs(f[..., 1])
-        t_fold = np.clip(-ny, 0.0, 1.0)
-        nx = f[..., 0] + np.where(f[..., 0] >= 0, -t_fold, t_fold)
-        nz = f[..., 1] + np.where(f[..., 1] >= 0, -t_fold, t_fold)
-        nvec = np.stack([nx, ny, nz], axis=-1)
-        nlen = np.linalg.norm(nvec, axis=-1, keepdims=True)
-        normal = np.where(hitm[..., None], nvec / np.maximum(nlen, 1e-9),
-                          0.0).astype(np.float32)
-        albedo_img = np.where(
-            hitm[..., None], np.asarray(desc.albedo, np.float32), 0.0
-        ).astype(np.float32)
-
         # the sweep estimator's per-frame noise is already sub-spp-64;
         # tests gate converged SSIM against the per-ray reference instead
+        out = _unpack_render(desc, np.asarray(packed), n_frames)
         mm = tracker.metrics()
-        return {
-            "rgba": rgba,
-            "albedo": albedo_img,
-            "normal": normal,
-            "depth": depth,
-            "frames": n_frames,
-            "variance": 0.0,
-            "converged": True,
-            "peak_host_visible_bytes": int(mm["peak_tracked_bytes"]),
-            "minmax_pyramid_bytes": 0,
-            "gpu_resource_bytes": int(rot_bytes + polar_bytes),
-            "hdr": hdr,
-            "method": "sweep",
-        }
+        out["peak_host_visible_bytes"] = int(mm["peak_tracked_bytes"])
+        out["gpu_resource_bytes"] = int(rot_bytes + polar_bytes)
+        return out
     finally:
         for rid in rids:
             tracker.free(rid)
+
+
+def _unpack_render(desc: TerrainRefDesc, buf: np.ndarray, n_frames: int,
+                   extra: dict | None = None) -> dict:
+    """Unpack the resolve's ONE-transfer u8 buffer into the render dict.
+
+    Layout per pixel (see resolve_impl): vis u8, normal oct-u8x2,
+    depth f16 (bit-cast), HDR Radiance RGBE u8x4.
+    """
+    W, H = desc.width, desc.height
+    hw = H * W
+    off = 0
+
+    def take(n):
+        nonlocal off
+        out = buf[off:off + n]
+        off += n
+        return out
+
+    vis_u8 = take(hw).reshape(H, W)
+    oct_u8 = take(hw * 2).reshape(H, W, 2)
+    depth = take(hw * 2).copy().view(np.float16).astype(
+        np.float32).reshape(H, W)
+    rgbe = take(hw * 4).reshape(H, W, 4)
+    exp = rgbe[..., 3].astype(np.int32)
+    hscale = np.ldexp(1.0, exp - 136).astype(np.float32)   # 2^(e-128)/256
+    hdr = np.where(exp[..., None] > 0,
+                   (rgbe[..., :3].astype(np.float32) + 0.5)
+                   * hscale[..., None],
+                   0.0).astype(np.float32)
+
+    # beauty: host tonemap of the shipped HDR (same Reinhard the device
+    # applied before the packing change; within 1 u8 step)
+    xexp = hdr * float(desc.exposure)
+    ldr = (xexp / (1.0 + xexp)).astype(np.float16).astype(np.float32)
+    rgb_u8 = np.clip(ldr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    rgba = np.concatenate([rgb_u8,
+                           np.full((H, W, 1), 255, np.uint8)], axis=-1)
+
+    hitm = vis_u8 >= 128
+    # octahedral decode (y primary)
+    f = oct_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+    ny = 1.0 - np.abs(f[..., 0]) - np.abs(f[..., 1])
+    t_fold = np.clip(-ny, 0.0, 1.0)
+    nx = f[..., 0] + np.where(f[..., 0] >= 0, -t_fold, t_fold)
+    nz = f[..., 1] + np.where(f[..., 1] >= 0, -t_fold, t_fold)
+    nvec = np.stack([nx, ny, nz], axis=-1)
+    nlen = np.linalg.norm(nvec, axis=-1, keepdims=True)
+    normal = np.where(hitm[..., None], nvec / np.maximum(nlen, 1e-9),
+                      0.0).astype(np.float32)
+    albedo_img = np.where(
+        hitm[..., None], np.asarray(desc.albedo, np.float32), 0.0
+    ).astype(np.float32)
+    out = {
+        "rgba": rgba,
+        "albedo": albedo_img,
+        "normal": normal,
+        "depth": depth,
+        "frames": n_frames,
+        "variance": 0.0,
+        "converged": True,
+        "peak_host_visible_bytes": 0,
+        "minmax_pyramid_bytes": 0,
+        "gpu_resource_bytes": 0,
+        "hdr": hdr,
+        "method": "sweep",
+    }
+    if extra:
+        out.update(extra)
+    return out

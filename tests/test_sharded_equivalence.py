@@ -46,3 +46,30 @@ def test_sharded_accum_matches_unsharded_256():
     np.testing.assert_allclose(np.asarray(wf8), np.asarray(wf1),
                                rtol=2e-5, atol=2e-5)
     assert (a8[..., 3] == 2.0).all()
+
+
+@pytest.mark.slow
+def test_sweep_frame_sharding_matches_single_device():
+    """The flagship sweep renderer's frame sharding (parallel/sweep.py):
+    8 frames spread over an 8-device mesh psum to the same converged
+    render as the single-device batch — bit-identical u8 output (same
+    per-frame RNG streams; the psum adds the same f32 terms)."""
+    import jax
+
+    from forge3d_tpu.parallel.sweep import render_sweep_sharded
+    from forge3d_tpu.pt.terrain_ref import TerrainRefDesc
+    from forge3d_tpu.pt.terrain_sweep import render_terrain_sweep
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    n = 65
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float32)
+    dem = (6.0 * np.sin(xx * 0.15) * np.cos(yy * 0.12)).astype(np.float32)
+    desc = TerrainRefDesc(heights=dem, cam_origin=(32.0, 22.0, 90.0),
+                          cam_look_at=(32.0, 0.0, 32.0), fov_y_deg=42.0,
+                          width=128, height=96, spp=1)
+    a = render_terrain_sweep(desc, frames=8)
+    b = render_sweep_sharded(desc, n_frames=8)
+    assert b["devices"] == 8 and b["frames"] == 8
+    assert np.array_equal(a["rgba"], b["rgba"])
+    np.testing.assert_allclose(a["hdr"], b["hdr"], rtol=1e-5, atol=1e-6)
