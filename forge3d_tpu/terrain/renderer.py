@@ -101,6 +101,10 @@ def _static_key(p: TerrainRenderParams, has_env: bool, has_water_mask: bool,
         p.height_ao is not None and p.height_ao.enabled,
         int(p.height_ao.samples) if (p.height_ao and p.height_ao.enabled) else 0,
         p.material_layers is not None and p.material_layers.enabled,
+        p.triplanar is not None and p.triplanar.enabled,
+        p.detail is not None and p.detail.enabled,
+        p.pom is not None and p.pom.enabled and float(p.pom.scale) > 0.0,
+        p.reflection is not None and p.reflection.enabled,
         has_env, has_water_mask, p.height_curve_mode, p.debug_mode,
         dem_shape,
     )
@@ -392,6 +396,19 @@ class TerrainRenderer:
         if p.height_ao and p.height_ao.enabled:
             uni["ao_radius"] = f(p.height_ao.radius)
             uni["ao_strength"] = f(p.height_ao.strength)
+        if p.triplanar and p.triplanar.enabled:
+            uni["tri_scale"] = f(p.triplanar.scale)
+            uni["tri_sharp"] = f(p.triplanar.blend_sharpness)
+        if p.detail and p.detail.enabled:
+            uni["det_strength"] = f(p.detail.strength)
+            uni["det_scale"] = f(p.detail.scale)
+            # distance fade: detail fades out by ~3 terrain spans (camera
+            # orbits at ~1.2 spans, so near terrain keeps ~60% strength)
+            uni["det_fade"] = f(max(span * 3.0, 1.0))
+        if p.pom and p.pom.enabled:
+            uni["pom_scale"] = f(p.pom.scale)
+        if p.reflection and p.reflection.enabled:
+            uni["refl_intensity"] = f(p.reflection.intensity)
         if layers and layers.enabled:
             uni["snow_h"] = f(layers.snow_height)
             uni["snow_blend"] = f(max(layers.snow_blend, 1e-4))
@@ -491,6 +508,31 @@ class TerrainRenderer:
         layers_on = p.material_layers is not None and p.material_layers.enabled
         curve_mode = p.height_curve_mode
         debug_mode = p.debug_mode
+        tri_on = p.triplanar is not None and p.triplanar.enabled
+        det_on = p.detail is not None and p.detail.enabled
+        pom_on = (p.pom is not None and p.pom.enabled
+                  and float(p.pom.scale) > 0.0)
+        wrefl_on = (water_on and p.reflection is not None
+                    and p.reflection.enabled)
+
+        def vnoise2(x, z):
+            """Deterministic 2-D value noise (hash lattice + smoothstep)."""
+            xi = jnp.floor(x)
+            zi = jnp.floor(z)
+            xf = x - xi
+            zf = z - zi
+
+            def h(ix, iz):
+                n = (ix.astype(jnp.int32) * 374761393
+                     + iz.astype(jnp.int32) * 668265263) ^ 1274126177
+                n = (n ^ (n >> 13)) * 1103515245
+                return ((n >> 8) & 0xFFFF).astype(_F32) / 65535.0
+
+            sx = xf * xf * (3 - 2 * xf)
+            sz = zf * zf * (3 - 2 * zf)
+            a = h(xi, zi) * (1 - sx) + h(xi + 1, zi) * sx
+            b = h(xi, zi + 1) * (1 - sx) + h(xi + 1, zi + 1) * sx
+            return a * (1 - sz) + b * sz
 
         def sky_rgb(u, dy):
             t = jnp.clip(0.5 * (dy + 1.0), 0.0, 1.0)
@@ -512,26 +554,9 @@ class TerrainRenderer:
 
         def cloud_shadow(u, px, pz):
             # cheap two-octave value noise, time-scrolled
-            def vnoise(x, z):
-                xi = jnp.floor(x)
-                zi = jnp.floor(z)
-                xf = x - xi
-                zf = z - zi
-
-                def h(ix, iz):
-                    n = (ix.astype(jnp.int32) * 374761393 + iz.astype(jnp.int32) * 668265263) ^ 1274126177
-                    n = (n ^ (n >> 13)) * 1103515245
-                    return ((n >> 8) & 0xFFFF).astype(_F32) / 65535.0
-
-                sx = xf * xf * (3 - 2 * xf)
-                sz = zf * zf * (3 - 2 * zf)
-                a = h(xi, zi) * (1 - sx) + h(xi + 1, zi) * sx
-                b = h(xi, zi + 1) * (1 - sx) + h(xi + 1, zi + 1) * sx
-                return a * (1 - sz) + b * sz
-
             sc = u["cloud_scale"]
             tshift = u["time"] * 0.02
-            n = 0.65 * vnoise(px * sc + tshift, pz * sc) + 0.35 * vnoise(
+            n = 0.65 * vnoise2(px * sc + tshift, pz * sc) + 0.35 * vnoise2(
                 px * sc * 2.7 + 13.7 + tshift * 1.7, pz * sc * 2.7
             )
             cov = jnp.clip((n - (1.0 - u["cloud_coverage"])) / jnp.maximum(u["cloud_coverage"], 1e-4), 0.0, 1.0)
@@ -559,6 +584,73 @@ class TerrainRenderer:
             py_ = oy + t * dy
             pz_ = oz + t * dz
             nx, ny, nz = normal_at(scene, static, (px_, py_, pz_), hit.cell_x, hit.cell_z)
+
+            # shading-sample position (POM: parallax-offset material
+            # lookups by the procedural micro-relief along the view ray;
+            # geometry-scale displacement is already ray-true — this adds
+            # the reference's sub-texel relief. ref terrain_pbr_pom.wgsl
+            # :2660)
+            if pom_on or det_on or tri_on:
+                dsc = u.get("det_scale", jnp.asarray(8.0, _F32))
+                dfreq = dsc / jnp.maximum(u["hmax"] - u["hmin"], 1e-6)
+            if pom_on:
+                hdet = (vnoise2(px_ * dfreq, pz_ * dfreq) - 0.5) \
+                    * u["pom_scale"]
+                px_s = px_ - dx * hdet
+                pz_s = pz_ - dz * hdet
+            else:
+                px_s, pz_s = px_, pz_
+
+            # detail field: triplanar-blended procedural texture (the
+            # reference triplanar-samples material textures weighted by
+            # |n|^k — ref :1897-1916, :2313); with triplanar off, a single
+            # top-down projection is used.
+            if det_on or tri_on:
+                d_top = vnoise2(px_s * dfreq, pz_s * dfreq)
+                if tri_on:
+                    sharp = u["tri_sharp"]
+                    wx_ = jnp.power(jnp.abs(nx), sharp)
+                    wy_ = jnp.power(jnp.abs(ny), sharp)
+                    wz_ = jnp.power(jnp.abs(nz), sharp)
+                    wsum = jnp.maximum(wx_ + wy_ + wz_, 1e-6)
+                    d_x = vnoise2(py_ * dfreq * u["tri_scale"],
+                                  pz_s * dfreq * u["tri_scale"])
+                    d_z = vnoise2(px_s * dfreq * u["tri_scale"],
+                                  py_ * dfreq * u["tri_scale"])
+                    detail = (wx_ * d_x + wy_ * d_top + wz_ * d_z) / wsum
+                else:
+                    detail = d_top
+                dist_fade = jnp.clip(
+                    1.0 - t / u.get("det_fade", jnp.asarray(1e9, _F32)),
+                    0.0, 1.0)
+
+            # detail normals: gradient of the detail field, RNM-blended
+            # onto the geometric normal, distance-faded (ref :2427-2649)
+            if det_on:
+                eps_d = 0.5 / dfreq
+                gdx = (vnoise2((px_s + eps_d) * dfreq, pz_s * dfreq)
+                       - vnoise2((px_s - eps_d) * dfreq, pz_s * dfreq)) \
+                    / (2 * eps_d)
+                gdz = (vnoise2(px_s * dfreq, (pz_s + eps_d) * dfreq)
+                       - vnoise2(px_s * dfreq, (pz_s - eps_d) * dfreq)) \
+                    / (2 * eps_d)
+                s_d = u["det_strength"] * dist_fade
+                tinv = jax.lax.rsqrt(1.0 + (gdx * s_d) ** 2
+                                     + (gdz * s_d) ** 2)
+                tnx = -gdx * s_d * tinv
+                tny = tinv
+                tnz = -gdz * s_d * tinv
+                # reoriented normal mapping for a y-up base frame
+                qx, qy, qz = nx, ny + 1.0, nz
+                qdot = qx * tnx + qy * tny + qz * tnz
+                qy_safe = jnp.maximum(qy, 1e-4)
+                bnx = qx * qdot / qy_safe - tnx
+                bny = qy * qdot / qy_safe - tny
+                bnz = qz * qdot / qy_safe - tnz
+                binv = jax.lax.rsqrt(bnx * bnx + bny * bny + bnz * bnz)
+                nx = bnx * binv
+                ny = bny * binv
+                nz = bnz * binv
 
             # --- albedo ---
             hn = jnp.clip((py_ - u["hmin"]) / jnp.maximum(u["hmax"] - u["hmin"], 1e-6), 0.0, 1.0)
@@ -629,6 +721,13 @@ class TerrainRenderer:
                 ar = ar * (1 - snow) + u["snow_rgb"][0] * snow
                 ag = ag * (1 - snow) + u["snow_rgb"][1] * snow
                 ab = ab * (1 - snow) + u["snow_rgb"][2] * snow
+
+            if det_on:
+                # albedo micro-variation from the (triplanar) detail field
+                mod = 1.0 + u["det_strength"] * (detail - 0.5) * dist_fade
+                ar = ar * mod
+                ag = ag * mod
+                ab = ab * mod
 
             # --- sun term ---
             sd = u["sun_dir"]
@@ -702,6 +801,41 @@ class TerrainRenderer:
                 fres = 0.02 + 0.98 * jnp.power(1.0 - cosv, 5.0)
                 skyr, skyg, skyb = env_sample(u, dx, jnp.abs(dy), dz)
                 refl = u["water_reflectivity"]
+                if wrefl_on:
+                    # TRUE planar reflection: reflect the view ray at the
+                    # water plane and trace the terrain again (the ray
+                    # engine replaces the reference's reflection sample/
+                    # Fresnel/blend pass, terrain_pbr_pom.wgsl:852-941);
+                    # sky fills reflected misses.
+                    rro = (wx, jnp.full((H, W), u["water_level"] + 1e-3),
+                           wz)
+                    rdy = jnp.abs(dy)
+                    rhit = trace(scene, static, rro, (dx, rdy, dz))
+                    rpx = wx + rhit.t * dx
+                    rpy = u["water_level"] + rhit.t * rdy
+                    rpz = wz + rhit.t * dz
+                    rnx, rny, rnz = normal_at(scene, static,
+                                              (rpx, rpy, rpz),
+                                              rhit.cell_x, rhit.cell_z)
+                    rhn = jnp.clip((rpy - u["hmin"])
+                                   / jnp.maximum(u["hmax"] - u["hmin"],
+                                                 1e-6), 0.0, 1.0)
+                    if use_colormap:
+                        rar, rag, rab = colormaps.sample_lut_jnp(u["lut"],
+                                                                 rhn)
+                    else:
+                        rar = jnp.full((H, W), u["constant_albedo"][0])
+                        rag = jnp.full((H, W), u["constant_albedo"][1])
+                        rab = jnp.full((H, W), u["constant_albedo"][2])
+                    rndl = jnp.maximum(rnx * sd[0] + rny * sd[1]
+                                       + rnz * sd[2], 0.0)
+                    ri = u["refl_intensity"]
+                    trr = rar * (u["sun_rgb"][0] * rndl + u["ambient_rgb"][0])
+                    trg = rag * (u["sun_rgb"][1] * rndl + u["ambient_rgb"][1])
+                    trb = rab * (u["sun_rgb"][2] * rndl + u["ambient_rgb"][2])
+                    skyr = jnp.where(rhit.hit, trr * ri, skyr)
+                    skyg = jnp.where(rhit.hit, trg * ri, skyg)
+                    skyb = jnp.where(rhit.hit, trb * ri, skyb)
                 wr = u["water_rgb"][0] * (1 - fres) + skyr * fres * refl * 4.0
                 wg = u["water_rgb"][1] * (1 - fres) + skyg * fres * refl * 4.0
                 wb = u["water_rgb"][2] * (1 - fres) + skyb * fres * refl * 4.0
