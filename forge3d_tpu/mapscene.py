@@ -436,6 +436,17 @@ class MapScene:
         amb = np.asarray(light.ambient_color, np.float32) * light.ambient
         radiance = albedo * (sun[None, None] * ndotl[..., None]
                              + amb[None, None])
+        # water: flat fill where the surface lies below the level (screen
+        # mode is orthographic, so the water plane maps to a height test)
+        r = self.recipe
+        if r.water_level is not None and hi > lo:
+            wl = (float(r.water_level) - lo) / (hi - lo)
+            under = (t < wl)[..., None]
+            wcol = np.asarray([0.08, 0.22, 0.35], np.float32)
+            fresnel = 0.15
+            wshade = wcol * (light.intensity * 0.6 + light.ambient) \
+                + fresnel * np.asarray(light.ambient_color, np.float32)
+            radiance = np.where(under, wshade[None, None], radiance)
         exposure = getattr(p, "exposure", 1.0)
         ldr = radiance * exposure / (1.0 + radiance * exposure)
         rgba = np.concatenate(

@@ -130,6 +130,33 @@ def _recipes():
                                 np.linspace(1, 6, 40)], axis=1),
             point_size=2)
     ], width=128, height=80)
+    # water basin DEM (rim at 1, floor at 0), auto water at level 0.1
+    water_dem = np.ones((8, 8), np.float32)
+    water_dem[2:6, 2:6] = 0.0
+    rec = _base_recipe(width=128, height=80)
+    rec.terrain = TerrainSource(dem=water_dem, spacing=(1.0, 1.0),
+                                z_scale=1.0)
+    rec.water_level = 0.1
+    out["mapscene_auto_water"] = rec
+    # 16-bit output variant (golden committed as PNG16)
+    out["mapscene_png16_color"] = _base_recipe(width=80, height=48)
+    out["mapscene_label_halo_depth"] = _base_recipe(width=128, height=80,
+                                                    layers=[
+        LabelLayer(labels=[
+            {"text": "Front", "position": (1.9, 2.3),
+             "color": (1.0, 1.0, 1.0, 1.0),
+             "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
+            {"text": "Summit", "position": (5.0, 4.4),
+             "color": (0.12, 0.16, 0.18, 1.0),
+             "halo_color": (1.0, 1.0, 1.0, 0.88), "halo_width": 2.0},
+        ])])
+    out["mapscene_label_occlusion_ridge"] = _base_recipe(
+        width=128, height=80,
+        layers=[LabelLayer(labels=[
+            {"text": "Front", "position": (2.4, 2.3),
+             "color": (1.0, 1.0, 1.0, 1.0),
+             "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
+        ])])
     return out
 
 
@@ -139,7 +166,9 @@ def _score(scene_id, recipe):
         pytest.skip(f"reference golden missing: {golden}")
     from forge3d_tpu.io.image import png_to_numpy
 
-    ref = png_to_numpy(golden).astype(np.float32)[..., :3] / 255.0
+    raw = png_to_numpy(golden)
+    peak = 65535.0 if raw.dtype == np.uint16 else 255.0
+    ref = raw.astype(np.float32)[..., :3] / peak
     frame = MapScene(recipe).render()
     got = frame.rgba[..., :3].astype(np.float32) / 255.0
     if got.shape != ref.shape:
