@@ -56,8 +56,11 @@ def main():
     for s in (7, 8):
         f3d.hybrid_render_terrain_reference(dem, W, H, cam, spp=2, seed=s,
                                             traversal="sweep")
+    # best-of-8: the dev tunnel's host link swings ~2x between claims
+    # (measured 167-320 ms for the identical program); more samples give
+    # the steady-state number a chance (PERF.md "tunnel round-trip model")
     times = []
-    for s in range(4):
+    for s in range(8):
         t0 = time.perf_counter()
         f3d.hybrid_render_terrain_reference(dem, W, H, cam, spp=2,
                                             seed=11 + s, traversal="sweep")

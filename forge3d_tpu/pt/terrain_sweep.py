@@ -207,13 +207,16 @@ def _build_pipeline(dem_shape: Tuple[int, int],
     # ran ~15x slower than one vmapped batch on v5e). Batch width and the
     # synthesis azimuth chunk adapt to an HBM budget — the first-crossing
     # contraction's (E, K, a_chunk) temporaries are the peak.
-    HBM_BUDGET = 5 * 1024 ** 3
+    HBM_BUDGET = 8 * 1024 ** 3   # v5e has 16 GiB; leave half for tables/acc
     a_chunk = 128
     k_chunk = 128
     per_lane = (ps.e_count * ps.k_count * a_chunk * 8      # synth ge+cross
                 + k_chunk * rg.n_u * ps.a_count * 4        # extract weights
                 + ps.k_count * ps.a_count * 9 * 4 * 3)     # profiles/values
-    batch_n = max(min(HBM_BUDGET // max(per_lane, 1), 8), 1)
+    # cap at 4: measured on v5e-1 (512^2), 2 batches of 4 beat 1 batch of
+    # 8 by ~8% (167 vs 181 ms) — the smaller working set wins once the
+    # chip is saturated
+    batch_n = max(min(HBM_BUDGET // max(per_lane, 1), 4), 1)
     while batch_n == 1 and a_chunk > 32 \
             and ps.e_count * ps.k_count * a_chunk * 8 > HBM_BUDGET // 2:
         a_chunk //= 2
