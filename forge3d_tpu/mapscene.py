@@ -112,6 +112,7 @@ class VectorOverlayLayer:
     width: float = 3.0              # stroke px / point size px
     opacity: float = 1.0
     height_offset: float = 1.0      # meters above terrain
+    dash_array: Optional[List[float]] = None   # [on_px, off_px, ...]
     name: str = ""
 
 
@@ -842,7 +843,9 @@ class MapScene:
                 elif layer.kind == "lines":
                     pts = self._project(plan, layer.coordinates, layer.height_offset)
                     vs.add_lines(pts, color=layer.color, width=layer.width,
-                                 opacity=layer.opacity)
+                                 opacity=layer.opacity,
+                                 dash_array=getattr(layer, "dash_array",
+                                                    None))
                 else:
                     pts = self._project(plan, layer.coordinates, layer.height_offset)
                     vs.add_points(pts, color=layer.color, size=layer.width,

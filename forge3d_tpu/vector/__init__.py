@@ -33,6 +33,56 @@ class _Layer:
     pick_id: int = 0
 
 
+def _dash_segments(pl: np.ndarray, dash: List[float]) -> np.ndarray:
+    """Split a polyline into on-dash segments by arclength.
+
+    dash = [on, off, on, off, ...] pixel lengths, cycled; the pattern
+    phase runs continuously along the whole polyline."""
+    period = float(sum(dash))
+    if period <= 0:
+        return np.concatenate([pl[:-1], pl[1:]], axis=1)
+    # prefix pattern: intervals [start, end) that are "on" within a period
+    ons = []
+    acc = 0.0
+    for i, d in enumerate(dash):
+        if i % 2 == 0 and d > 0:
+            ons.append((acc, acc + d))
+        acc += d
+    out = []
+    s = 0.0                                   # arclength at segment start
+    for a, b in zip(pl[:-1], pl[1:]):
+        seg_len = float(np.hypot(*(b - a)))
+        if seg_len <= 1e-9:
+            continue
+        dirv = (b - a) / seg_len
+        # walk the dash pattern across this segment
+        pos = 0.0
+        while pos < seg_len - 1e-9:
+            phase = (s + pos) % period
+            # find the on-interval containing/after the phase
+            nxt = None
+            for o0, o1 in ons:
+                if phase < o1:
+                    nxt = (max(phase, o0), o1)
+                    break
+            if nxt is None:                   # rest of period is off
+                pos += period - phase
+                continue
+            o0, o1 = nxt
+            if phase < o0:                    # skip the off gap
+                pos += o0 - phase
+                phase = o0
+            run = min(o1 - phase, seg_len - pos)
+            p0 = a + dirv * pos
+            p1 = a + dirv * (pos + run)
+            out.append([p0[0], p0[1], p1[0], p1[1]])
+            pos += run
+        s += seg_len
+    if not out:
+        return np.zeros((0, 4), np.float32)
+    return np.asarray(out, np.float32)
+
+
 @dataclass
 class VectorScene:
     """Retained vector overlay scene; render() produces an RGBA overlay and
@@ -51,11 +101,16 @@ class VectorScene:
         return pid
 
     def add_lines(self, polyline, color=(0.1, 0.3, 0.9), width: float = 2.0,
-                  opacity: float = 1.0) -> int:
+                  opacity: float = 1.0, dash_array=None) -> int:
+        """Add an AA polyline. dash_array=[on_px, off_px, ...] splits the
+        stroke into dash segments by arclength (reference: the Mapbox GL
+        line-dasharray semantics the CPU vector compositor honors)."""
         pl = np.asarray(polyline, np.float32).reshape(-1, 2)
         if len(pl) < 2:
             raise ValueError("polyline needs >= 2 vertices")
         segs = np.concatenate([pl[:-1], pl[1:]], axis=1)
+        if dash_array:
+            segs = _dash_segments(pl, [float(d) for d in dash_array])
         pid = self._next_pick
         self._next_pick += 1
         self.layers.append(_Layer("lines", segs, tuple(color), float(opacity),

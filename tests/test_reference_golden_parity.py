@@ -103,18 +103,70 @@ def _recipes():
         furniture=MapFurniture(legend=True, scale_bar=True,
                                north_arrow=True, title="Recipe Golden",
                                graticule_spacing=2.0))
+    # coordinate convention: the reference's CPU vector compositor maps
+    # fractional coordinates with y DOWN the image; our world->screen map
+    # puts world z UP the image, so fractions (fx, fy) become world
+    # (fx*7, (1-fy)*7). Label points are raw pixels in the reference.
+    def w(fx, fy):
+        return [fx * 7.0, (1.0 - fy) * 7.0]
+
     out["mapscene_vector_labels"] = _base_recipe(layers=[
         VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([[0.7, 1.4], [6.3, 5.25]]),
-                           color=(0.976, 0.98, 0.984), width=4),
+                           coordinates=np.array([w(0.1, 0.2), w(0.9, 0.75)]),
+                           color=(0.976, 0.98, 0.984), width=4,
+                           dash_array=[10, 5]),
         VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([[0.84, 5.46], [6.16, 1.96]]),
-                           color=(0.976, 0.98, 0.984), width=4),
+                           coordinates=np.array([w(0.12, 0.78),
+                                                 w(0.88, 0.28)]),
+                           color=(0.976, 0.98, 0.984), width=4,
+                           dash_array=[10, 5]),
         LabelLayer(labels=[
-            {"text": "Summit", "position": (2.4, 1.4)},
-            {"text": "Trail", "position": (4.8, 3.1)},
+            {"text": "Summit", "position": tuple(w(34 / 96, 20 / 64))},
+            {"text": "Trail", "position": tuple(w(68 / 96, 44 / 64))},
         ]),
     ])
+    # stroke quality: hairpin polyline (round caps/joins), dashed
+    # boundary, park polygon with a hole (winding)
+    hairpin = np.array([w(0.06, 0.74), w(0.30, 0.18), w(0.52, 0.74),
+                        w(0.74, 0.22), w(0.94, 0.74)])
+    park_outer = np.array([w(0.10, 0.32), w(0.38, 0.32), w(0.38, 0.62),
+                           w(0.10, 0.62)])
+    park_hole = np.array([w(0.19, 0.41), w(0.30, 0.41), w(0.30, 0.53),
+                          w(0.19, 0.53)])[::-1]   # reversed = hole
+    out["mapscene_vector_stroke_quality"] = _base_recipe(
+        width=128, height=80,
+        layers=[
+            VectorOverlayLayer(kind="polygons",
+                               coordinates=[park_outer, park_hole],
+                               color=(0x25 / 255, 0x63 / 255, 0xEB / 255),
+                               opacity=0.63),
+            VectorOverlayLayer(kind="lines", coordinates=hairpin,
+                               color=(0.973, 0.98, 0.988), width=6,
+                               dash_array=[12, 7]),
+            VectorOverlayLayer(kind="lines",
+                               coordinates=np.array([w(0.08, 0.10),
+                                                     w(0.92, 0.10)]),
+                               color=(0.973, 0.98, 0.988), width=6,
+                               dash_array=[12, 7]),
+        ])
+    # thematic choropleth: 4 quantile classes, BuGn palette, dark outline
+    palette = [(0xED, 0xF8, 0xFB), (0xB2, 0xE2, 0xE2), (0x66, 0xC2, 0xA4),
+               (0x23, 0x8B, 0x45)]
+    chor_layers = []
+    for idx in range(4):
+        x0 = 0.10 + (idx % 2) * 0.42
+        y0 = 0.14 + (idx // 2) * 0.38
+        ring = np.array([w(x0, y0), w(x0 + 0.32, y0),
+                         w(x0 + 0.32, y0 + 0.28), w(x0, y0 + 0.28)])
+        c = tuple(v / 255.0 for v in palette[idx])
+        chor_layers.append(VectorOverlayLayer(
+            kind="polygons", coordinates=[ring], color=c, opacity=0.84))
+        outline = np.concatenate([ring, ring[:1]], axis=0)
+        chor_layers.append(VectorOverlayLayer(
+            kind="lines", coordinates=outline,
+            color=(0x0F / 255, 0x17 / 255, 0x2A / 255), width=2))
+    out["mapscene_thematic_choropleth"] = _base_recipe(
+        width=128, height=88, layers=chor_layers)
     out["mapscene_buildings"] = _base_recipe(layers=[
         BuildingLayer(
             footprints=[np.array([[2.0, 2.0], [3.6, 2.0], [3.6, 3.4],
