@@ -241,3 +241,91 @@ def parse_osm_buildings(geojson, *, origin: Optional[Tuple[float, float]] = None
             properties=dict(props),
         ))
     return out
+
+
+# ---------------------------------------------------------------------------
+# CityGML 2.0 XML import (reference: src/import/cityjson/ handles the
+# CityJSON form; the reference also ingests CityGML LOD2 XML. This parser
+# extracts bldg:Building geometry from lod1Solid/lod2Solid/lod2MultiSurface
+# and boundedBy *Surface members via gml:posList / gml:pos rings.)
+# ---------------------------------------------------------------------------
+
+_GML_NS = "{http://www.opengis.net/gml}"
+
+
+def _citygml_rings(elem) -> List[np.ndarray]:
+    """All gml:LinearRing coordinate arrays under `elem` (exterior first
+    per polygon; returned flat — CityGML LOD2 building surfaces rarely
+    carry interior rings, and holes fall back to fan triangulation)."""
+    rings = []
+    for ring in elem.iter(f"{_GML_NS}LinearRing"):
+        pos_list = ring.find(f"{_GML_NS}posList")
+        if pos_list is not None and pos_list.text:
+            vals = np.asarray(
+                [float(v) for v in pos_list.text.split()], np.float64)
+            dim = int(pos_list.get("srsDimension", 3))
+            pts = vals.reshape(-1, dim)[:, :3]
+        else:
+            pts = np.asarray(
+                [[float(v) for v in p.text.split()][:3]
+                 for p in ring.findall(f"{_GML_NS}pos") if p.text],
+                np.float64)
+            if pts.size == 0:
+                continue
+        # drop the closing duplicate vertex
+        if len(pts) > 1 and np.allclose(pts[0], pts[-1]):
+            pts = pts[:-1]
+        if len(pts) >= 3:
+            rings.append(pts)
+    return rings
+
+
+def load_citygml(path_or_text) -> List[MeshData]:
+    """Parse CityGML 2.0 XML into one triangulated MeshData per
+    bldg:Building. Surfaces are fan-triangulated (LOD2 surfaces are
+    planar); vertices weld across surfaces. Raises ValueError when the
+    document has no buildings (fail-closed, no placeholder geometry)."""
+    import xml.etree.ElementTree as ET
+
+    text = path_or_text
+    p = Path(str(path_or_text))
+    try:
+        if p.exists():
+            text = p.read_text()
+    except OSError:
+        pass
+    root = ET.fromstring(text)
+
+    def localname(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    out: List[MeshData] = []
+    for node in root.iter():
+        if localname(node.tag) != "Building":
+            continue
+        tri_pts: List[np.ndarray] = []
+        for poly in node.iter(f"{_GML_NS}Polygon"):
+            rings = _citygml_rings(poly)
+            if not rings:
+                continue
+            ext = rings[0]
+            for k in range(1, len(ext) - 1):
+                tri_pts.append(np.stack([ext[0], ext[k], ext[k + 1]]))
+        if not tri_pts:
+            continue
+        from .geometry import weld_mesh
+
+        flat = np.concatenate(tri_pts).astype(np.float32)
+        name = node.get(f"{_GML_NS}id") or node.get("id") or "building"
+        mesh = MeshData(
+            vertices=flat,
+            indices=np.arange(len(flat), dtype=np.uint32).reshape(-1, 3),
+            name=str(name),
+        )
+        mesh = weld_mesh(mesh, tolerance=1e-7)
+        mesh.name = str(name)
+        mesh.compute_normals()
+        out.append(mesh)
+    if not out:
+        raise ValueError("CityGML document contains no buildings")
+    return out

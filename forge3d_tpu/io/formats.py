@@ -280,3 +280,56 @@ def read_ktx2(path) -> dict:
                 out["images"].append(
                     arr.reshape(lh, lw, ch) if ch > 1 else arr.reshape(lh, lw))
     return out
+
+
+# ---------------------------------------------------------------------------
+# External image import (JPEG/PNG/...): the reference imports external
+# imagery through the image crate (/root/reference/src/external_image/).
+# Here decode rides on the environment's Pillow when present; absent
+# Pillow the import FAILS CLOSED (no silent placeholder pixels).
+# ---------------------------------------------------------------------------
+
+
+def read_image(path) -> np.ndarray:
+    """Decode an external image (JPEG, PNG, BMP, ...) to RGBA u8.
+
+    PNG decodes through the first-party reader; other formats require
+    Pillow and raise ImportError otherwise (fail-closed, mirroring the
+    reference's typed import errors).
+    """
+    p = str(path)
+    with open(p, "rb") as fh:
+        magic = fh.read(8)
+    if magic.startswith(b"\x89PNG"):
+        from .png import read_png
+
+        img = read_png(p)
+    else:
+        try:
+            from PIL import Image
+        except Exception as exc:  # pragma: no cover - env without Pillow
+            raise ImportError(
+                "non-PNG external images require Pillow for decode; "
+                f"cannot import {p!r}"
+            ) from exc
+        img = np.asarray(Image.open(p).convert("RGBA"), np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3 + [np.full_like(img, 255)], axis=-1)
+    if img.shape[-1] == 3:
+        img = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, img.dtype)], axis=-1)
+    return np.ascontiguousarray(img[..., :4])
+
+
+def write_jpeg(path, rgb: np.ndarray, quality: int = 90) -> None:
+    """Encode RGB u8 to JPEG via Pillow (fail-closed without it)."""
+    try:
+        from PIL import Image
+    except Exception as exc:  # pragma: no cover
+        raise ImportError("JPEG encode requires Pillow") from exc
+    arr = np.asarray(rgb)
+    if arr.dtype != np.uint8:
+        arr = np.clip(np.asarray(arr, np.float32) * 255.0 + 0.5,
+                      0, 255).astype(np.uint8)
+    Image.fromarray(arr[..., :3], "RGB").save(str(path), "JPEG",
+                                              quality=int(quality))

@@ -387,3 +387,70 @@ def test_pt_mesh_matches_bruteforce_depth():
         assert bool(hit_ref) == bool(got_vis), (px, py)
         if hit_ref:
             assert out["depth"][py, px] == pytest.approx(t_ref, rel=1e-3)
+
+
+def test_load_citygml_lod2_building():
+    """CityGML 2.0 XML import: a gml box building parses into a welded,
+    triangulated mesh; empty documents fail closed."""
+    from forge3d_tpu.buildings import load_citygml
+
+    def ring(pts):
+        flat = " ".join(f"{x} {y} {z}" for x, y, z in pts + [pts[0]])
+        return ("<gml:Polygon><gml:exterior><gml:LinearRing>"
+                f"<gml:posList srsDimension=\"3\">{flat}</gml:posList>"
+                "</gml:LinearRing></gml:exterior></gml:Polygon>")
+
+    # a unit box: floor, roof, 4 walls
+    surfaces = "".join([
+        ring([(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]),
+        ring([(0, 0, 2), (0, 1, 2), (1, 1, 2), (1, 0, 2)]),
+        ring([(0, 0, 0), (0, 0, 2), (1, 0, 2), (1, 0, 0)]),
+        ring([(1, 0, 0), (1, 0, 2), (1, 1, 2), (1, 1, 0)]),
+        ring([(1, 1, 0), (1, 1, 2), (0, 1, 2), (0, 1, 0)]),
+        ring([(0, 1, 0), (0, 1, 2), (0, 0, 2), (0, 0, 0)]),
+    ])
+    doc = (
+        '<core:CityModel xmlns:core="http://www.opengis.net/citygml/2.0" '
+        'xmlns:bldg="http://www.opengis.net/citygml/building/2.0" '
+        'xmlns:gml="http://www.opengis.net/gml">'
+        "<core:cityObjectMember>"
+        '<bldg:Building gml:id="B1"><bldg:lod2Solid><gml:Solid>'
+        "<gml:exterior><gml:CompositeSurface>"
+        + "".join(f"<gml:surfaceMember>{s}</gml:surfaceMember>"
+                  for s in [surfaces]) +
+        "</gml:CompositeSurface></gml:exterior>"
+        "</gml:Solid></bldg:lod2Solid></bldg:Building>"
+        "</core:cityObjectMember></core:CityModel>"
+    )
+    meshes = load_citygml(doc)
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert m.name == "B1"
+    assert len(m.vertices) == 8          # welded box corners
+    assert len(m.indices) == 12          # 6 quads fan-split
+    assert m.vertices[:, 2].min() == 0.0 and m.vertices[:, 2].max() == 2.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_citygml("<core:CityModel "
+                     "xmlns:core=\"http://www.opengis.net/citygml/2.0\"/>")
+
+
+def test_read_image_jpeg_and_png(tmp_path):
+    """External image import seam: PNG through the first-party reader,
+    JPEG through Pillow (fail-closed without it)."""
+    from forge3d_tpu.io.formats import read_image, write_jpeg
+    from forge3d_tpu.io.image import numpy_to_png
+
+    g = (np.mgrid[0:16, 0:24][0] * 12).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, g // 2], -1)
+    jp = tmp_path / "t.jpg"
+    write_jpeg(jp, rgb)
+    back = read_image(jp)
+    assert back.shape == (16, 24, 4)
+    assert np.abs(back[..., :3].astype(int) - rgb.astype(int)).mean() < 3.0
+    pp = tmp_path / "t.png"
+    numpy_to_png(pp, np.concatenate(
+        [rgb, np.full((16, 24, 1), 255, np.uint8)], -1))
+    back2 = read_image(pp)
+    assert np.array_equal(back2[..., :3], rgb)
