@@ -454,3 +454,72 @@ def test_read_image_jpeg_and_png(tmp_path):
         [rgb, np.full((16, 24, 1), 255, np.uint8)], -1))
     back2 = read_image(pp)
     assert np.array_equal(back2[..., :3], rgb)
+
+
+class TestTlas:
+    """Two-level instancing (ops/tlas.py): transformed instances over a
+    shared BLAS match the equivalent merged mesh, and t stays world-scaled
+    under non-uniform transforms."""
+
+    def _box(self):
+        from forge3d_tpu.geometry import primitive_mesh
+
+        m = primitive_mesh("box")
+        return np.asarray(m.vertices, np.float32), np.asarray(
+            m.indices, np.uint32)
+
+    def test_instances_match_merged_mesh(self):
+        from forge3d_tpu.ops.bvh import (build_sah_bvh, mesh_scene,
+                                         trace_mesh)
+        from forge3d_tpu.ops.tlas import Instance, build_tlas, trace_tlas
+        from forge3d_tpu.transforms import rotate_y, scale, translate
+
+        v, f = self._box()
+        t_a = translate(-2.0, 0.0, 0.0) @ rotate_y(30.0)
+        t_b = translate(2.5, 0.5, 0.0) @ scale(1.5, 0.7, 1.0)
+        tlas = build_tlas([(v, f)], [Instance(0, t_a), Instance(0, t_b)])
+
+        # merged reference: bake both transforms into one mesh
+        def xf(m, verts):
+            return (verts @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
+
+        mv = np.concatenate([xf(t_a, v), xf(t_b, v)])
+        mf = np.concatenate([f, f + len(v)]).astype(np.uint32)
+        bvh = build_sah_bvh(mv, mf)
+        scene, n_nodes = mesh_scene(bvh)
+
+        n = 48
+        ys, xs = np.mgrid[0:n, 0:n].astype(np.float32)
+        ro = (xs / n * 10 - 5, np.full((n, n), 0.2, np.float32),
+              np.full((n, n), 8.0, np.float32))
+        rd = (np.zeros((n, n), np.float32), np.zeros((n, n), np.float32),
+              np.full((n, n), -1.0, np.float32))
+        ht = trace_tlas(tlas, ro, rd)
+        hm = trace_mesh(scene, n_nodes, ro, rd)
+        assert np.array_equal(np.asarray(ht.hit), np.asarray(hm.hit))
+        both = np.asarray(ht.hit)
+        assert both.sum() > 20
+        np.testing.assert_allclose(np.asarray(ht.t)[both],
+                                   np.asarray(hm.t)[both], rtol=1e-4)
+        # instances attributed correctly: left hits instance 0, right 1
+        inst = np.asarray(ht.instance)
+        xs_hit = np.asarray(ro[0])[both]
+        assert (inst[both][xs_hit < 0] == 0).all()
+        assert (inst[both][xs_hit > 1.0] == 1).all()
+
+    def test_instance_normals_world_space(self):
+        from forge3d_tpu.ops.tlas import (Instance, build_tlas,
+                                          instance_normal, trace_tlas)
+        from forge3d_tpu.transforms import scale
+
+        v, f = self._box()
+        # non-uniform scale: normals need the inverse-transpose
+        tlas = build_tlas([(v, f)], [Instance(0, scale(4.0, 1.0, 1.0))])
+        ro = (np.float32(0.0), np.float32(0.0), np.float32(8.0))
+        rd = (np.float32(0.0), np.float32(0.0), np.float32(-1.0))
+        h = trace_tlas(tlas, ro, rd)
+        assert bool(h.hit)
+        # the +z face's object normal stays +z in world space, unit length
+        wx, wy, wz = instance_normal(tlas, h, (0.0, 0.0, 1.0))
+        assert abs(float(wz) - 1.0) < 1e-6
+        assert abs(float(wx)) < 1e-6

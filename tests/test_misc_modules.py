@@ -351,3 +351,42 @@ def test_interactive_session():
     assert s.quality == InteractiveSession.LADDER[0]
     f3 = s.frame()
     assert f3.shape == f1.shape
+# appended to tests/test_misc_modules.py
+
+
+def test_scene_graph_hierarchy_and_traversal():
+    """SceneGraph: world transforms compose through the hierarchy, dirty
+    propagation invalidates descendants, reparent guards cycles."""
+    import numpy as np
+    import pytest
+
+    from forge3d_tpu.scenegraph import SceneGraph
+    from forge3d_tpu.transforms import rotate_y, translate
+
+    g = SceneGraph()
+    g.add("city", local=translate(100.0, 0.0, 0.0))
+    g.add("block", parent="city", local=rotate_y(90.0))
+    g.add("house", parent="block", local=translate(1.0, 0.0, 0.0),
+          payload={"kind": "mesh"})
+
+    p = g.transform_points("house", [[0.0, 0.0, 0.0]])[0]
+    # rotate_y(90): +x -> -z; then city translate +100x
+    np.testing.assert_allclose(p, [100.0, 0.0, -1.0], atol=1e-9)
+
+    # dirty propagation: moving the city moves the house
+    g["city"].set_local(translate(0.0, 0.0, 50.0))
+    p2 = g.transform_points("house", [[0.0, 0.0, 0.0]])[0]
+    np.testing.assert_allclose(p2, [0.0, 0.0, 49.0], atol=1e-9)
+
+    assert [n.name for n in g.walk()] == ["city", "block", "house"]
+    flat = g.flatten()
+    assert len(flat) == 1 and flat[0][0].name == "house"
+
+    with pytest.raises(ValueError):
+        g.reparent("city", "house")        # cycle
+    g.reparent("house", "root")
+    p3 = g.transform_points("house", [[0.0, 0.0, 0.0]])[0]
+    np.testing.assert_allclose(p3, [1.0, 0.0, 0.0], atol=1e-9)
+
+    g.remove("city")
+    assert "block" not in g and "city" not in g
