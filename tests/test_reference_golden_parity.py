@@ -29,6 +29,7 @@ from forge3d_tpu.mapscene import (
     OrbitCamera,
     OutputSpec,
     PointCloudLayer,
+    RasterOverlayLayer,
     SceneRecipe,
     TerrainSource,
     VectorOverlayLayer,
@@ -97,18 +98,28 @@ def _base_recipe(layers=(), width=96, height=64, furniture=None):
 
 def _recipes():
     out = {}
-    out["mapscene_terrain_raster"] = _base_recipe()
+    # the reference recipe carries an ortho RasterOverlay whose fixture
+    # path does not exist -> deterministic hash-stripe placeholder
+    # (test_recipe_goldens.py:251-265)
+    out["mapscene_terrain_raster"] = _base_recipe(layers=[
+        RasterOverlayLayer(
+            layer_id="ortho", path="fixtures/ortho.tif", crs="EPSG:32610",
+            opacity=0.72,
+            metadata={"source_id": "ortho-fixture", "width": 8, "height": 8,
+                      "asset_status": "fixture"}),
+    ])
     out["mapscene_furniture_graticule"] = _base_recipe(
         width=128, height=88,
         furniture=MapFurniture(legend=True, scale_bar=True,
                                north_arrow=True, title="Recipe Golden",
                                graticule_spacing=2.0))
-    # coordinate convention: the reference's CPU vector compositor maps
+    # coordinate convention: the reference's vector compositor maps
     # fractional coordinates with y DOWN the image; our world->screen map
-    # puts world z UP the image, so fractions (fx, fy) become world
-    # (fx*7, (1-fy)*7). Label points are raw pixels in the reference.
+    # shows the DEM's bottom-left quadrant at 2x (world z UP the image),
+    # so fractions (fx, fy) become world (fx*3.5, (1-fy)*3.5). Label
+    # points are raw pixels in the reference.
     def w(fx, fy):
-        return [fx * 7.0, (1.0 - fy) * 7.0]
+        return [fx * 3.5, (1.0 - fy) * 3.5]
 
     out["mapscene_vector_labels"] = _base_recipe(layers=[
         VectorOverlayLayer(kind="lines",
@@ -167,20 +178,31 @@ def _recipes():
             color=(0x0F / 255, 0x17 / 255, 0x2A / 255), width=2))
     out["mapscene_thematic_choropleth"] = _base_recipe(
         width=128, height=88, layers=chor_layers)
+    # reference buildings: 4 fractional footprints over the FULL extent
+    # (test_recipe_goldens.py:588-620); the screen window (bottom-left
+    # quadrant) shows the first two
+    def wf(fx, fy):          # full-extent fraction -> world
+        return [fx * 7.0, (1.0 - fy) * 7.0]
+
+    bld_fp, bld_h = [], []
+    for idx in range(4):
+        x0 = 0.08 + idx * 0.22
+        x1 = x0 + 0.15
+        y0 = 0.24 if idx % 2 == 0 else 0.34
+        y1 = y0 + 0.30
+        bld_fp.append(np.array([wf(x0, y0), wf(x1, y0),
+                                wf(x1, y1), wf(x0, y1)]))
+        bld_h.append(22.0 + idx * 7.0)
     out["mapscene_buildings"] = _base_recipe(layers=[
-        BuildingLayer(
-            footprints=[np.array([[2.0, 2.0], [3.6, 2.0], [3.6, 3.4],
-                                  [2.0, 3.4]]),
-                        np.array([[4.2, 3.4], [5.6, 3.6], [5.4, 5.0],
-                                  [4.0, 4.8]])],
-            heights=[1.2, 1.6])
+        BuildingLayer(footprints=bld_fp, heights=bld_h)
     ], width=128, height=88)
+    # reference COPC fixture holds 2 points at bounds [101, 202]
+    # (test_recipe_goldens.py:851-880) — far outside the visible window,
+    # so the golden equals the bare base scene
     out["mapscene_copc_points"] = _base_recipe(layers=[
         PointCloudLayer(
-            positions=np.stack([np.linspace(1, 6, 40),
-                                np.full(40, 1.2),
-                                np.linspace(1, 6, 40)], axis=1),
-            point_size=2)
+            positions=np.array([[101.0, 1.0, 202.0], [101.1, 1.0, 202.1]]),
+            point_size=6)
     ], width=128, height=80)
     # water basin DEM (rim at 1, floor at 0), auto water at level 0.1
     water_dem = np.ones((8, 8), np.float32)
@@ -192,20 +214,25 @@ def _recipes():
     out["mapscene_auto_water"] = rec
     # 16-bit output variant (golden committed as PNG16)
     out["mapscene_png16_color"] = _base_recipe(width=80, height=48)
+    # label pixel anchors from the reference recipes (:297-346, :397-440),
+    # converted through the screen window mapping
+    def wp(px, py, w_px, h_px):
+        return tuple(w(px / w_px, py / h_px))
+
     out["mapscene_label_halo_depth"] = _base_recipe(width=128, height=80,
                                                     layers=[
         LabelLayer(labels=[
-            {"text": "Front", "position": (1.9, 2.3),
+            {"text": "Front", "position": wp(28, 26, 128, 80),
              "color": (1.0, 1.0, 1.0, 1.0),
              "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
-            {"text": "Summit", "position": (5.0, 4.4),
+            {"text": "Summit", "position": wp(72, 50, 128, 80),
              "color": (0.12, 0.16, 0.18, 1.0),
              "halo_color": (1.0, 1.0, 1.0, 0.88), "halo_width": 2.0},
         ])])
     out["mapscene_label_occlusion_ridge"] = _base_recipe(
         width=128, height=80,
         layers=[LabelLayer(labels=[
-            {"text": "Front", "position": (2.4, 2.3),
+            {"text": "Front", "position": wp(36, 30, 128, 80),
              "color": (1.0, 1.0, 1.0, 1.0),
              "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
         ])])
