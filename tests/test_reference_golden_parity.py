@@ -108,11 +108,25 @@ def _recipes():
             metadata={"source_id": "ortho-fixture", "width": 8, "height": 8,
                       "asset_status": "fixture"}),
     ])
+    # reference furniture config (test_recipe_goldens.py:700-715)
     out["mapscene_furniture_graticule"] = _base_recipe(
         width=128, height=88,
-        furniture=MapFurniture(legend=True, scale_bar=True,
-                               north_arrow=True, title="Recipe Golden",
-                               graticule_spacing=2.0))
+        furniture=MapFurniture(
+            title="Recipe Golden",
+            legend_cfg={"items": [
+                {"label": "Forest", "color": "#2f855a"},
+                {"label": "Snow", "color": "#f8fafc"}]},
+            scale_bar_cfg={"length_m": 1000, "units": "km",
+                           "location": "lower_left", "geodesic": True,
+                           "bounds": (-122.5, 46.6, -121.9, 47.0)},
+            north_arrow_cfg={"location": "upper_right", "size": 34},
+            graticule_cfg={
+                "bounds": (-122.5, 46.6, -121.9, 47.0),
+                "projected_bounds": (-122.5, 46.6, -121.9, 47.0),
+                "target_crs": "EPSG:4326",
+                "interval_deg": 0.2,
+                "include_labels": True,
+            }))
     # coordinate convention: the reference's vector compositor maps
     # fractional coordinates with y DOWN the image; our world->screen map
     # shows the DEM's bottom-left quadrant at 2x (world z UP the image),
@@ -134,7 +148,7 @@ def _recipes():
         LabelLayer(labels=[
             {"text": "Summit", "position": tuple(w(34 / 96, 20 / 64))},
             {"text": "Trail", "position": tuple(w(68 / 96, 44 / 64))},
-        ]),
+        ], placement="exact"),
     ])
     # stroke quality: hairpin polyline (round caps/joins), dashed
     # boundary, park polygon with a hole (winding)
@@ -223,19 +237,28 @@ def _recipes():
                                                     layers=[
         LabelLayer(labels=[
             {"text": "Front", "position": wp(28, 26, 128, 80),
+             "depth": 0.25,
              "color": (1.0, 1.0, 1.0, 1.0),
              "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
             {"text": "Summit", "position": wp(72, 50, 128, 80),
+             "depth": 0.20,
              "color": (0.12, 0.16, 0.18, 1.0),
              "halo_color": (1.0, 1.0, 1.0, 0.88), "halo_width": 2.0},
-        ])])
+            {"text": "Behind", "position": wp(28, 26, 128, 80),
+             "depth": 0.85},
+        ], placement="exact",
+            depth_image=np.full((8, 8), 0.5, np.float32))])
     out["mapscene_label_occlusion_ridge"] = _base_recipe(
         width=128, height=80,
         layers=[LabelLayer(labels=[
-            {"text": "Front", "position": wp(36, 30, 128, 80),
+            {"text": "Front", "position": wp(34, 26, 128, 80),
+             "depth": 0.0,
              "color": (1.0, 1.0, 1.0, 1.0),
              "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
-        ])])
+            {"text": "Hidden", "position": wp(34, 26, 128, 80),
+             "depth": 0.95},
+        ], placement="exact",
+            depth_image=np.full((16, 16), 0.5, np.float32))])
     return out
 
 
