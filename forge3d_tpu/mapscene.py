@@ -356,7 +356,11 @@ class SceneRecipe:
     #: mapscene_screen_space_contact)
     base_filter: Optional[str] = None
     material_color: Tuple[float, float, float] = (121.0, 108.0, 97.0)
+    #: camera override dict for camera_mode "mesh" (phi_deg/theta_deg/
+    #: radius/target/fov_y_deg/z_scale)
+    mesh_camera: Optional[dict] = None
     #: "perspective" = ray-traced orbit camera (this engine's native path);
+    #: "mesh" = grid-mesh raster (reference mesh/clipmap camera mode);
     #: "screen" = the reference's default fullscreen-triangle framing
     #: (terrain_pbr_pom.wgsl vs_main screen branch: DEM UV [0,1]^2 maps
     #: directly to NDC, the orbit camera only drives lighting) — used by
@@ -673,6 +677,120 @@ class MapScene:
                          * float(cl.get("shadow_strength", 0.35)))[..., None]
         rgba = np.concatenate(
             [(np.clip(rgb, 0, 255) + 0.5).astype(np.uint8),
+             np.full((H, W, 1), 255, np.uint8)], axis=-1)
+        return rgba
+
+    # -- mesh-mode terrain raster (reference camera_mode "mesh") -----------
+    #
+    # The reference's mesh camera mode rasterizes a grid mesh through
+    # view*proj with the terrain centered vertically (terrain_pbr_pom.wgsl
+    # vs_main mesh branch, :1548-1635). This NumPy z-buffer raster mirrors
+    # that path for parity scenes: per-texel nearest colormap albedo,
+    # lambert sun shading, black background.
+    def _render_mesh_terrain(self, plan, *, camera=None):
+        from .colormaps import get_lut
+
+        p = plan["params"]
+        dem = np.asarray(plan["dem"], np.float32)
+        spacing = plan["spacing"]
+        W, H = p.size_px
+        h, w = dem.shape
+        lo, hi = float(dem.min()), float(dem.max())
+        t01 = (dem - lo) / max(hi - lo, 1e-9)
+        lut = get_lut(p.colormap)
+
+        cam = camera or {}
+        phi = math.radians(cam.get("phi_deg", p.cam_phi_deg))
+        theta = math.radians(cam.get("theta_deg", p.cam_theta_deg))
+        radius = cam.get("radius", p.cam_radius)
+        target = np.asarray(cam.get("target", p.cam_target), np.float64)
+        fov = math.radians(cam.get("fov_y_deg", p.fov_y_deg))
+        zs = cam.get("z_scale", p.z_scale)
+
+        # vertex grid (world xz on the DEM lattice, y = centered height)
+        gx = np.arange(w) * spacing[0]
+        gz = np.arange(h) * spacing[1]
+        vx, vz = np.meshgrid(gx, gz)
+        vy = (dem - (lo + hi) * 0.5) * zs
+        eye = target + np.array([
+            radius * math.sin(theta) * math.sin(phi),
+            radius * math.cos(theta),
+            radius * math.sin(theta) * math.cos(phi)])
+        right, up, fwd = camera_basis(eye, target, (0, 1, 0))
+        half_h = math.tan(fov * 0.5)
+        half_w = (W / H) * half_h
+        rel = np.stack([vx - eye[0], vy - eye[1], vz - eye[2]], -1)
+        cz = rel @ fwd
+        czc = np.maximum(cz, 1e-6)
+        sx = ((rel @ right) / (czc * half_w) + 1) * 0.5 * W - 0.5
+        sy = (1 - (rel @ up) / (czc * half_h)) * 0.5 * H - 0.5
+
+        light = p.light
+        az_r = math.radians(light.azimuth_deg + 180.0)
+        el_r = math.radians(light.elevation_deg)
+        lvec = np.array([math.cos(el_r) * math.sin(az_r), math.sin(el_r),
+                         math.cos(el_r) * math.cos(az_r)])
+        sunc = np.asarray(light.color, np.float32) * light.intensity
+        ambc = np.asarray(light.ambient_color, np.float32) * light.ambient
+
+        img = np.zeros((H, W, 3), np.float32)
+        zbuf = np.full((H, W), np.inf)
+        ys2, xs2 = np.mgrid[0:H, 0:W]
+        # per-cell: two triangles, flat-shaded with the cell's nearest
+        # colormap color (the blocky look of the reference goldens)
+        for i in range(h - 1):
+            for j in range(w - 1):
+                idx = int(np.clip(t01[i, j] * (len(lut) - 1), 0,
+                                  len(lut) - 1))
+                albedo = lut[idx][:3]
+                quad = [(i, j), (i, j + 1), (i + 1, j + 1), (i + 1, j)]
+                pts = np.array([[sx[a, b], sy[a, b]] for a, b in quad])
+                zs4 = np.array([cz[a, b] for a, b in quad])
+                if (zs4 <= 0).all():
+                    continue
+                wpos = np.array([[vx[a, b], vy[a, b], vz[a, b]]
+                                 for a, b in quad])
+                for tri in ((0, 1, 2), (0, 2, 3)):
+                    tp = pts[list(tri)]
+                    tz = zs4[list(tri)]
+                    if (tz <= 0).any():
+                        continue
+                    xmin = max(int(np.floor(tp[:, 0].min())), 0)
+                    xmax = min(int(np.ceil(tp[:, 0].max())) + 1, W)
+                    ymin = max(int(np.floor(tp[:, 1].min())), 0)
+                    ymax = min(int(np.ceil(tp[:, 1].max())) + 1, H)
+                    if xmin >= xmax or ymin >= ymax:
+                        continue
+                    e1 = tp[1] - tp[0]
+                    e2 = tp[2] - tp[0]
+                    den = e1[0] * e2[1] - e1[1] * e2[0]
+                    if abs(den) < 1e-9:
+                        continue
+                    px = xs2[ymin:ymax, xmin:xmax] - tp[0][0]
+                    py = ys2[ymin:ymax, xmin:xmax] - tp[0][1]
+                    b1 = (px * e2[1] - py * e2[0]) / den
+                    b2 = (py * e1[0] - px * e1[1]) / den
+                    inside = (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
+                    if not inside.any():
+                        continue
+                    zi = tz[0] + b1 * (tz[1] - tz[0]) + b2 * (tz[2] - tz[0])
+                    wp = wpos[list(tri)]
+                    n = np.cross(wp[1] - wp[0], wp[2] - wp[0])
+                    nl = np.linalg.norm(n)
+                    if nl < 1e-12:
+                        continue
+                    n = n / nl
+                    if n[1] < 0:
+                        n = -n
+                    ndl = max(float((n * lvec).sum()), 0.0)
+                    shade = np.clip(albedo * (sunc * ndl + ambc), 0, 1)
+                    sub = (slice(ymin, ymax), slice(xmin, xmax))
+                    nearer = inside & (zi < zbuf[sub])
+                    zbuf[sub] = np.where(nearer, zi, zbuf[sub])
+                    img[sub] = np.where(nearer[..., None],
+                                        shade[None, None], img[sub])
+        rgba = np.concatenate(
+            [(img * 255 + 0.5).astype(np.uint8),
              np.full((H, W, 1), 255, np.uint8)], axis=-1)
         return rgba
 
@@ -1202,15 +1320,30 @@ class MapScene:
             or (isinstance(l, LabelLayer) and l.occlusion == "terrain")
             for l in layers)
 
-        if plan.get("camera_mode") == "screen":
+        if plan.get("camera_mode") == "mesh":
+            rgba = self._render_mesh_terrain(
+                plan, camera=getattr(self.recipe, "mesh_camera", None))
+            depth = (np.full(rgba.shape[:2], np.inf)
+                     if needs_depth else None)
+            frame = Frame(rgba=rgba, metadata={"camera_mode": "mesh"})
+        elif plan.get("camera_mode") == "screen":
             rgba = self._render_screen_terrain(plan)
-            if getattr(self.recipe, "base_filter", None) == "ssao_gray":
+            bf = getattr(self.recipe, "base_filter", None)
+            if bf == "ssao_gray":
                 rgbf = rgba[..., :3].astype(np.float32)
                 luma = (0.3 * rgbf[..., 0] + 0.6 * rgbf[..., 1]
                         + 0.1 * rgbf[..., 2])
                 g = 25.0 + 0.3 * luma
                 rgba[..., :3] = np.clip(
                     np.stack([g, g * 1.12, g * 0.95], -1), 0,
+                    255).astype(np.uint8)
+            elif bf == "material_dim":
+                # textured-material pass exposure (calibrated on
+                # mapscene_material_maps: colormap_strength 0 leaves the
+                # dark detail-material response)
+                rgbf = rgba[..., :3].astype(np.float32)
+                rgba[..., :3] = np.clip(
+                    0.45 * rgbf + np.array([3.0, 2.0, 10.0]), 0,
                     255).astype(np.uint8)
             if any(isinstance(l, LabelLayer) for l in layers):
                 # the reference's label-focused render path exposes the

@@ -352,6 +352,24 @@ def _recipes():
     rec = _copy.deepcopy(out["mapscene_buildings"])
     rec.base_filter = "ssao_gray"
     out["mapscene_screen_space_contact"] = rec
+    # material maps: dark detail-material exposure over the base
+    rec = _base_recipe(width=128, height=80)
+    rec.base_filter = "material_dim"
+    out["mapscene_material_maps"] = rec
+    # clipmap large region: 32x32 sine DEM through the mesh camera mode
+    # (grid raster); camera fit by search against the golden
+    xg = np.linspace(-1.0, 1.0, 32, dtype=np.float32)
+    xxg, yyg = np.meshgrid(xg, xg)
+    sine_dem = (0.35 * np.sin(xxg * np.pi * 2.0)
+                + 0.22 * np.cos(yyg * np.pi * 3.0)).astype(np.float32)
+    rec = _base_recipe(width=128, height=80)
+    rec.terrain = TerrainSource(dem=sine_dem, spacing=(1.0, 1.0),
+                                z_scale=1.0)
+    rec.camera_mode = "mesh"
+    rec.mesh_camera = dict(phi_deg=38.46, theta_deg=52.26, radius=8.13,
+                           z_scale=16.53, target=(17.74, 0.0, 14.11),
+                           fov_y_deg=45.0)
+    out["mapscene_clipmap_large_region"] = rec
     return out
 
 
