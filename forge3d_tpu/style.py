@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import json
+import math
 import re
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -199,6 +200,61 @@ def evaluate_expression(expr: Any, properties: Optional[dict] = None,
             if v is not None:
                 return v
         return None
+    # array / introspection ops (reference style_expressions.py:176-212,
+    # 631-662)
+    if op == "at":
+        arr = ev(expr[2])
+        idx = int(ev(expr[1]))
+        return arr[idx] if isinstance(arr, (list, tuple)) \
+            and 0 <= idx < len(arr) else None
+    if op == "length":
+        v = ev(expr[1])
+        return len(v) if isinstance(v, (str, list, tuple)) else None
+    if op == "typeof":
+        v = ev(expr[1])
+        return {bool: "boolean", str: "string"}.get(
+            type(v), "number" if isinstance(v, (int, float))
+            else "array" if isinstance(v, (list, tuple))
+            else "null" if v is None else "object")
+    if op == "to-boolean":
+        v = ev(expr[1])
+        return bool(v) and v == v and v not in ("", 0)
+    # unary math ops (reference style_expressions.py:489-584)
+    _UNARY = {
+        "abs": abs, "ceil": math.ceil, "floor": math.floor,
+        "round": lambda v: math.floor(v + 0.5), "sqrt": math.sqrt,
+        "ln": math.log, "log10": math.log10, "log2": math.log2,
+        "sin": math.sin, "cos": math.cos, "tan": math.tan,
+        "asin": math.asin, "acos": math.acos, "atan": math.atan,
+    }
+    if op in _UNARY:
+        try:
+            return float(_UNARY[op](float(ev(expr[1]))))
+        except (TypeError, ValueError):
+            return None
+    if op == "min":
+        return min(float(ev(e)) for e in expr[1:])
+    if op == "max":
+        return max(float(ev(e)) for e in expr[1:])
+    if op == "e":
+        return math.e
+    if op == "pi":
+        return math.pi
+    if op == "downcase":
+        v = ev(expr[1])
+        return v.lower() if isinstance(v, str) else None
+    if op == "upcase":
+        v = ev(expr[1])
+        return v.upper() if isinstance(v, str) else None
+    if op in ("rgb", "rgba"):
+        try:
+            r, g, b = (max(0.0, min(255.0, float(ev(e)))) / 255.0
+                       for e in expr[1:4])
+        except (TypeError, ValueError):
+            return None
+        a = max(0.0, min(1.0, float(ev(expr[4])))) if op == "rgba" \
+            and len(expr) > 4 else 1.0
+        return (r, g, b, a)
     raise StyleError(f"unsupported expression op: {op!r}")
 
 

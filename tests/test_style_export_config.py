@@ -216,3 +216,33 @@ def test_config_presets_and_merge(tmp_path, monkeypatch):
         merge_config(RendererConfig(), {"tonemap": "instagram"})
     with pytest.raises(ValueError):
         merge_config(RendererConfig(), {"spp": -1})
+
+
+def test_style_expression_math_string_color_ops():
+    """Extended Mapbox GL ops (reference style_expressions.py:176-705)."""
+    from forge3d_tpu.style import evaluate_expression as ev
+
+    assert ev(["at", 1, ["literal", [10, 20, 30]]]) == 20
+    assert ev(["length", ["literal", "abc"]]) == 3
+    assert ev(["typeof", ["literal", "x"]]) == "string"
+    assert ev(["typeof", 3.5]) == "number"
+    assert ev(["to-boolean", ""]) is False
+    assert ev(["abs", -4]) == 4.0
+    assert ev(["ceil", 1.2]) == 2.0
+    assert ev(["floor", 1.8]) == 1.0
+    assert ev(["round", 2.5]) == 3.0
+    assert abs(ev(["sqrt", 9]) - 3.0) < 1e-12
+    assert abs(ev(["ln", ["e"]]) - 1.0) < 1e-12
+    assert ev(["log2", 8]) == 3.0
+    assert abs(ev(["sin", 0]) - 0.0) < 1e-12
+    assert ev(["min", 3, 1, 2]) == 1.0
+    assert ev(["max", 3, 1, 2]) == 3.0
+    assert abs(ev(["pi"]) - 3.14159265) < 1e-6
+    assert ev(["downcase", ["literal", "ABC"]]) == "abc"
+    assert ev(["upcase", ["literal", "abc"]]) == "ABC"
+    rgba = ev(["rgba", 255, 0, 127.5, 0.5])
+    assert rgba == (1.0, 0.0, 0.5, 0.5)
+    assert ev(["rgb", 0, 255, 0]) == (0.0, 1.0, 0.0, 1.0)
+    # nested through match/case still evaluates
+    assert ev(["case", [">", ["abs", -5], 4], ["upcase",
+               ["literal", "hi"]], "no"]) == "HI"
