@@ -68,6 +68,10 @@ def __getattr__(name):
         from .pt.terrain_ref import hybrid_render_terrain_reference
 
         return hybrid_render_terrain_reference
+    if name == "hybrid_render_terrain_sequence":
+        from .pt.terrain_ref import hybrid_render_terrain_sequence
+
+        return hybrid_render_terrain_sequence
     if name == "PathTracer":
         from .pt.path_tracer import PathTracer
 

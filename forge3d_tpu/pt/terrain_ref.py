@@ -661,3 +661,52 @@ def hybrid_render_terrain_reference(
 
         emit_certificate(certificate, "hybrid_render_terrain_reference", out)
     return out
+
+
+def hybrid_render_terrain_sequence(
+    heightmap,
+    width: int,
+    height: int,
+    cam: dict,
+    seeds,
+    **kwargs,
+) -> "list[dict]":
+    """Render a sequence of converged frames (one per seed) with
+    pipelined dispatch — device compute overlaps host readback, the
+    steady-state regime of animation/batch jobs. Sweep estimator only
+    (the camera is baked into the compiled pipeline). Accepts the same
+    keyword arguments as hybrid_render_terrain_reference; each output
+    dict is bit-identical to the corresponding single-frame call."""
+    kwargs.pop("traversal", None)
+    sun_color = kwargs.pop("sun_color", None) or (1.0, 0.97, 0.92)
+    spacing = kwargs.pop("spacing", (1.0, 1.0))
+    desc = TerrainRefDesc(
+        heights=np.asarray(heightmap, np.float32),
+        spacing=(float(spacing[0]), float(spacing[1])),
+        exaggeration=float(kwargs.pop("exaggeration", 1.0)),
+        albedo=tuple(float(a)
+                     for a in kwargs.pop("albedo", (0.6, 0.6, 0.6))),
+        cam_origin=tuple(float(v)
+                         for v in cam.get("origin", (0.0, 50.0, 120.0))),
+        cam_look_at=tuple(float(v)
+                          for v in cam.get("look_at", (0.0, 0.0, 0.0))),
+        cam_up=tuple(float(v) for v in cam.get("up", (0.0, 1.0, 0.0))),
+        fov_y_deg=float(cam.get("fov_y", 45.0)),
+        exposure=float(cam.get("exposure", 1.0)),
+        sun_azimuth_deg=float(kwargs.pop("sun_azimuth_deg", 315.0)),
+        sun_elevation_deg=float(kwargs.pop("sun_elevation_deg", 45.0)),
+        sun_intensity=float(kwargs.pop("sun_intensity", 2.5)),
+        sun_color=tuple(float(c) for c in sun_color),
+        env_map=None,
+        env_intensity=float(kwargs.pop("env_intensity", 0.35)),
+        width=int(width),
+        height=int(height),
+        seed=int(seeds[0]) & 0xFFFFFFFF if len(seeds) else 7,
+        spp=int(kwargs.pop("spp", 1)),
+        traversal="sweep",
+    )
+    if kwargs:
+        raise TypeError(f"unsupported sequence kwargs: {sorted(kwargs)}")
+    from .terrain_sweep import render_terrain_sweep_sequence
+
+    return render_terrain_sweep_sequence(desc, list(seeds))

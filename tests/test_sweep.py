@@ -248,3 +248,25 @@ def test_sweep_render_matches_reference_converged():
     # faceting); tracked in PERF.md
     assert s > 0.92, f"SSIM {s}"
     assert mad < 4.5, f"mean abs diff {mad}/255"
+
+
+def test_sweep_sequence_bitwise_matches_single_calls():
+    """Pipelined sequence frames are bit-identical to single renders."""
+    from forge3d_tpu.pt.terrain_ref import TerrainRefDesc
+    from forge3d_tpu.pt.terrain_sweep import (render_terrain_sweep,
+                                              render_terrain_sweep_sequence)
+
+    n = 33
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float32)
+    dem = (4.0 * np.sin(xx * 0.2) * np.cos(yy * 0.17)).astype(np.float32)
+    kw = dict(heights=dem, cam_origin=(16.0, 14.0, 46.0),
+              cam_look_at=(16.0, 0.0, 16.0), fov_y_deg=42.0,
+              width=64, height=48)
+    seq = render_terrain_sweep_sequence(
+        TerrainRefDesc(spp=1, seed=3, **kw), seeds=[3, 9], frames=4)
+    assert len(seq) == 2
+    for seed, out in zip((3, 9), seq):
+        one = render_terrain_sweep(TerrainRefDesc(spp=1, seed=seed, **kw),
+                                   frames=4)
+        assert np.array_equal(out["rgba"], one["rgba"])
+        assert np.array_equal(out["depth"], one["depth"], equal_nan=True)
