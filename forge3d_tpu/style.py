@@ -109,6 +109,10 @@ def evaluate_expression(expr: Any, properties: Optional[dict] = None,
     if not isinstance(expr, list) or not expr:
         return expr
     op = expr[0]
+    if not isinstance(op, str):
+        # a list whose head is not an operator name is a plain array
+        # value (e.g. line-dasharray [6, 3])
+        return expr
     ev = lambda e: evaluate_expression(e, props, zoom)
     if op == "literal":
         return expr[1]
