@@ -45,6 +45,12 @@ def _smoothstep(e0, e1, x):
     return t * t * (3 - 2 * t)
 
 
+#: half-pixel fill inset: the PIL-mask SDF sits ~half a texel outside
+#: the true outline, rendering glyphs bolder than the reference's MSDF
+#: text (tuned against the reference label recipe goldens)
+FILL_BIAS = 0.45
+
+
 def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
                    atlas: Optional[GlyphAtlas] = None, size: Optional[float] = None,
                    color=(255, 255, 255, 255), halo_color=(0, 0, 0, 255),
@@ -103,7 +109,7 @@ def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
         sdf = _sample_sdf(atlas.image, u, v, -atlas.sdf_range)
         sdf_px = sdf * scale  # distances scale with the glyph
         aa = 0.6
-        fill_cov = _smoothstep(-aa, aa, sdf_px) * opacity
+        fill_cov = _smoothstep(-aa, aa, sdf_px - FILL_BIAS) * opacity
         region = target[y_min:y_max + 1, x_min:x_max + 1].astype(np.float32) / 255.0
         if halo_width > 0:
             # the SDF saturates at +-sdf_range texels; a halo wider than
