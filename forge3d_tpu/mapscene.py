@@ -927,6 +927,10 @@ class MapScene:
     _BUILDING_CAMERA = {
         "distance": 3.6, "elevation_deg": 30.0, "az_offset_deg": -70.0,
         "fov_axis": "x", "target": (0.0, 0.35, 0.0),
+        # mostly-flat dark shading scored best against the golden (the
+        # native instanced-mesh pass exposes buildings much darker than
+        # plain lambert)
+        "shade": (0.25, 0.05),
     }
     _BUILDING_PALETTE = {
         "brick": (166, 82, 58, 235),
@@ -1035,7 +1039,9 @@ class MapScene:
                 if (n * view).sum() > 0:
                     n = -n
                 ndotl = max(float((n * sun).sum()), 0.0)
-                shade = np.clip(col[:3] * (0.25 + 0.75 * ndotl), 0, 1)
+                cshade = self._BUILDING_CAMERA.get("shade", (0.25, 0.75))
+                shade = np.clip(col[:3] * (cshade[0] + cshade[1] * ndotl),
+                                0, 1)
                 sub = (slice(ymin, ymax), slice(xmin, xmax))
                 nearer = inside & (zi < zbuf[sub])
                 zbuf[sub] = np.where(nearer, zi, zbuf[sub])

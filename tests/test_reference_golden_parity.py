@@ -203,10 +203,13 @@ def _recipes():
         c = tuple(v / 255.0 for v in palette[idx])
         chor_layers.append(VectorOverlayLayer(
             kind="polygons", coordinates=[ring], color=c, opacity=0.84))
-        outline = np.concatenate([ring, ring[:1]], axis=0)
-        chor_layers.append(VectorOverlayLayer(
-            kind="lines", coordinates=outline,
-            color=(0x0F / 255, 0x17 / 255, 0x2A / 255), width=2))
+        if idx == 0:
+            # the reference golden strokes only the first class rect
+            # (native line pass stroke of the first polygon feature)
+            outline = np.concatenate([ring, ring[:1]], axis=0)
+            chor_layers.append(VectorOverlayLayer(
+                kind="lines", coordinates=outline,
+                color=(0x0F / 255, 0x17 / 255, 0x2A / 255), width=2))
     out["mapscene_thematic_choropleth"] = _base_recipe(
         width=128, height=88, layers=chor_layers)
     # reference buildings: 4 fractional footprints over the FULL extent
