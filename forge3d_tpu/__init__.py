@@ -286,4 +286,13 @@ def __getattr__(name):
         from . import transforms as _tf
 
         return getattr(_tf, name)
+    # flat reference-API surface (SURVEY A.7 spellings) resolved last
+    if not name.startswith("__"):
+        import importlib
+
+        _ref = importlib.import_module("forge3d_tpu._reference_api")
+        try:
+            return _ref.resolve(name)
+        except KeyError:
+            pass
     raise AttributeError(f"module 'forge3d_tpu' has no attribute {name!r}")

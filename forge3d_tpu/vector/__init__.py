@@ -165,3 +165,81 @@ def render_overlay_rgba(scene: VectorScene, width: int, height: int) -> np.ndarr
     safe = np.maximum(alpha, 1e-6)[..., None]
     straight = np.where(alpha[..., None] > 0, rgb / safe, 0.0)
     return np.concatenate([straight, alpha[..., None]], axis=-1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Flat functional render surface (reference py_functions/vector parity:
+# vector_render_oit_py / vector_render_oit_edl_py — width/height + point
+# and polyline payloads -> RGBA u8 overlay; the MapScene point-cloud
+# compositor drives exactly this contract).
+# ---------------------------------------------------------------------------
+
+def _scene_from_payload(points_xy=None, point_rgba=None, point_size=None,
+                        polylines=None, polyline_rgba=None,
+                        stroke_width=None) -> "VectorScene":
+    vs = VectorScene()
+    if points_xy:
+        pts = np.asarray(points_xy, np.float64)
+        rgba = list(point_rgba or [])
+        sizes = list(point_size or [])
+        for i in range(len(pts)):
+            c = rgba[i] if i < len(rgba) else (1.0, 0.4, 0.1, 1.0)
+            s = sizes[i] if i < len(sizes) else 4.0
+            vs.add_points(pts[i:i + 1], color=tuple(c[:3]),
+                          size=float(s), opacity=float(c[3]) if len(c) > 3
+                          else 1.0)
+    for k, pl in enumerate(polylines or ()):
+        c = (polyline_rgba[k] if polyline_rgba and k < len(polyline_rgba)
+             else (0.9, 0.9, 0.9, 1.0))
+        w = (stroke_width[k] if stroke_width and k < len(stroke_width)
+             else 2.0)
+        vs.add_lines(np.asarray(pl, np.float64), color=tuple(c[:3]),
+                     width=float(w),
+                     opacity=float(c[3]) if len(c) > 3 else 1.0)
+    return vs
+
+
+def vector_render_oit(width: int, height: int, *, points_xy=None,
+                      point_rgba=None, point_size=None, polylines=None,
+                      polyline_rgba=None, stroke_width=None) -> np.ndarray:
+    """Order-independent composite of points + polylines -> RGBA u8."""
+    vs = _scene_from_payload(points_xy, point_rgba, point_size,
+                             polylines, polyline_rgba, stroke_width)
+    over = render_overlay_rgba(vs, width, height)
+    return (np.clip(over, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def vector_render_oit_edl(width: int, height: int, *, edl_strength=1.5,
+                          edl_radius_px=1.0, **payload) -> np.ndarray:
+    """OIT render with eye-dome-lighting: isolated splats darken by the
+    local alpha falloff (reference EDL point shading)."""
+    vs = _scene_from_payload(**payload)
+    rgb, alpha, _ = vs.render(width, height)
+    r = max(int(round(edl_radius_px)), 1)
+    pad = np.pad(alpha, r, mode="edge")
+    neigh = np.zeros_like(alpha)
+    for dy, dx in ((-r, 0), (r, 0), (0, -r), (0, r)):
+        neigh += pad[r + dy:r + dy + alpha.shape[0],
+                     r + dx:r + dx + alpha.shape[1]]
+    occl = np.clip((alpha - neigh / 4.0) * float(edl_strength), 0.0, 1.0)
+    rgb = rgb * (1.0 - occl[..., None])
+    safe = np.maximum(alpha, 1e-6)[..., None]
+    straight = np.where(alpha[..., None] > 0, rgb / safe, 0.0)
+    out = np.concatenate([straight, alpha[..., None]], axis=-1)
+    return (np.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def vector_render_pick_map(width: int, height: int, **payload) -> np.ndarray:
+    """Pick-ID map of the payload (0 = background)."""
+    vs = _scene_from_payload(**payload)
+    _, _, pick = vs.render(width, height)
+    return pick
+
+
+def vector_render_oit_and_pick(width: int, height: int, **payload):
+    vs = _scene_from_payload(**payload)
+    rgb, alpha, pick = vs.render(width, height)
+    safe = np.maximum(alpha, 1e-6)[..., None]
+    straight = np.where(alpha[..., None] > 0, rgb / safe, 0.0)
+    rgba = np.concatenate([straight, alpha[..., None]], axis=-1)
+    return ((np.clip(rgba, 0, 1) * 255 + 0.5).astype(np.uint8), pick)

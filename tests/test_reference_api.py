@@ -1,0 +1,118 @@
+# The reference's flat native-function surface (SURVEY.md A.7) must
+# resolve through `import forge3d as f3d` / forge3d_tpu.
+
+import numpy as np
+import pytest
+
+import forge3d_tpu as f3d
+
+A7_NAMES = """
+_pt_render_gpu _pt_render_gpu_mesh hybrid_render
+hybrid_render_terrain_reference render_adjudication_pair render_brdf_tile
+render_brdf_tile_overrides render_debug_pattern_frame
+_astro_night_golden_frame open_viewer run_interactive_viewer_cli
+camera_look_at camera_perspective camera_orthographic camera_view_proj
+camera_dof_params rotate_x rotate_y rotate_z scale translate grid_generate
+uv_planar_unwrap_py extrude_polygon_py geometry_centroid geometry_measure
+geometry_subdivide geometry_type weld_mesh geometry_validate
+geometry_repair geometry_simplify
+read_raster_py read_raster_info_py read_raster_mask_py
+read_raster_window_py write_raster_py read_cog_py read_gridded_dataset_py
+reproject_raster_py resample_raster_py normalize_raster_py
+classify_raster_py mask_raster_py apply_nodata_py align_raster_grid_py
+align_raster_to_py raster_bounds_py raster_crs_py raster_resolution_py
+raster_transform_py window_from_bounds_py transform_from_origin_py
+rowcol_py xy_py
+read_vector_py reproject_vector_py clip_vector_py dissolve_vector_py
+intersect_geometries_py union_geometries_py difference_geometries_py
+intersection_geometries_py buffer_geometry_py rasterize_vectors_py
+rasterize_shaped_run_py geometry_mask_py parse_crs_py inspect_crs_py
+create_crs_transformer_py assign_crs_py estimate_local_utm_py
+web_mercator_bounds_py slippy_tile_index_py geodesic_direct
+geodesic_inverse geoid_undulation ecef_to_wgs84
+parse_osm_features_py query_osm_features_py prepare_osm_scene_py
+fetch_remote_geodata_py cache_geodata_py build_terrarium_dem_py
+decode_terrarium_dem_py prepare_dem_py
+add_points_py add_lines_py add_polygons_py add_graph_py clear_vectors_py
+vector_render_oit_py vector_render_oit_edl_py
+vector_render_oit_and_pick_py vector_render_pick_map_py
+vector_render_polygons_fill_py vector_render_analytic_py
+vector_coverage_primitives_py
+bake_msdf_atlas_py bake_msdf_atlas_shaped_py text_shape_py
+declutter_optimal_py
+compress_dem decompress_dem verify_dem encode_bc7_rgba8 decode_bc7_rgba8
+encode_bc5_rg8 decode_bc5_rg8 decode_pnts_py copc_read_node_points_py
+read_laz_points_info_py read_laz_point_attributes_py numpy_to_exr
+enumerate_adapters device_probe engine_info report_device capabilities
+global_memory_metrics get_memory_budget_policy set_memory_budget_policy
+terrain_culling_stats terrain_visibility_stats terrain_vt_stats
+terrain_seam_stats native_degradations clear_native_degradations
+configure_csm set_csm_enabled set_csm_light_direction set_csm_pcf_kernel
+set_csm_bias_params set_csm_debug_mode get_csm_cascade_info
+validate_csm_peter_panning
+begin_render_execution_capture finish_render_execution_capture
+abort_render_execution_capture render_execution_report
+sign_render_certificate_digest shader_report seal_provenance
+verify_provenance dd_selftest dd_harness dd_jitter_demo
+license_public_key_hex verify_license_signature
+astro_body_position astro_moon_phase astro_sidereal_time
+astro_delta_t_seconds astro_refraction_arcminutes
+astro_validation_metrics body_info sky_set_observation
+numpy_to_png png_to_numpy
+""".split()
+
+
+@pytest.mark.parametrize("name", A7_NAMES)
+def test_a7_name_resolves(name):
+    obj = getattr(f3d, name)
+    assert obj is not None
+
+
+def test_vector_render_oit_overlay():
+    out = f3d.vector_render_oit_py(
+        64, 48,
+        points_xy=[(10.0, 10.0), (30.0, 20.0)],
+        point_rgba=[(1.0, 0.2, 0.1, 1.0), (0.1, 0.5, 1.0, 1.0)],
+        point_size=[4.0, 6.0],
+        polylines=[[(5.0, 40.0), (60.0, 40.0)]],
+        polyline_rgba=[(1.0, 1.0, 1.0, 1.0)],
+        stroke_width=[3.0])
+    assert out.shape == (48, 64, 4) and out.dtype == np.uint8
+    assert out[..., 3].max() == 255          # content drawn
+    edl = f3d.vector_render_oit_edl_py(
+        64, 48, edl_strength=2.0, edl_radius_px=2.0,
+        points_xy=[(10.0, 10.0)], point_rgba=[(1.0, 1.0, 1.0, 1.0)],
+        point_size=[4.0])
+    assert edl.shape == (48, 64, 4)
+    # EDL darkens the splat vs the plain render
+    plain = f3d.vector_render_oit_py(
+        64, 48, points_xy=[(10.0, 10.0)],
+        point_rgba=[(1.0, 1.0, 1.0, 1.0)], point_size=[4.0])
+    assert edl[..., :3].sum() < plain[..., :3].sum()
+
+
+def test_global_vector_store_and_analytic_render():
+    f3d.clear_vectors_py()
+    f3d.add_points_py([(8.0, 8.0)], color=(1.0, 0.0, 0.0), size=5.0)
+    f3d.add_lines_py([(0.0, 24.0), (31.0, 24.0)], color=(0.0, 1.0, 0.0),
+                     width=2.0)
+    out = f3d.vector_render_analytic_py(32, 32)
+    assert out.shape == (32, 32, 4)
+    assert out[..., 3].max() == 255
+    f3d.clear_vectors_py()
+    empty = f3d.vector_render_analytic_py(16, 16)
+    assert empty[..., 3].max() == 0
+
+
+def test_assign_crs_and_terrarium_roundtrip():
+    info = f3d.assign_crs_py({"crs": None, "width": 4}, "EPSG:32610")
+    assert info["crs"] == "EPSG:32610"
+    h = np.array([[0.0, 12.5], [100.25, -5.0]], np.float32)
+    rgb = f3d.build_terrarium_dem_py(h)
+    back = f3d.decode_terrarium_dem_py(rgb)
+    assert np.allclose(back, h, atol=1.0 / 256.0 + 1e-5)
+
+
+def test_rasterize_shaped_run_produces_coverage():
+    alpha = f3d.rasterize_shaped_run_py("Ab", size=16.0)
+    assert alpha.ndim == 2 and alpha.max() > 0
