@@ -518,6 +518,10 @@ class ViewerServer:
         self.state.meshes[name] = mesh
         return {"name": name, "triangles": mesh.triangle_count}
 
+    def _cmd_load_point_cloud(self, req):
+        # reference wire spelling (LoadPointCloud -> load_point_cloud)
+        return self._cmd_load_pointcloud(req)
+
     def _cmd_load_pointcloud(self, req):
         path, = _require(req, "path")
         from ..pointcloud import read_point_file
