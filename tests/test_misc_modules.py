@@ -390,3 +390,24 @@ def test_scene_graph_hierarchy_and_traversal():
 
     g.remove("city")
     assert "block" not in g and "city" not in g
+
+
+def test_multipolygonz_to_obj_roundtrip(tmp_path):
+    """Reference converters parity (multipolygonz_to_obj.rs): fan
+    triangulation + OBJ write."""
+    import numpy as np
+
+    from forge3d_tpu.converters import multipolygonz_to_mesh, \
+        multipolygonz_to_obj
+    from forge3d_tpu.io.mesh import load_obj
+
+    quad = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]],
+                    np.float32)
+    tri = np.array([[2, 1, 0], [3, 1, 0], [2.5, 1, 1]], np.float32)
+    mesh = multipolygonz_to_mesh([quad, tri])
+    assert len(mesh.indices) == 3          # 2 fan tris + 1
+    p = tmp_path / "out.obj"
+    multipolygonz_to_obj(p, [quad, tri])
+    back = load_obj(p)
+    assert len(back.vertices) == 7
+    assert len(back.indices.reshape(-1, 3)) == 3
