@@ -626,3 +626,193 @@ def geometry_mask(geoms: Sequence[dict], out_shape: Tuple[int, int],
     burned = rasterize_polygons(polys, out_shape, transform=transform)
     inside = burned > 0
     return inside if invert else ~inside
+
+
+# ---------------------------------------------------------------------------
+# 2D geometry utilities (reference py_functions/vector parity:
+# interpolate_line, representative_point, validity/repair/simplify).
+# ---------------------------------------------------------------------------
+
+def interpolate_line(geom: dict, distance: float, *,
+                     normalized: bool = False) -> dict:
+    """Point at arc-length `distance` along a LineString (clamped;
+    `normalized` measures in [0, 1] of total length)."""
+    if geom.get("type") != "LineString":
+        raise ValueError("interpolate_line needs a LineString")
+    c = np.asarray(geom["coordinates"], np.float64)
+    seg = np.diff(c, axis=0)
+    lens = np.hypot(seg[:, 0], seg[:, 1])
+    total = float(lens.sum())
+    d = float(distance) * (total if normalized else 1.0)
+    d = min(max(d, 0.0), total)
+    acc = 0.0
+    for i, L in enumerate(lens):
+        if acc + L >= d or i == len(lens) - 1:
+            t = 0.0 if L == 0 else (d - acc) / L
+            p = c[i] + t * seg[i]
+            return {"type": "Point",
+                    "coordinates": [float(p[0]), float(p[1])]}
+        acc += L
+    return {"type": "Point", "coordinates": [float(c[-1][0]),
+                                             float(c[-1][1])]}
+
+
+def representative_point(geom: dict) -> dict:
+    """A point guaranteed inside a polygon (midpoint of the widest
+    interior run on the centroid row — the reference's representative
+    point is interior, unlike the centroid of a concave ring)."""
+    t = geom.get("type")
+    if t == "Point":
+        return dict(geom)
+    if t == "LineString":
+        return interpolate_line(geom, 0.5, normalized=True)
+    if t not in ("Polygon", "MultiPolygon"):
+        raise ValueError(f"unsupported geometry: {t}")
+    rings = (geom["coordinates"] if t == "Polygon"
+             else geom["coordinates"][0])
+    outer = np.asarray(rings[0], np.float64)
+    cy = float(outer[:, 1].mean())
+    # scanline crossings at cy
+    xs = []
+    a = outer[:-1] if np.allclose(outer[0], outer[-1]) else outer
+    b = np.roll(a, -1, axis=0)
+    for (x0, y0), (x1, y1) in zip(a, b):
+        if (y0 > cy) != (y1 > cy):
+            xs.append(x0 + (cy - y0) / (y1 - y0) * (x1 - x0))
+    xs.sort()
+    if len(xs) >= 2:
+        # widest in-out span
+        spans = [(xs[i + 1] - xs[i], i) for i in range(0, len(xs) - 1, 2)]
+        w, i = max(spans)
+        return {"type": "Point",
+                "coordinates": [float((xs[i] + xs[i + 1]) / 2), cy]}
+    return {"type": "Point", "coordinates": [float(outer[:, 0].mean()),
+                                             cy]}
+
+
+def validate_geometry(geom: dict) -> list:
+    """Problems list (empty = valid): ring closure, min vertex counts,
+    self-intersection of polygon outer rings, NaN coords."""
+    problems = []
+    t = geom.get("type")
+    coords = geom.get("coordinates")
+    if coords is None:
+        return ["missing coordinates"]
+
+    def finite(c):
+        arr = np.asarray(c, np.float64)
+        return np.isfinite(arr).all()
+
+    if t == "Point":
+        if not finite(coords):
+            problems.append("non-finite coordinates")
+    elif t == "LineString":
+        if len(coords) < 2:
+            problems.append("LineString needs >= 2 points")
+        if not finite(coords):
+            problems.append("non-finite coordinates")
+    elif t == "Polygon":
+        for k, ring in enumerate(coords):
+            r = np.asarray(ring, np.float64)
+            if len(r) < 4:
+                problems.append(f"ring {k} needs >= 4 points")
+                continue
+            if not np.allclose(r[0], r[-1]):
+                problems.append(f"ring {k} not closed")
+            if not finite(r):
+                problems.append(f"ring {k} non-finite")
+        if coords and _ring_self_intersects(
+                np.asarray(coords[0], np.float64)):
+            problems.append("outer ring self-intersects")
+    else:
+        problems.append(f"unsupported type {t!r}")
+    return problems
+
+
+def is_valid_geometry(geom: dict) -> bool:
+    return not validate_geometry(geom)
+
+
+def _seg_intersect(p0, p1, q0, q1) -> bool:
+    d1 = _orient(q0[0], q0[1], q1[0], q1[1], p0[0], p0[1])
+    d2 = _orient(q0[0], q0[1], q1[0], q1[1], p1[0], p1[1])
+    d3 = _orient(p0[0], p0[1], p1[0], p1[1], q0[0], q0[1])
+    d4 = _orient(p0[0], p0[1], p1[0], p1[1], q1[0], q1[1])
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    r = ring[:-1] if np.allclose(ring[0], ring[-1]) else ring
+    n = len(r)
+    for i in range(n):
+        a0, a1 = r[i], r[(i + 1) % n]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue          # adjacent at the wrap
+            if _seg_intersect(a0, a1, r[j], r[(j + 1) % n]):
+                return True
+    return False
+
+
+def repair_geometry(geom: dict) -> dict:
+    """Best-effort repair: close rings, drop duplicate consecutive
+    vertices, drop non-finite points, enforce CCW outer / CW holes."""
+    t = geom.get("type")
+    if t != "Polygon":
+        return dict(geom)
+    out_rings = []
+    for k, ring in enumerate(geom.get("coordinates", [])):
+        r = np.asarray(ring, np.float64)
+        r = r[np.isfinite(r).all(axis=1)]
+        if len(r) == 0:
+            continue
+        keep = np.ones(len(r), bool)
+        keep[1:] = (np.abs(np.diff(r, axis=0)).sum(axis=1) > 0)
+        r = r[keep]
+        if len(r) < 3:
+            continue
+        if not np.allclose(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        area = polygon_area(r)
+        want_ccw = (k == 0)
+        if (area > 0) != want_ccw:
+            r = r[::-1]
+        out_rings.append(r.tolist())
+    return {"type": "Polygon", "coordinates": out_rings}
+
+
+def simplify_geometry(geom: dict, tolerance: float) -> dict:
+    """Douglas-Peucker simplification of LineString / Polygon rings."""
+
+    def dp(points: np.ndarray) -> np.ndarray:
+        if len(points) < 3:
+            return points
+        a, b = points[0], points[-1]
+        ab = b - a
+        L = np.hypot(*ab)
+        rel = points - a
+        if L == 0:
+            d = np.hypot(rel[:, 0], rel[:, 1])
+        else:
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / L
+        i = int(np.argmax(d))
+        if d[i] > tolerance:
+            left = dp(points[:i + 1])
+            right = dp(points[i:])
+            return np.vstack([left[:-1], right])
+        return np.vstack([a, b])
+
+    t = geom.get("type")
+    if t == "LineString":
+        pts = dp(np.asarray(geom["coordinates"], np.float64))
+        return {"type": "LineString", "coordinates": pts.tolist()}
+    if t == "Polygon":
+        rings = []
+        for ring in geom["coordinates"]:
+            r = np.asarray(ring, np.float64)
+            closed = np.allclose(r[0], r[-1])
+            core = dp(r[:-1] if closed else r)
+            if len(core) >= 3:
+                rings.append(np.vstack([core, core[:1]]).tolist())
+        return {"type": "Polygon", "coordinates": rings}
+    return dict(geom)
