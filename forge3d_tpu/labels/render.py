@@ -19,7 +19,8 @@ import numpy as np
 from .atlas import GlyphAtlas
 from .shape import ShapedRun, text_shape
 
-__all__ = ["draw_text_rgba", "render_label_overlay"]
+__all__ = ["draw_text_rgba", "draw_text_along_path",
+           "render_label_overlay"]
 
 
 def _sample_sdf(atlas_img: np.ndarray, xs: np.ndarray, ys: np.ndarray,
@@ -142,3 +143,73 @@ def render_label_overlay(width: int, height: int,
             color=p.color, halo_color=p.halo_color, halo_width=p.halo_width,
             rotation_deg=p.rotation_deg, opacity=p.opacity)
     return overlay
+
+
+def draw_text_along_path(target: np.ndarray, text: str,
+                         path_xy, *, size: float = 14.0,
+                         offset: float = 0.0,
+                         color=(255, 255, 255, 255),
+                         halo_color=(0, 0, 0, 255),
+                         halo_width: float = 0.0,
+                         opacity: float = 1.0,
+                         atlas: Optional[GlyphAtlas] = None) -> np.ndarray:
+    """TRUE curved text: each glyph is placed and rotated to the local
+    path tangent at its arc-length position (the reference's curved
+    labels, src/labels/ curved placement — not the straight line-label
+    approximation).
+
+    `path_xy` is an (N, 2) screen-space polyline; `offset` shifts the
+    text start along the arc. Text flips upright when the path runs
+    right-to-left.
+    """
+    from .shape import _get_atlas
+
+    atlas = _get_atlas(atlas)
+    run = text_shape(str(text), atlas=atlas, size=size)
+    pts = np.asarray(path_xy, np.float64).reshape(-1, 2)
+    if len(pts) < 2:
+        return target
+    seg = np.diff(pts, axis=0)
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    total = float(seg_len.sum())
+    if total <= 0:
+        return target
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+
+    # upright test: overall path direction
+    flip = (pts[-1, 0] - pts[0, 0]) < 0
+
+    def at(s):
+        s = min(max(s, 0.0), total - 1e-9)
+        i = int(np.searchsorted(cum, s, side="right") - 1)
+        i = min(max(i, 0), len(seg) - 1)
+        t = (s - cum[i]) / max(seg_len[i], 1e-12)
+        p = pts[i] + t * seg[i]
+        ang = math.degrees(math.atan2(-seg[i, 1], seg[i, 0]))
+        return p, ang
+
+    glyphs = run.glyphs if not flip else list(reversed(run.glyphs))
+    scale = size / atlas.px
+    for g in run.glyphs:
+        entry = atlas.glyphs.get(g.char)
+        if entry is None or entry.w == 0:
+            continue
+        gw = entry.w * scale
+        s_mid = offset + g.x + gw * 0.5
+        if flip:
+            s_mid = offset + (run.width - (g.x + gw * 0.5))
+        (px, py), ang = at(s_mid)
+        if flip:
+            ang += 180.0
+        # draw this single glyph at its own rotation; reuse
+        # draw_text_rgba with a one-glyph run
+        single = ShapedRun(glyphs=[type(g)(char=g.char, x=-gw * 0.5,
+                                           y=g.y, advance=g.advance)],
+                           width=gw, height=run.height,
+                           ascent=run.ascent, descent=run.descent,
+                           text=g.char, direction=run.direction)
+        draw_text_rgba(target, single, float(px), float(py),
+                       atlas=atlas, size=size, color=color,
+                       halo_color=halo_color, halo_width=halo_width,
+                       rotation_deg=ang, opacity=opacity)
+    return target

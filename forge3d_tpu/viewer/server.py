@@ -363,15 +363,27 @@ class ViewerServer:
         from ..labels import plan_labels, point_label_candidates, render_label_overlay
 
         cands = []
+        curved = []
         for lid, lab in sorted(s.labels.items()):
+            size = float(lab.get("size", s.label_typography["size"])) \
+                * s.label_zoom
+            if lab.get("kind") == "curved" and lab.get("polyline"):
+                curved.append((lab, size))
+                continue
             cands += point_label_candidates(
                 lid, lab["text"], float(lab["x"]), float(lab["y"]),
                 priority=float(lab.get("priority", 1.0)),
-                size=float(lab.get("size", s.label_typography["size"])) * s.label_zoom)
+                size=size)
         plan = plan_labels(cands, frame_size=(W, H),
                            algorithm=s.declutter_algorithm,
                            max_visible=s.max_visible_labels)
         ov = render_label_overlay(W, H, plan.placements)
+        if curved:
+            from ..labels.render import draw_text_along_path
+
+            for lab, size in curved:
+                draw_text_along_path(ov, lab["text"], lab["polyline"],
+                                     size=size)
         a = ov[..., 3:4].astype(np.float32) / 255.0
         out = frame.copy()
         out[..., :3] = (frame[..., :3] * (1 - a) + ov[..., :3] * a).astype(np.uint8)
@@ -571,7 +583,16 @@ class ViewerServer:
         return {"id": lid}
 
     def _cmd_add_curved_label(self, req):
-        return self._cmd_add_line_label(req)
+        text, polyline = _require(req, "text", "polyline")
+        s = self.state
+        lid = s.next_label_id
+        s.next_label_id += 1
+        s.labels[lid] = {"text": str(text), "polyline": polyline,
+                         "x": float(polyline[0][0]),
+                         "y": float(polyline[0][1]),
+                         "priority": float(req.get("priority", 1.0)),
+                         "kind": "curved"}   # per-glyph path placement
+        return {"id": lid}
 
     def _cmd_remove_label(self, req):
         lid, = _require(req, "id")

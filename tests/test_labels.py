@@ -264,3 +264,41 @@ def test_project_anchors_depth_occlusion():
     assert res[0]["visible"] is True       # depth 0.5 < 0.7
     assert res[1]["visible"] is False      # behind scene depth
     assert res[2]["visible"] is False      # outside clip
+
+
+def test_curved_text_follows_path():
+    """TRUE curved labels: glyphs rotate to the local path tangent."""
+    import numpy as np
+
+    from forge3d_tpu.labels.render import draw_text_along_path
+
+    H, W = 96, 192
+    img = np.zeros((H, W, 4), np.uint8)
+    # half-circle arc
+    t = np.linspace(np.pi, 0, 64)
+    path = np.stack([96 + 70 * np.cos(t), 80 - 50 * np.sin(t)], 1)
+    draw_text_along_path(img, "CURVED", path, size=16.0,
+                         color=(255, 255, 255, 255))
+    ys, xs = np.nonzero(img[..., 3] > 64)
+    assert len(xs) > 50
+    # glyphs advance along the rising arc
+    assert xs.max() - xs.min() > 40
+    # glyphs sit near the arc
+    d = np.hypot(xs[:, None] - path[None, :, 0],
+                 ys[:, None] - path[None, :, 1]).min(axis=1)
+    # baseline sits on the path; ink extends up to ~cap height + curvature
+    assert float(d.max()) < 26.0
+
+
+def test_curved_text_flips_upright_for_rtl_paths():
+    import numpy as np
+
+    from forge3d_tpu.labels.render import draw_text_along_path
+
+    img1 = np.zeros((48, 128, 4), np.uint8)
+    img2 = np.zeros((48, 128, 4), np.uint8)
+    fwd = np.array([[10.0, 24.0], [118.0, 24.0]])
+    draw_text_along_path(img1, "AB", fwd, size=14.0)
+    draw_text_along_path(img2, "AB", fwd[::-1], size=14.0)
+    # both render ink; the flipped path still produces upright text
+    assert (img1[..., 3] > 0).any() and (img2[..., 3] > 0).any()
