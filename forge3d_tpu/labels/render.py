@@ -188,7 +188,6 @@ def draw_text_along_path(target: np.ndarray, text: str,
         ang = math.degrees(math.atan2(-seg[i, 1], seg[i, 0]))
         return p, ang
 
-    glyphs = run.glyphs if not flip else list(reversed(run.glyphs))
     scale = size / atlas.px
     for g in run.glyphs:
         entry = atlas.glyphs.get(g.char)
