@@ -41,10 +41,45 @@ def _exr_attr(name: str, atype: str, data: bytes) -> bytes:
             + struct.pack("<I", len(data)) + data)
 
 
+def _exr_zip_compress(raw: bytes) -> bytes:
+    """OpenEXR ZIP pre-filter + deflate: split bytes into two interleaved
+    planes, delta-encode (+384 bias), then zlib (ImfZip semantics)."""
+    import zlib
+
+    b = np.frombuffer(raw, np.uint8)
+    n = len(b)
+    half = (n + 1) // 2
+    t = np.empty(n, np.uint8)
+    t[:half] = b[0::2]
+    t[half:] = b[1::2]
+    d = t.astype(np.int16)
+    d[1:] = (d[1:] - t[:-1].astype(np.int16) + 384) & 0xFF
+    return zlib.compress(d.astype(np.uint8).tobytes())
+
+
+def _exr_zip_decompress(blob: bytes, n: int) -> bytes:
+    import zlib
+
+    t = np.frombuffer(zlib.decompress(blob), np.uint8).copy()
+    if len(t) != n:
+        raise FormatError("EXR zip block size mismatch")
+    # undo delta (prefix reconstruction), then un-interleave
+    d = t.astype(np.int64)
+    d[1:] -= 384
+    t = (np.cumsum(d) & 0xFF).astype(np.uint8)
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = t[:half]
+    out[1::2] = t[half:]
+    return out.tobytes()
+
+
 def numpy_to_exr(path, array: np.ndarray, *, half: bool = False,
-                 channel_names: Optional[Tuple[str, ...]] = None) -> None:
+                 channel_names: Optional[Tuple[str, ...]] = None,
+                 compression: str = "none") -> None:
     """Write (H, W) or (H, W, C<=4) float data as an EXR
-    (reference seam: numpy_to_exr)."""
+    (reference seam: numpy_to_exr). compression: "none" | "zips"
+    (per-scanline deflate with the OpenEXR ZIP pre-filter)."""
     a = np.asarray(array)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -67,9 +102,12 @@ def numpy_to_exr(path, array: np.ndarray, *, half: bool = False,
                       + struct.pack("<iBBBBii", ptype, 0, 0, 0, 0, 1, 1))
     chan_list += b"\0"
 
+    comp = {"none": 0, "zips": 2}.get(str(compression).lower())
+    if comp is None:
+        raise FormatError(f"unsupported EXR compression: {compression}")
     header = b""
     header += _exr_attr("channels", "chlist", chan_list)
-    header += _exr_attr("compression", "compression", b"\x00")  # none
+    header += _exr_attr("compression", "compression", bytes([comp]))
     box = struct.pack("<4i", 0, 0, W - 1, H - 1)
     header += _exr_attr("dataWindow", "box2i", box)
     header += _exr_attr("displayWindow", "box2i", box)
@@ -83,9 +121,23 @@ def numpy_to_exr(path, array: np.ndarray, *, half: bool = False,
 
     psize = np.dtype(dtype).itemsize
     scan_bytes = W * C * psize
+    blocks = []
+    for y in range(H):
+        raw = b"".join(np.ascontiguousarray(
+            data[y, :, i]).astype(dtype).tobytes() for i in order)
+        if comp == 2:
+            z = _exr_zip_compress(raw)
+            # the EXR contract: store raw when compression doesn't shrink
+            blocks.append(z if len(z) < len(raw) else raw)
+        else:
+            blocks.append(raw)
     offset_table_pos = 8 + len(header)
     data_start = offset_table_pos + 8 * H
-    offsets = [data_start + y * (8 + scan_bytes) for y in range(H)]
+    offsets = []
+    pos = data_start
+    for blk in blocks:
+        offsets.append(pos)
+        pos += 8 + len(blk)
 
     with open(path, "wb") as fh:
         fh.write(struct.pack("<I", _EXR_MAGIC))
@@ -93,11 +145,9 @@ def numpy_to_exr(path, array: np.ndarray, *, half: bool = False,
         fh.write(header)
         for off in offsets:
             fh.write(struct.pack("<Q", off))
-        for y in range(H):
-            fh.write(struct.pack("<iI", y, scan_bytes))
-            for i in order:                      # channels alphabetical
-                fh.write(np.ascontiguousarray(
-                    data[y, :, i]).astype(dtype).tobytes())
+        for y, blk in enumerate(blocks):
+            fh.write(struct.pack("<iI", y, len(blk)))
+            fh.write(blk)
 
 
 def exr_to_numpy(path) -> Tuple[np.ndarray, Tuple[str, ...]]:
@@ -136,24 +186,35 @@ def exr_to_numpy(path) -> Tuple[np.ndarray, Tuple[str, ...]]:
             compression = aval[0]
         elif name == "dataWindow":
             dw = struct.unpack("<4i", aval)
-    if compression != 0:
-        raise FormatError("only uncompressed EXR supported")
+    if compression not in (0, 2, 3):
+        raise FormatError(
+            "only NONE/ZIPS/ZIP EXR compression supported")
     if dw is None or not channels:
         raise FormatError("EXR missing dataWindow/channels")
     W = dw[2] - dw[0] + 1
     H = dw[3] - dw[1] + 1
-    # offset table
-    offsets = struct.unpack_from(f"<{H}Q", raw, pos)
+    lines_per_block = {0: 1, 2: 1, 3: 16}[compression]
+    n_blocks = (H + lines_per_block - 1) // lines_per_block
+    offsets = struct.unpack_from(f"<{n_blocks}Q", raw, pos)
     out = np.empty((H, len(channels), W), np.float32)
-    for yi, off in enumerate(offsets):
-        y, nbytes = struct.unpack_from("<iI", raw, off)
-        p = off + 8
-        for ci, (cname, ptype) in enumerate(channels):
-            dt = np.float16 if ptype == _PIX_HALF else np.float32
-            n = W * np.dtype(dt).itemsize
-            out[y - dw[1], ci] = np.frombuffer(
-                raw[p:p + n], dt).astype(np.float32)
-            p += n
+    psizes = [np.dtype(np.float16 if pt == _PIX_HALF
+                       else np.float32).itemsize for _, pt in channels]
+    scan_bytes = W * sum(psizes)
+    for off in offsets:
+        y0, nbytes = struct.unpack_from("<iI", raw, off)
+        blk = raw[off + 8:off + 8 + nbytes]
+        n_lines = min(lines_per_block, dw[3] - y0 + 1)
+        want = scan_bytes * n_lines
+        if compression and nbytes < want:
+            blk = _exr_zip_decompress(blk, want)
+        for li in range(n_lines):
+            p = li * scan_bytes
+            for ci, (cname, ptype) in enumerate(channels):
+                dt = np.float16 if ptype == _PIX_HALF else np.float32
+                n = W * np.dtype(dt).itemsize
+                out[y0 - dw[1] + li, ci] = np.frombuffer(
+                    blk[p:p + n], dt).astype(np.float32)
+                p += n
     names = tuple(c[0] for c in channels)
     img = np.transpose(out, (0, 2, 1))
     # reorder alphabetical -> RGBA when applicable
