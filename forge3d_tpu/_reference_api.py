@@ -704,7 +704,7 @@ def _vector_render_coverage_ablation_py(width: int = 64, height: int = 64):
 
 
 def vector_oit_and_pick_demo(width: int = 96, height: int = 64):
-    out, pick = globals()["_WRAPPERS"]["vector_render_oit_and_pick_py"](
+    out, pick = resolve("vector_render_oit_and_pick_py")(
         width, height,
         points_xy=[(20.0, 20.0), (60.0, 40.0)],
         point_rgba=[(1.0, 0.3, 0.2, 0.9), (0.2, 0.5, 1.0, 0.9)],

@@ -1466,6 +1466,14 @@ class MapScene:
 
                             img = np.asarray(read_raster(layer.path),
                                              np.float32)
+                            # real rasters (DEM meters, ortho DN) are not
+                            # [0,1]: normalize to the dataset range so the
+                            # composite doesn't saturate to white
+                            lo = float(np.nanmin(img))
+                            hi = float(np.nanmax(img))
+                            if hi > lo and (lo < 0.0 or hi > 1.0):
+                                img = (img - lo) / (hi - lo)
+                            img = np.nan_to_num(img, nan=0.0)
                             img = np.stack([img] * 3, axis=-1)
                 if img is None:
                     # deterministic placeholder: hash-colored diagonal

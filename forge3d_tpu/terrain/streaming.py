@@ -99,7 +99,10 @@ class HeightTileLoader:
                 self.stats.evicted += 1
         self._charge()
 
-    def _load(self, key: TileKey) -> np.ndarray:
+    def _load(self, key: TileKey) -> Optional[np.ndarray]:
+        """Returns the tile, or None on source failure (the caller resolves
+        the request with a fill tile WITHOUT caching it, so the tile is
+        retried on the next request)."""
         tx, tz, lod = key
         try:
             tile = np.asarray(self.tile_source(tx, tz, lod), np.float32)
@@ -108,8 +111,7 @@ class HeightTileLoader:
                     f"tile source returned {tile.shape}, expected "
                     f"({self.tile_px}, {self.tile_px})")
         except Exception:
-            tile = np.full((self.tile_px, self.tile_px), self.fill_value,
-                           np.float32)
+            return None
         return tile
 
     def request(self, key: TileKey) -> "Future[np.ndarray]":
@@ -129,7 +131,11 @@ class HeightTileLoader:
 
             def work(k=key):
                 tile = self._load(k)
-                self._insert(k, tile)
+                if tile is None:
+                    tile = np.full((self.tile_px, self.tile_px),
+                                   self.fill_value, np.float32)
+                else:
+                    self._insert(k, tile)
                 with self._lock:
                     self._inflight.pop(k, None)
                     self.stats.inflight -= 1

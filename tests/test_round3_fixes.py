@@ -1,0 +1,67 @@
+# Regression tests for the round-2 advisor findings (ADVICE.md r2).
+
+import numpy as np
+
+import pytest
+
+
+def test_vector_oit_and_pick_demo_invokes():
+    # ADVICE r2 medium: the demo raised KeyError because it looked up a
+    # _TABLE name in _WRAPPERS. Invoke it for real.
+    from forge3d_tpu import _reference_api as api
+
+    out = api.resolve("vector_oit_and_pick_demo")(width=48, height=32)
+    assert out["rgba"].shape == (32, 48, 4)
+    assert out["pick"].shape == (32, 48)
+
+
+def test_height_tile_loader_retries_failed_tiles():
+    # ADVICE r2 medium: failed loads were cached as fill tiles and never
+    # retried. A source that fails once must be re-consulted next request.
+    from forge3d_tpu.terrain.streaming import HeightTileLoader
+
+    calls = {"n": 0}
+
+    def source(tx, tz, lod):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IOError("transient")
+        return np.full((16, 16), 7.0, np.float32)
+
+    loader = HeightTileLoader(tile_source=source, tile_px=16,
+                              fill_value=-1.0)
+    first = loader.request((0, 0, 0)).result(timeout=10)
+    assert float(first.max()) == -1.0  # fill tile on failure
+    second = loader.request((0, 0, 0)).result(timeout=10)
+    assert float(second.min()) == 7.0  # retried, real data
+    assert calls["n"] == 2
+
+
+def test_raster_overlay_path_normalizes_non_uint8(tmp_path):
+    # ADVICE r2 low: DEM-valued GeoTIFF overlays saturated to white.
+    from forge3d_tpu.gis.geotiff import write_raster
+    from forge3d_tpu.mapscene import (MapScene, OrbitCamera, OutputSpec,
+                                      RasterOverlayLayer, SceneRecipe,
+                                      TerrainSource)
+
+    dem_path = tmp_path / "heights.tif"
+    heights = np.linspace(100.0, 900.0, 64, np.float32).reshape(8, 8)
+    write_raster(str(dem_path), heights)
+    rec = SceneRecipe(
+        terrain=TerrainSource(dem=np.zeros((8, 8), np.float32),
+                              spacing=(1.0, 1.0), z_scale=1.0),
+        camera=OrbitCamera(phi_deg=35.0, theta_deg=45.0, fov_y_deg=45.0),
+        output=OutputSpec(size_px=(48, 32)),
+        layers=[RasterOverlayLayer(layer_id="dem", path=str(dem_path),
+                                   opacity=1.0)],
+        camera_mode="screen",
+    )
+    frame = MapScene(rec).render()
+    gray = frame.rgba[..., :3].astype(np.float32) / 255.0
+    # normalized overlay must span tones, not clip to white
+    assert gray.max() <= 1.0
+    assert gray.min() < 0.65, "overlay saturated (normalization missing)"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

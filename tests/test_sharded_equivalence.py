@@ -71,5 +71,9 @@ def test_sweep_frame_sharding_matches_single_device():
     a = render_terrain_sweep(desc, frames=8)
     b = render_sweep_sharded(desc, n_frames=8)
     assert b["devices"] == 8 and b["frames"] == 8
-    assert np.array_equal(a["rgba"], b["rgba"])
+    # f32 addition order differs between the sequential and psum reduction
+    # trees, so exact u8 equality is not guaranteed across backends; gate
+    # at 1 LSB (ADVICE r2) and keep the allclose on the hdr accumulator.
+    diff = np.abs(a["rgba"].astype(np.int16) - b["rgba"].astype(np.int16))
+    assert int(diff.max()) <= 1, f"rgba diff {int(diff.max())} LSB"
     np.testing.assert_allclose(a["hdr"], b["hdr"], rtol=1e-5, atol=1e-6)
