@@ -44,24 +44,32 @@ def _blend_rect(image: np.ndarray, x0: int, y0: int, x1: int, y1: int,
     ).astype(np.uint8)
 
 
-#: DejaVu (our atlas font) runs ~6% wider than the reference's packaged
-#: Noto Sans at equal size; this metric correction scored best against
-#: the furniture golden (0.585 -> 0.609 SSIM at 0.94)
-_FONT_METRIC_SCALE = 0.94
-
-
 def _draw_text(image: np.ndarray, text: str, anchor: Tuple[float, float], *,
                color: Color, halo: Color = (0, 0, 0, 0),
                halo_width_px: float = 0.0, font_size: float = 12.0) -> None:
     """Anchor is the text's top-left; baseline = y + font_size (the
-    reference _draw_text contract)."""
-    from .labels.render import draw_text_rgba
+    reference _draw_text contract). Rendered with the packaged Noto
+    subsets through the outline-exact engine (labels/font.py), matching
+    the reference's glyphs and metrics byte-for-byte."""
+    from .labels.font import draw_shaped_text
 
-    x, y = anchor
-    size = float(font_size) * _FONT_METRIC_SCALE
-    draw_text_rgba(image, str(text), float(x), float(y) + float(font_size),
-                   size=size, color=color,
-                   halo_color=halo, halo_width=float(halo_width_px))
+    draw_shaped_text(image, str(text), anchor, color=color, halo=halo,
+                     halo_width_px=float(halo_width_px),
+                     font_size=float(font_size))
+
+
+def _text_outline_metrics(text: str, font_size: float):
+    """(width, height, bounds) of shaped text (reference
+    _text_outline_metrics contract)."""
+    from .labels.font import shape
+
+    shaped = shape(str(text), None, float(font_size))
+    bounds = shaped.outline_bounds()
+    if bounds is None:
+        return 0, 0, None
+    x0, y0, x1, y1 = bounds
+    return (max(1, int(math.ceil(x1 - x0))),
+            max(1, int(math.ceil(y1 - y0))), bounds)
 
 
 def _draw_polyline(image: np.ndarray, points: Sequence[Tuple[int, int]],
@@ -186,8 +194,8 @@ def scale_bar_geometry(meters_per_pixel: float, *, units: str = "km",
     nice_m = nice / UNIT_FACTORS[units]
     actual = min(int(nice_m / meters_per_pixel), bar_width)
     label = f"{int(nice)} {units}" if nice >= 1 else f"{nice:.1f} {units}"
-    label_w = int(len(label) * font_size * 0.55)
-    label_h = max(1, int(math.ceil(font_size * 1.25)))
+    label_w, outline_h, bounds = _text_outline_metrics(label, font_size)
+    label_h = max(outline_h, max(1, int(math.ceil(font_size * 1.25))))
     tw = max(actual + 2 * padding, label_w + 2 * padding)
     th = padding + bar_height + 4 + label_h + padding
     img = np.empty((th, tw, 4), np.uint8)
@@ -203,6 +211,8 @@ def scale_bar_geometry(meters_per_pixel: float, *, units: str = "km",
     img[by, bx:x1] = (0, 0, 0, 255)
     img[max(by, y1 - 1), bx:x1] = (0, 0, 0, 255)
     lx = max(0, bx + (actual - label_w) // 2)
+    if bounds is not None:
+        lx = max(0, int(round(lx - float(bounds[0]))))
     ly = by + bar_height + 4
     return img, label, (lx, ly)
 
@@ -261,8 +271,16 @@ def north_arrow_geometry(size: int = 60):
     for p0, p1, wd in ((tip, br, 1), (br, (cx, cy), 1), ((cx, cy), tip, 1),
                        ((cx, cy), tail, 2)):
         _seg_line(img, p0, p1, (0, 0, 0, 255), wd)
+    # N label anchored so its visual center sits at the rim offset
+    # (reference _text_anchor_for_visual_center semantics, font 14)
     n_y = cy - (size // 2 - 2)
-    return img, "N", (cx - 4, n_y - 7)
+    font_size = 14.0
+    _, _, b = _text_outline_metrics("N", font_size)
+    if b is None:
+        return img, "N", (cx - 4, n_y - 7)
+    anchor = (int(round(cx - (b[0] + b[2]) * 0.5)),
+              int(round(n_y - font_size - (b[1] + b[3]) * 0.5)))
+    return img, "N", anchor
 
 
 def compose_north_arrow(image: np.ndarray, options: Mapping) -> None:

@@ -157,6 +157,8 @@ class VectorOverlayLayer:
     opacity: float = 1.0
     height_offset: float = 1.0      # meters above terrain
     dash_array: Optional[List[float]] = None   # [on_px, off_px, ...]
+    line_cap: Optional[str] = None    # butt|round|square (screen space)
+    line_join: Optional[str] = None   # miter|round (screen space)
     name: str = ""
 
 
@@ -366,6 +368,12 @@ class SceneRecipe:
     #: directly to NDC, the orbit camera only drives lighting) — used by
     #: the reference-golden parity harness.
     camera_mode: str = "perspective"
+    #: layer coordinate space: "world" projects vector/label layers
+    #: through the 3D camera; "screen" composites them in image space
+    #: with the reference's cartographic pixel contract (unit-interval
+    #: values are frame fractions, larger values are pixels;
+    #: screen_compose.py / _map_scene_render.py:1355-1552)
+    layer_space: str = "world"
 
 
 # ---------------------------------------------------------------------------
@@ -1449,8 +1457,16 @@ class MapScene:
         # vector + raster overlays
         from .vector import VectorScene
 
+        screen_layers = (plan.get("camera_mode") == "screen"
+                         and getattr(self.recipe, "layer_space",
+                                     "world") == "screen")
         vs = VectorScene()
         for layer in self.recipe.layers:
+            if screen_layers and isinstance(layer, VectorOverlayLayer):
+                from .screen_compose import composite_vector_layer
+
+                composite_vector_layer(rgba, layer, W, H)
+                continue
             if isinstance(layer, RasterOverlayLayer):
                 img = layer.image
                 if img is None and layer.path is not None:
@@ -1546,7 +1562,12 @@ class MapScene:
         # buildings/tiles, so occlusion tests see the final 3D scene)
         for layer in layers:
             if isinstance(layer, LabelLayer):
-                self._draw_labels(plan, layer, rgba, depth)
+                if screen_layers:
+                    from .screen_compose import composite_label_layer
+
+                    composite_label_layer(rgba, layer, W, H)
+                else:
+                    self._draw_labels(plan, layer, rgba, depth)
 
         # furniture
         fur = self.recipe.furniture

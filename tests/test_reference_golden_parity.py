@@ -129,90 +129,90 @@ def _recipes():
                 "interval_deg": 0.2,
                 "include_labels": True,
             }))
-    # coordinate convention: the reference's vector compositor maps
-    # fractional coordinates with y DOWN the image; our world->screen map
-    # shows the DEM's bottom-left quadrant at 2x (world z UP the image),
-    # so fractions (fx, fy) become world (fx*3.5, (1-fy)*3.5). Label
-    # points are raw pixels in the reference.
-    def w(fx, fy):
-        return [fx * 3.5, (1.0 - fy) * 3.5]
+    # Screen-space layer contract (the reference composites recipe
+    # vector/label layers in image space over the terrain base;
+    # _map_scene_render.py:1355-1552): coordinates are frame fractions
+    # ([0,1]) or pixels, exactly as the reference recipes declare them.
+    def screen(rec):
+        rec.layer_space = "screen"
+        return rec
 
-    out["mapscene_vector_labels"] = _base_recipe(layers=[
+    out["mapscene_vector_labels"] = screen(_base_recipe(layers=[
         VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([w(0.1, 0.2), w(0.9, 0.75)]),
-                           color=(0.976, 0.98, 0.984), width=4,
+                           coordinates=np.array([(0.1, 0.2), (0.9, 0.75)]),
+                           color=(249 / 255, 250 / 255, 251 / 255), width=4,
+                           line_cap="round", line_join="round",
                            dash_array=[10, 5]),
         VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([w(0.12, 0.78),
-                                                 w(0.88, 0.28)]),
-                           color=(0.976, 0.98, 0.984), width=4,
+                           coordinates=np.array([(0.12, 0.78),
+                                                 (0.88, 0.28)]),
+                           color=(249 / 255, 250 / 255, 251 / 255), width=4,
+                           line_cap="round", line_join="round",
                            dash_array=[10, 5]),
+        # native-path label defaults: white fill, (0,0,0,190) halo, 1 px
+        # (map_scene.py:2395-2407)
         LabelLayer(labels=[
-            {"text": "Summit", "position": tuple(w(34 / 96, 20 / 64))},
-            {"text": "Trail", "position": tuple(w(68 / 96, 44 / 64))},
-        ], placement="exact"),
-    ])
+            {"text": "Summit", "position": (34.0, 20.0)},
+            {"text": "Trail", "position": (68.0, 44.0)},
+        ], placement="exact", color=(1.0, 1.0, 1.0, 1.0),
+            halo_color=(0.0, 0.0, 0.0, 190 / 255), halo_width=1.0),
+    ]))
     # stroke quality: hairpin polyline (round caps/joins), dashed
-    # boundary, park polygon with a hole (winding)
-    hairpin = np.array([w(0.06, 0.74), w(0.30, 0.18), w(0.52, 0.74),
-                        w(0.74, 0.22), w(0.94, 0.74)])
-    park_outer = np.array([w(0.10, 0.32), w(0.38, 0.32), w(0.38, 0.62),
-                           w(0.10, 0.62)])
-    park_hole = np.array([w(0.19, 0.41), w(0.30, 0.41), w(0.30, 0.53),
-                          w(0.19, 0.53)])[::-1]   # reversed = hole
-    out["mapscene_vector_stroke_quality"] = _base_recipe(
+    # boundary, park polygon with a hole; the style sheet has no fill
+    # layer so the park fill is the hash-fallback color at alpha 160
+    # (color measured from the golden), and the line paint also strokes
+    # the polygon rings
+    hairpin = np.array([(0.06, 0.74), (0.30, 0.18), (0.52, 0.74),
+                        (0.74, 0.22), (0.94, 0.74)])
+    park_outer = [(0.10, 0.32), (0.38, 0.32), (0.38, 0.62), (0.10, 0.62),
+                  (0.10, 0.32)]
+    park_hole = [(0.19, 0.41), (0.30, 0.41), (0.30, 0.53), (0.19, 0.53),
+                 (0.19, 0.41)]
+    stroke_col = (248 / 255, 250 / 255, 252 / 255)
+    out["mapscene_vector_stroke_quality"] = screen(_base_recipe(
         width=128, height=80,
         layers=[
-            # the reference style sheet has no fill layer, so the park
-            # fill resolves to the deterministic hash fallback — a tan
-            # (measured from the golden; the exact hash input includes
-            # compile-time style_support fields we don't replicate)
             VectorOverlayLayer(kind="polygons",
                                coordinates=[park_outer, park_hole],
                                color=(0.62, 0.50, 0.25),
-                               opacity=0.84),
-            # the reference's line paint also strokes the polygon rings
-            # (every feature in the layer shares the line style)
-            VectorOverlayLayer(kind="lines",
-                               coordinates=np.concatenate(
-                                   [park_outer, park_outer[:1]], axis=0),
-                               color=(0.973, 0.98, 0.988), width=6,
-                               dash_array=[12, 7]),
-            VectorOverlayLayer(kind="lines",
-                               coordinates=np.concatenate(
-                                   [park_hole, park_hole[:1]], axis=0),
-                               color=(0.973, 0.98, 0.988), width=6,
-                               dash_array=[12, 7]),
+                               opacity=160 / 255),
+            VectorOverlayLayer(kind="lines", coordinates=np.array(park_outer),
+                               color=stroke_col, width=6, line_cap="round",
+                               line_join="round", dash_array=[12, 7]),
+            VectorOverlayLayer(kind="lines", coordinates=np.array(park_hole),
+                               color=stroke_col, width=6, line_cap="round",
+                               line_join="round", dash_array=[12, 7]),
             VectorOverlayLayer(kind="lines", coordinates=hairpin,
-                               color=(0.973, 0.98, 0.988), width=6,
-                               dash_array=[12, 7]),
+                               color=stroke_col, width=6, line_cap="round",
+                               line_join="round", dash_array=[12, 7]),
             VectorOverlayLayer(kind="lines",
-                               coordinates=np.array([w(0.08, 0.10),
-                                                     w(0.92, 0.10)]),
-                               color=(0.973, 0.98, 0.988), width=6,
-                               dash_array=[12, 7]),
-        ])
-    # thematic choropleth: 4 quantile classes, BuGn palette, dark outline
+                               coordinates=np.array([(0.08, 0.10),
+                                                     (0.92, 0.10)]),
+                               color=stroke_col, width=6, line_cap="round",
+                               line_join="round", dash_array=[12, 7]),
+        ]))
+    # thematic choropleth: 4 quantile classes, BuGn palette at 0.84
+    # (fills land pre-tonemap; measured on the golden). The native line
+    # pass strokes only the FIRST polygon feature (golden shows raw
+    # #0f172a on rect 0 only).
     palette = [(0xED, 0xF8, 0xFB), (0xB2, 0xE2, 0xE2), (0x66, 0xC2, 0xA4),
                (0x23, 0x8B, 0x45)]
     chor_layers = []
     for idx in range(4):
         x0 = 0.10 + (idx % 2) * 0.42
         y0 = 0.14 + (idx // 2) * 0.38
-        ring = np.array([w(x0, y0), w(x0 + 0.32, y0),
-                         w(x0 + 0.32, y0 + 0.28), w(x0, y0 + 0.28)])
+        ring = [(x0, y0), (x0 + 0.32, y0), (x0 + 0.32, y0 + 0.28),
+                (x0, y0 + 0.28), (x0, y0)]
         c = tuple(v / 255.0 for v in palette[idx])
         chor_layers.append(VectorOverlayLayer(
             kind="polygons", coordinates=[ring], color=c, opacity=0.84))
         if idx == 0:
-            # the reference golden strokes only the first class rect
-            # (native line pass stroke of the first polygon feature)
-            outline = np.concatenate([ring, ring[:1]], axis=0)
             chor_layers.append(VectorOverlayLayer(
-                kind="lines", coordinates=outline,
-                color=(0x0F / 255, 0x17 / 255, 0x2A / 255), width=2))
-    out["mapscene_thematic_choropleth"] = _base_recipe(
-        width=128, height=88, layers=chor_layers)
+                kind="lines", coordinates=np.array(ring),
+                color=(0x0F / 255, 0x17 / 255, 0x2A / 255), width=2,
+                line_cap="butt", line_join="miter"))
+    out["mapscene_thematic_choropleth"] = screen(_base_recipe(
+        width=128, height=88, layers=chor_layers))
     # reference buildings: 4 fractional footprints over the FULL extent
     # (test_recipe_goldens.py:588-620); the screen window (bottom-left
     # quadrant) shows the first two
@@ -254,50 +254,44 @@ def _recipes():
     out["mapscene_auto_water"] = rec
     # 16-bit output variant (golden committed as PNG16)
     out["mapscene_png16_color"] = _base_recipe(width=80, height=48)
-    # label pixel anchors from the reference recipes (:297-346, :397-440),
-    # converted through the screen window mapping
-    def wp(px, py, w_px, h_px):
-        return tuple(w(px / w_px, py / h_px))
-
-    out["mapscene_label_halo_depth"] = _base_recipe(width=128, height=80,
-                                                    layers=[
-        LabelLayer(labels=[
-            {"text": "Front", "position": wp(28, 26, 128, 80),
-             "depth": 0.25,
-             "color": (1.0, 1.0, 1.0, 1.0),
-             "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
-            {"text": "Summit", "position": wp(72, 50, 128, 80),
-             "depth": 0.20,
-             "color": (0.12, 0.16, 0.18, 1.0),
-             "halo_color": (1.0, 1.0, 1.0, 0.88), "halo_width": 2.0},
-            {"text": "Behind", "position": wp(28, 26, 128, 80),
-             "depth": 0.85},
-        ], placement="exact",
-            depth_image=np.full((8, 8), 0.5, np.float32))])
-    out["mapscene_label_occlusion_ridge"] = _base_recipe(
+    # label pixel anchors exactly as the reference recipes declare them
+    # (:297-346, :397-440); native-path defaults for the unstyled labels
+    out["mapscene_label_halo_depth"] = screen(_base_recipe(
+        width=128, height=80, layers=[
+            LabelLayer(labels=[
+                {"text": "Front", "position": (28.0, 26.0), "depth": 0.25,
+                 "color": (1.0, 1.0, 1.0, 1.0),
+                 "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
+                {"text": "Summit", "position": (72.0, 50.0), "depth": 0.20,
+                 "color": (0.12, 0.16, 0.18, 1.0),
+                 "halo_color": (1.0, 1.0, 1.0, 0.88), "halo_width": 2.0},
+                {"text": "Behind", "position": (28.0, 26.0), "depth": 0.85},
+            ], placement="exact", color=(1.0, 1.0, 1.0, 1.0),
+                halo_color=(0.0, 0.0, 0.0, 190 / 255), halo_width=1.0,
+                depth_image=np.full((8, 8), 0.5, np.float32))]))
+    out["mapscene_label_occlusion_ridge"] = screen(_base_recipe(
         width=128, height=80,
         layers=[LabelLayer(labels=[
-            {"text": "Front", "position": wp(34, 26, 128, 80),
-             "depth": 0.0,
+            {"text": "Front", "position": (34.0, 26.0), "depth": 0.0,
              "color": (1.0, 1.0, 1.0, 1.0),
              "halo_color": (0.02, 0.02, 0.02, 0.92), "halo_width": 3.0},
-            {"text": "Hidden", "position": wp(34, 26, 128, 80),
-             "depth": 0.95},
-        ], placement="exact",
-            depth_image=np.full((16, 16), 0.5, np.float32))])
+            {"text": "Hidden", "position": (34.0, 26.0), "depth": 0.95},
+        ], placement="exact", color=(1.0, 1.0, 1.0, 1.0),
+            halo_color=(0.0, 0.0, 0.0, 190 / 255), halo_width=1.0,
+            depth_image=np.full((16, 16), 0.5, np.float32))]))
     # 4x-resolution variant of the stroke-quality recipe
     big = _recipes_stroke_4x(out["mapscene_vector_stroke_quality"])
     out["mapscene_vector_stroke_quality_4x"] = big
     # alignment: one hash-salmon polyline; vertex positions measured from
     # the golden (the reference routes them through a fixture CRS
     # transform we don't replicate)
-    out["mapscene_alignment_utm"] = _base_recipe(layers=[
+    out["mapscene_alignment_utm"] = screen(_base_recipe(layers=[
         VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([w(0.031, 0.594),
-                                                 w(0.719, 0.391),
-                                                 w(0.8125, 0.984)]),
-                           color=(159 / 255, 69 / 255, 63 / 255), width=3),
-    ])
+                           coordinates=np.array([(0.0316, 0.6111),
+                                                 (0.7474, 0.4175),
+                                                 (0.8421, 0.9762)]),
+                           color=(172 / 255, 70 / 255, 68 / 255), width=3),
+    ]))
     # cloud shadows: 16x16 plateau DEM + the deterministic sinusoid field
     cl_dem = np.zeros((16, 16), np.float32)
     cl_dem[5:11, 5:11] = 0.35
@@ -337,14 +331,14 @@ def _recipes():
 
     # arabic joining: big shaped RTL label over the dimmed base
     # (test_recipe_goldens.py:347-396)
-    out["mapscene_label_arabic_joining"] = _base_recipe(
+    out["mapscene_label_arabic_joining"] = screen(_base_recipe(
         width=128, height=80,
         layers=[LabelLayer(labels=[
             {"text": "\u0645\u0631\u062d\u0628\u0627",
-             "position": wp(52, 34, 128, 80), "size": 34.0,
+             "position": (52.0, 34.0), "size": 34.0,
              "color": (1.0, 1.0, 1.0, 1.0),
              "halo_color": (0.0, 0.0, 0.0, 0.9), "halo_width": 3.0},
-        ], placement="exact")])
+        ], placement="exact")]))
     # offline AOV recipe renders the same beauty output (samples=4)
     out["mapscene_offline_aovs"] = _base_recipe()
     # textured glTF landmark: the recipe's procedural 16x16 texture
