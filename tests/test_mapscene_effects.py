@@ -107,7 +107,9 @@ def test_screen_rect_composites_into_subrect_only():
                                                    0.75))]
     out = MapScene(rec2).render().rgba
     assert np.array_equal(out[0, 0], base[0, 0])     # outside untouched
-    assert out[24, 32, 0] == 255 and out[24, 32, 1] == 0
+    # inside: red texture through the landmark contract's 1.08 -> 0.78
+    # vertical shade ramp (center row ~= 0.93)
+    assert 200 <= out[24, 32, 0] <= 255 and out[24, 32, 1] == 0
 
 
 def test_mesh_camera_mode_renders_terrain_against_black_sky():

@@ -213,20 +213,17 @@ def _recipes():
                 line_cap="butt", line_join="miter"))
     out["mapscene_thematic_choropleth"] = screen(_base_recipe(
         width=128, height=88, layers=chor_layers))
-    # reference buildings: 4 fractional footprints over the FULL extent
-    # (test_recipe_goldens.py:588-620); the screen window (bottom-left
-    # quadrant) shows the first two
-    def wf(fx, fy):          # full-extent fraction -> world
-        return [fx * 7.0, (1.0 - fy) * 7.0]
-
+    # reference buildings: 4 fractional footprints
+    # (test_recipe_goldens.py:588-620), rendered through the dedicated
+    # native-mesh camera (bbox-normalized scene, distance 3.2)
     bld_fp, bld_h = [], []
     for idx in range(4):
         x0 = 0.08 + idx * 0.22
         x1 = x0 + 0.15
         y0 = 0.24 if idx % 2 == 0 else 0.34
         y1 = y0 + 0.30
-        bld_fp.append(np.array([wf(x0, y0), wf(x1, y0),
-                                wf(x1, y1), wf(x0, y1)]))
+        bld_fp.append(np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                               np.float64))
         bld_h.append(22.0 + idx * 7.0)
     out["mapscene_buildings"] = _base_recipe(layers=[
         BuildingLayer(footprints=bld_fp, heights=bld_h,
