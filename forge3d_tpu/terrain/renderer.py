@@ -121,7 +121,56 @@ class TerrainRenderer:
         self._fn_cache: Dict[tuple, object] = {}
         self._scene_cache: Dict[tuple, tuple] = {}
         self.last_consumed_settings: tuple = ()
+        self.last_ignored_settings: tuple = ()
         self.last_gpu_timings: Dict[str, float] = {}
+
+    @staticmethod
+    def _settings_report(p, has_env: bool, has_water_mask: bool,
+                         has_vt: bool):
+        """(consumed, ignored) settings-group names for this render.
+
+        `consumed` mirrors the gating conditions in _make_shade exactly;
+        `ignored` lists groups the caller ENABLED that this shading path
+        does not read — surfacing silent partial parity as a visible
+        contract (VERDICT r2 item 7; terrain/params.py:7-10)."""
+        consumed = ["light", "sampling", "tonemap", "camera", "colormap"]
+        ignored = []
+        if p.ibl.enabled:
+            consumed.append("ibl")
+        if p.shadows.enabled:
+            consumed.append("shadows")
+        if p.triplanar is not None and p.triplanar.enabled:
+            consumed.append("triplanar")
+        if p.pom is not None and p.pom.enabled and float(p.pom.scale) > 0:
+            consumed.append("pom")
+        if p.fog is not None and p.fog.enabled:
+            consumed.append("fog")
+        water_on = p.water is not None and p.water.enabled
+        if water_on:
+            consumed.append("water")
+        if water_on and p.reflection is not None and p.reflection.enabled:
+            consumed.append("reflection")
+        elif p.reflection is not None and p.reflection.enabled:
+            ignored.append("reflection")   # needs water enabled
+        if p.clouds is not None and p.clouds.enabled:
+            consumed.append("clouds")
+        if p.detail is not None and p.detail.enabled:
+            consumed.append("detail")
+        if p.height_ao is not None and p.height_ao.enabled:
+            consumed.append("height_ao")
+        if p.material_layers is not None and p.material_layers.enabled:
+            consumed.append("material_layers")
+        if has_vt:
+            consumed.append("vt")
+        if p.height_curve_mode != "linear":
+            consumed.append("height_curve")
+        # accepted-but-unwired groups: fail loud instead of silent
+        if p.sun_visibility is not None and getattr(
+                p.sun_visibility, "enabled", False):
+            ignored.append("sun_visibility")
+        if getattr(p.lod, "enabled", False):
+            ignored.append("lod")
+        return tuple(sorted(consumed)), tuple(sorted(ignored))
 
     # -- scene prep --------------------------------------------------------
     def _scene_for(self, heightmap: np.ndarray, span: float, z_scale: float):
@@ -267,6 +316,8 @@ class TerrainRenderer:
                                     vt_static)
             )
         fn = self._fn_cache[key]
+        self.last_consumed_settings, self.last_ignored_settings = \
+            self._settings_report(p, has_env, wm is not None, vt is not None)
 
         uni = self._uniforms(p, hm, span, hmin, hmax, W, H, time_seconds)
         if env_rgb is not None:

@@ -1,0 +1,299 @@
+# Reference-golden parity: the NON-recipe golden families (VERDICT r2 item 3).
+#
+# The reference gates pixels for five more golden families beyond the
+# mapscene recipes:
+#   - tests/golden/hybrid_terrain/mini_dem_reference.png
+#     (test_hybrid_terrain_pt.py:805-843 — the north-star PT path)
+#   - tests/golden/presets/rainier_showcase_mapscene.png
+#     (test_preset_visual_parity.py:129-156)
+#   - tests/golden/terrain/*.png (test_terrain_visual_goldens.py,
+#     test_terrain_tv10_goldens.py — screen-mode PBR renders)
+#   - tests/golden/adjudication/{pt,raster}_reference.png
+#     (test_adjudication_gate.py — the built-in analytic scene)
+#
+# Same ratchet mechanics as tests/test_reference_golden_parity.py: scores
+# are tracked in a committed scoreboard; the 0.995-SSIM reference gate is
+# the end goal. Update with:
+#   FORGE3D_UPDATE_FAMILY_PARITY=1 python -m pytest tests/test_reference_family_goldens.py
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from forge3d_tpu import colormaps
+from forge3d_tpu.utils.metrics import ssim
+
+GOLDEN_ROOT = Path("/root/reference/tests/golden")
+SCOREBOARD = Path(__file__).parent / "goldens" / "reference_family_parity.json"
+RATCHET_SLACK = 0.02
+
+
+def _register_stops(name, stops):
+    """Colormap1D.from_stops equivalent: piecewise-linear sRGB LUT."""
+    pos = np.array([s[0] for s in stops], np.float64)
+    cols = np.array([[int(s[1][i:i + 2], 16) / 255.0 for i in (1, 3, 5)]
+                     for s in stops], np.float64)
+    t = np.linspace(0, 1, 256)
+    lut = np.stack([np.interp(t, pos, cols[:, c]) for c in range(3)], -1)
+    try:
+        colormaps.register(name, lut.astype(np.float32))
+    except Exception:
+        pass
+    return name
+
+
+def _terrain_family_colormap():
+    return _register_stops("ref_terrain_family_stops", [
+        (0.0, "#18391f"), (0.38, "#4e7c35"), (0.65, "#8f7a4a"),
+        (0.82, "#b8ac88"), (1.0, "#f2f4f7")])
+
+
+def _tv10_colormap():
+    return _register_stops("ref_tv10_stops", [
+        (0.0, "#1b381d"), (0.22, "#416a30"), (0.50, "#7d7a4b"),
+        (0.72, "#b6a98d"), (1.0, "#f4f7fb")])
+
+
+def _terrain_family_heightmap(size=96):
+    x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    ridge = 0.52 * np.exp(-((xx + 0.25) ** 2 * 6.5 + (yy - 0.12) ** 2 * 10.0))
+    basin = -0.18 * np.exp(-((xx - 0.05) ** 2 * 20.0 + (yy + 0.05) ** 2 * 24.0))
+    spur = 0.22 * np.exp(-((xx - 0.42) ** 2 * 28.0 + (yy + 0.22) ** 2 * 18.0))
+    slope = 0.25 * (1.0 - yy) + 0.10 * xx
+    hm = ridge + basin + spur + slope
+    hm -= hm.min()
+    hm /= max(float(hm.max()), 1e-6)
+    return hm.astype(np.float32)
+
+
+def _tv10_heightmap(size=144):
+    x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    massif = 0.64 * np.exp(-((xx + 0.18) ** 2 * 7.5 + (yy - 0.06) ** 2 * 11.5))
+    cirque = 0.30 * np.exp(-((xx - 0.24) ** 2 * 20.0 + (yy + 0.18) ** 2 * 18.0))
+    ridge = 0.22 * np.exp(-((xx - 0.48) ** 2 * 42.0 + (yy + 0.28) ** 2 * 22.0))
+    basin = -0.18 * np.exp(-((xx + 0.06) ** 2 * 24.0 + (yy + 0.02) ** 2 * 24.0))
+    slope = 0.26 * (1.0 - yy) + 0.10 * xx
+    hm = massif + cirque + ridge + basin + slope
+    hm -= float(hm.min())
+    hm /= max(float(hm.max()), 1e-6)
+    return hm.astype(np.float32)
+
+
+def _preset_heightmap(size=128):
+    x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    peak = 700.0 * np.exp(-4.0 * (xx * xx + yy * yy))
+    ridges = 90.0 * np.sin(10.0 * xx) * np.cos(8.0 * yy)
+    return (1200.0 + peak + ridges).astype(np.float32)
+
+
+def _screen_render(dem, colormap, *, size_px, azimuth, elevation,
+                   intensity=0.3, ambient=0.3, water_level=None):
+    """Screen-mode terrain render through the calibrated mapscene path."""
+    from forge3d_tpu.mapscene import (MapScene, OrbitCamera, OutputSpec,
+                                      SceneRecipe, TerrainSource)
+    from forge3d_tpu.terrain.params import LightSettings
+
+    rec = SceneRecipe(
+        terrain=TerrainSource(dem=np.asarray(dem, np.float32),
+                              spacing=(1.0, 1.0), z_scale=1.0),
+        camera=OrbitCamera(phi_deg=35.0, theta_deg=45.0, fov_y_deg=45.0),
+        colormap=colormap,
+        lighting=LightSettings(azimuth_deg=float(azimuth),
+                               elevation_deg=float(elevation),
+                               intensity=float(intensity),
+                               color=(1.0, 0.95, 0.9),
+                               ambient=float(ambient),
+                               ambient_color=(1.0, 1.0, 1.0)),
+        output=OutputSpec(size_px=size_px),
+        camera_mode="screen",
+    )
+    if water_level is not None:
+        rec.water_level = float(water_level)
+    return MapScene(rec).render().rgba
+
+
+def _render_hybrid_mini_dem():
+    import forge3d_tpu as f3d
+
+    dem = np.load(
+        "/root/reference/python/forge3d/data/mini_dem.npy")[::2, ::2]
+    dem = dem.astype(np.float32)
+    dem -= dem.min()
+    dem /= max(float(dem.max()), 1e-6)
+    half = 50.0
+    # the reference centers the DEM at the origin (SPAN 100); our terrain
+    # world starts at 0, so the locked camera translates by +half
+    cam = {"origin": (half + 0.0, 35.0, half + 90.0),
+           "look_at": (half, 5.0, half),
+           "up": (0.0, 1.0, 0.0), "fov_y": 45.0, "exposure": 1.0}
+    spacing = 100.0 / (dem.shape[1] - 1)
+    out = f3d.hybrid_render_terrain_reference(
+        dem, 256, 256, cam, spacing=(spacing, spacing), exaggeration=20.0,
+        albedo=(0.55, 0.52, 0.48), sun_azimuth_deg=225.0,
+        sun_elevation_deg=35.0, sun_intensity=2.5, env_intensity=0.35,
+        seed=7, traversal="sweep", spp=2)
+    return out["rgba"]
+
+
+def _render_preset_rainier():
+    # the recipe-board colormap fit for the rainier preset's "terrain"
+    # colormap (see test_reference_golden_parity._ref_colormap)
+    import test_reference_golden_parity as recipe_harness
+
+    cmap = recipe_harness._ref_colormap()
+    return _screen_render(_preset_heightmap(), cmap, size_px=(128, 128),
+                          azimuth=135.0, elevation=25.0)
+
+
+def _terrain_entry(**kw):
+    # the terrain family renders with sun_intensity 2.4 + IBL fill
+    # (test_terrain_visual_goldens.py:150-110); through our screen
+    # shading that exposure point scored best at intensity 2.4 with a
+    # 0.6 ambient fill (shared across the family, no per-entry tuning)
+    kw.setdefault("intensity", 2.4)
+    kw.setdefault("ambient", 0.6)
+
+    def run():
+        return _screen_render(_terrain_family_heightmap(),
+                              _terrain_family_colormap(), **kw)
+    return run
+
+
+def _tv10_entry(scene):
+    def run():
+        return _screen_render(_tv10_heightmap(), _tv10_colormap(),
+                              size_px=scene["size_px"],
+                              azimuth=scene["light_azimuth_deg"],
+                              elevation=scene["light_elevation_deg"],
+                              intensity=2.4, ambient=0.6)
+    return run
+
+
+_TV10_A = dict(light_azimuth_deg=132.0, light_elevation_deg=11.0,
+               size_px=(240, 160))
+_TV10_B = dict(light_azimuth_deg=214.0, light_elevation_deg=9.0,
+               size_px=(240, 160))
+
+FAMILY_GOLDENS = {
+    "hybrid_mini_dem_reference": {
+        "golden": GOLDEN_ROOT / "hybrid_terrain" / "mini_dem_reference.png",
+        "render": _render_hybrid_mini_dem,
+    },
+    "preset_rainier_showcase_mapscene": {
+        "golden": GOLDEN_ROOT / "presets" / "rainier_showcase_mapscene.png",
+        "render": _render_preset_rainier,
+    },
+    "terrain_pbr": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_pbr.png",
+        "render": _terrain_entry(size_px=(192, 128), azimuth=135.0,
+                                 elevation=24.0),
+    },
+    "terrain_water": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_water.png",
+        "render": _terrain_entry(size_px=(192, 128), azimuth=135.0,
+                                 elevation=18.0, water_level=0.18),
+    },
+    "terrain_atmosphere": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_atmosphere.png",
+        "render": _terrain_entry(size_px=(192, 128), azimuth=135.0,
+                                 elevation=12.0),
+    },
+    "terrain_low_sun_sky": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_low_sun_sky.png",
+        "render": _terrain_entry(size_px=(192, 128), azimuth=118.0,
+                                 elevation=5.0),
+    },
+    "terrain_pom": {
+        # albedo_mode="material", colormap_strength 0 in the reference
+        # scene -> the darker material exposure point
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_pom.png",
+        "render": _terrain_entry(size_px=(256, 160), azimuth=135.0,
+                                 elevation=22.0, intensity=0.3,
+                                 ambient=0.3),
+    },
+    "terrain_water_reflection": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_water_reflection.png",
+        "render": _terrain_entry(size_px=(256, 160), azimuth=135.0,
+                                 elevation=15.0, water_level=0.18),
+    },
+    "terrain_tv10_zero_sss": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_tv10_zero_sss.png",
+        "render": _tv10_entry(_TV10_A),
+    },
+    "terrain_tv10_scene_a_sss": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_tv10_scene_a_sss.png",
+        "render": _tv10_entry(_TV10_A),
+    },
+    "terrain_tv10_scene_b_sss": {
+        "golden": GOLDEN_ROOT / "terrain" / "terrain_tv10_scene_b_sss.png",
+        "render": _tv10_entry(_TV10_B),
+    },
+}
+
+
+def _adjudication_entry(kind):
+    def run():
+        from forge3d_tpu.pt.adjudication import render_adjudication_builtin
+
+        pt_rgba, raster_rgba, _meta = render_adjudication_builtin(
+            512, 512, spp=64)
+        return pt_rgba if kind == "pt" else raster_rgba
+    return run
+
+
+FAMILY_GOLDENS["adjudication_pt_reference"] = {
+    "golden": GOLDEN_ROOT / "adjudication" / "pt_reference.png",
+    "render": _adjudication_entry("pt"),
+}
+FAMILY_GOLDENS["adjudication_raster_reference"] = {
+    "golden": GOLDEN_ROOT / "adjudication" / "raster_reference.png",
+    "render": _adjudication_entry("raster"),
+}
+
+
+def _scoreboard():
+    if SCOREBOARD.exists():
+        return json.loads(SCOREBOARD.read_text())
+    return {"target": {"ssim": 0.995, "mean_abs_255": 2.0}, "entries": {}}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(FAMILY_GOLDENS))
+def test_reference_family_golden(name):
+    spec = FAMILY_GOLDENS[name]
+    if not spec["golden"].exists():
+        pytest.skip(f"reference golden missing: {spec['golden']}")
+    from forge3d_tpu.io.image import png_to_numpy
+
+    gold = png_to_numpy(spec["golden"]).astype(np.float32)[..., :3] / 255.0
+    got = np.asarray(spec["render"]())[..., :3].astype(np.float32) / 255.0
+    if got.shape != gold.shape:
+        pytest.fail(f"size mismatch {got.shape} vs {gold.shape}")
+    s = float(ssim(gold, got))
+    mad = float(np.abs(gold - got).mean() * 255.0)
+    board = _scoreboard()
+    if os.environ.get("FORGE3D_UPDATE_FAMILY_PARITY") == "1":
+        board["entries"][name] = {"ssim": round(s, 4),
+                                  "mean_abs_255": round(mad, 3)}
+        SCOREBOARD.parent.mkdir(exist_ok=True)
+        SCOREBOARD.write_text(json.dumps(board, indent=1, sort_keys=True))
+        return
+    committed = board["entries"].get(name)
+    if committed is None:
+        pytest.skip(f"no committed family-parity entry for {name}")
+    assert s >= committed["ssim"] - RATCHET_SLACK, (
+        f"{name}: SSIM regressed to {s:.4f} "
+        f"(committed {committed['ssim']:.4f})")
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-p", "no:cacheprovider"])
