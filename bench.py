@@ -39,8 +39,10 @@ SPP_EQUIV = 64
 def main():
     import forge3d_tpu as f3d
 
-    W, H = 512, 512
-    n = 513
+    # the NORTH-STAR config the baseline defines (VERDICT r2 item 4):
+    # 1920x1080 over a 1025^2 DEM, steady-state converged renders
+    W, H = 1920, 1080
+    n = 1025
     y, x = np.mgrid[0:n, 0:n].astype(np.float32)
     rng = np.random.default_rng(7)
     dem = (
@@ -48,7 +50,7 @@ def main():
         + 12.0 * np.sin(x * 0.11 + 1.3) * np.cos(y * 0.09)
         + 2.0 * rng.standard_normal((n, n)).astype(np.float32)
     ).astype(np.float32)
-    cam = dict(origin=(256.0, 140.0, 700.0), look_at=(256.0, 0.0, 256.0),
+    cam = dict(origin=(512.0, 260.0, 1400.0), look_at=(512.0, 0.0, 512.0),
                fov_y=45.0)
 
     # warmup (compile; cached pipeline makes later renders steady-state;
@@ -61,10 +63,8 @@ def main():
     # readback, so device compute overlaps the host transfer. Measured as
     # K converged renders / total wall time, best of 2 sequences (the dev
     # tunnel's host link swings ~2x between claims — PERF.md "tunnel
-    # round-trip model"). Single-call latency (round 2 mid-point): 203 ms
-    # -> ~82 Msamples/s; the pipelined steady state is the serving
-    # number.
-    K = 8
+    # round-trip model").
+    K = 4
     rates = []
     for rep in range(2):
         t0 = time.perf_counter()
@@ -77,7 +77,7 @@ def main():
         rates.append(K * W * H * SPP_EQUIV / dt_seq / 1e6)
     msamples = max(rates)
     out = {
-        "metric": ("converged terrain render Msamples/sec/chip at 64spp "
+        "metric": ("1080p converged terrain render Msamples/sec/chip at 64spp "
                    "quality (sweep estimator, SSIM-gated vs per-ray "
                    "reference; target 66.4 = 1080p@256spp <1s on v5e-8)"),
         "value": round(msamples, 3),

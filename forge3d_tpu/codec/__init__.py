@@ -7,6 +7,7 @@
 
 from .f3dz import (F3dzError, compress_dem, decompress_dem, f3dz_info,
                    verify_dem)
+from .f3dz_device import decompress_dem_device
 
-__all__ = ["compress_dem", "decompress_dem", "verify_dem", "f3dz_info",
-           "F3dzError"]
+__all__ = ["compress_dem", "decompress_dem", "decompress_dem_device",
+           "verify_dem", "f3dz_info", "F3dzError"]

@@ -245,9 +245,12 @@ def test_sweep_render_matches_reference_converged():
     mad = float(np.abs(a - b).mean() * 255)
     # ratchet: known residual = cell-frequency shading texture attenuation
     # (profile resampling low-passes the reference's bilinear-patch normal
-    # faceting); tracked in PERF.md
-    assert s > 0.92, f"SSIM {s}"
-    assert mad < 4.5, f"mean abs diff {mad}/255"
+    # faceting); tracked in PERF.md. Round-3 measured 0.9678 / 1.83 on
+    # this scene (stationary-nearest slope resampling was tried and did
+    # NOT close the gap — see PERF.md round-3 notes); gate holds a margin
+    # below the measurement so backend noise can't flake it.
+    assert s > 0.95, f"SSIM {s}"
+    assert mad < 3.0, f"mean abs diff {mad}/255"
 
 
 def test_sweep_sequence_bitwise_matches_single_calls():
