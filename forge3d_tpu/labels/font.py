@@ -370,8 +370,14 @@ def shape(text: str, font_chain: Optional[Sequence[str]] = None,
     """Shape text into positioned glyphs through the packaged font chain.
 
     Joining scripts get GSUB init/medi/fina/isol substitutions + rlig
-    ligatures from the font; RTL runs are reversed to visual order.
-    """
+    ligatures from the font; character order follows UAX#9 (implicit
+    levels: paragraph detection, weak/neutral resolution, L2 run
+    reversal, L4 bracket mirroring — labels/bidi.py), with each base
+    glyph and its attached marks reordered as one unit (rule L3, like
+    the reference's glyph_groups)."""
+    from .bidi import mirror_char, paragraph_level, resolve_levels, \
+        visual_order
+
     chain = [str(p) for p in (font_chain or [])] + default_font_chain()
     faces = []
     for p in chain:
@@ -384,12 +390,18 @@ def shape(text: str, font_chain: Optional[Sequence[str]] = None,
 
     text = str(text)
     feats = arabic_features(text)
+    base_level = paragraph_level(text)
+    levels = resolve_levels(text, base_level)
+    order = visual_order(text, base_level)
 
-    # logical-order glyph resolution with font fallback; ccmp decomposition
-    # then per-character joining-feature substitution (marks have no
-    # feature coverage and pass through unchanged)
-    logical: List[Tuple[FontFace, str]] = []
+    # logical-order glyph resolution with font fallback; ccmp
+    # decomposition then per-character joining-feature substitution
+    # (marks have no feature coverage and pass through unchanged).
+    # Glyphs remember their source character (cluster) so BiDi reorders
+    # base+marks as indivisible units.
+    logical: List[Tuple[FontFace, str, int]] = []
     for i, ch in enumerate(text):
+        ch = mirror_char(ch, levels[i])
         cp = ord(ch)
         hit = None
         for face in faces:
@@ -404,46 +416,45 @@ def shape(text: str, font_chain: Optional[Sequence[str]] = None,
         if feats[i]:
             seq = tuple(s for g in seq
                         for s in face.substitute(g, feats[i]))
-        logical.extend((face, g) for g in seq)
+        logical.extend((face, g, i) for g in seq)
 
-    # rlig ligatures within same-face runs (logical order)
-    ligated: List[Tuple[FontFace, str]] = []
+    # rlig ligatures within same-face runs (logical order); a ligature
+    # keeps the cluster of its first component
+    ligated: List[Tuple[FontFace, str, int]] = []
     i = 0
     while i < len(logical):
         face = logical[i][0]
         j = i
         while j < len(logical) and logical[j][0] is face:
             j += 1
-        run = [g for _, g in logical[i:j]]
-        for g in face.ligate(run):
-            ligated.append((face, g))
+        run = [g for _, g, _ in logical[i:j]]
+        clusters = [c for _, _, c in logical[i:j]]
+        out_run = face.ligate(run)
+        # map output glyphs back to clusters (greedy: consumed components
+        # collapse onto the first)
+        ci = 0
+        for g in out_run:
+            ligated.append((face, g, clusters[min(ci, len(clusters) - 1)]))
+            ci += max(1, len(run) - len(out_run) + 1) \
+                if len(out_run) < len(run) and g not in run else 1
         i = j
 
-    # logical pen positions; zero-advance glyphs (attached marks) keep
-    # their overlay offset relative to the preceding base under RTL
-    # mirroring
-    adv_px = [
-        _q26_6(face.advance_units(name), face.upem) * size / 64.0
-        for face, name in ligated
-    ]
-    x_log = np.cumsum([0.0] + adv_px[:-1]) if ligated else []
-    width = float(sum(adv_px))
-
-    rtl = any(_is_rtl_char(c) for c in text)
+    # group glyphs by source character, order groups visually (L2/L3),
+    # then run the pen left -> right; zero-advance marks inherit the pen
+    # position after their base, exactly like the sequential reference
+    # positioning (positioned.rs:207-252)
+    by_cluster: dict = {}
+    for face, name, cl in ligated:
+        by_cluster.setdefault(cl, []).append((face, name))
     glyphs: List[PositionedGlyph] = []
-    base_shift = 0.0     # visual-minus-logical x of the last base glyph
-    for k, (face, name) in enumerate(ligated):
-        if rtl:
-            if adv_px[k] > 0.0:
-                x = width - x_log[k] - adv_px[k]
-                base_shift = x - x_log[k]
-            else:            # attached mark: ride with its base
-                x = x_log[k] + base_shift
-        else:
-            x = float(x_log[k])
-        glyphs.append(PositionedGlyph(face=face, glyph=name, x=x, y=0.0))
+    pen = 0.0
+    for ci in order:
+        for face, name in by_cluster.get(ci, ()):
+            glyphs.append(PositionedGlyph(face=face, glyph=name,
+                                          x=pen, y=0.0))
+            pen += _q26_6(face.advance_units(name), face.upem) * size / 64.0
     return ShapedText(glyphs=glyphs, size=float(size), text=text,
-                      direction="rtl" if rtl else "ltr", width=width)
+                      direction="rtl" if base_level else "ltr", width=pen)
 
 
 # ---------------------------------------------------------------------------
