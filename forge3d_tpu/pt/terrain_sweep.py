@@ -102,12 +102,15 @@ def _build_pipeline(dem_shape: Tuple[int, int],
     # jitter + azimuth density for AA
     row_ss = 2 if width * height <= 600_000 else 1
     try:
+        import os as _os2
+
+        density = float(_os2.environ.get("FORGE3D_SWEEP_DENSITY", "1.3"))
         ps = plan_polar(
             width=width, height=height, fov_y_deg=fov_y_deg,
             right=right, up=up_v, fwd=fwd, cam_y=float(cam_origin[1]),
             rg_n_v=rg.n_v, rg_n_u=rg.n_u, rg_spacing=rg.spacing,
             e_u=rg.e_u, e_v=rg.e_v, cam_iu=rg.cam_iu, cam_iv=rg.cam_iv,
-            row_ss=row_ss)
+            row_ss=row_ss, density=density)
     except ValueError as e:
         raise SweepUnsupported(str(e)) from None
 
