@@ -52,6 +52,54 @@ def register_provider(prefix: str, fn: Callable[[str], np.ndarray]) -> None:
     _PROVIDERS[prefix] = fn
 
 
+def _mpl_lut(mpl_cmap, n: int = 256) -> np.ndarray:
+    xs = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    return np.asarray(mpl_cmap(xs), np.float32)[:, :3]
+
+
+def install_default_providers() -> None:
+    """Install the external colormap provider ecosystem (reference:
+    python/forge3d/colormaps/providers.py — matplotlib, cmocean,
+    cmcrameri, colorcet, palettable). Each provider imports its backing
+    package lazily and fails with a clear error when it is absent."""
+
+    def _matplotlib(name: str) -> np.ndarray:
+        import matplotlib
+
+        return _mpl_lut(matplotlib.colormaps[name])
+
+    def _lazy(module: str, resolver):
+        def fn(name: str) -> np.ndarray:
+            import importlib
+
+            try:
+                mod = importlib.import_module(module)
+            except ImportError as exc:
+                raise KeyError(
+                    f"colormap provider needs the optional package "
+                    f"{module!r}: {exc}") from exc
+            return resolver(mod, name)
+        return fn
+
+    register_provider("matplotlib", _matplotlib)
+    register_provider("mpl", _matplotlib)
+    register_provider("cmocean", _lazy(
+        "cmocean.cm", lambda m, n: _mpl_lut(getattr(m, n))))
+    register_provider("cmcrameri", _lazy(
+        "cmcrameri.cm", lambda m, n: _mpl_lut(getattr(m, n))))
+    register_provider("colorcet", _lazy(
+        "colorcet", lambda m, n: _mpl_lut(m.cm[n])))
+
+    def _palettable(mod, name):
+        import importlib
+
+        sub = importlib.import_module(
+            "palettable." + ".".join(name.split(".")[:-1]))
+        return _mpl_lut(getattr(sub, name.split(".")[-1]).mpl_colormap)
+
+    register_provider("palettable", _lazy("palettable", _palettable))
+
+
 def get_lut(name: str) -> np.ndarray:
     """Resolve a colormap name to its (N, 3) float32 LUT."""
     _load_builtin()
@@ -60,6 +108,8 @@ def get_lut(name: str) -> np.ndarray:
     if name in _BUILTIN:
         return _BUILTIN[name]
     if ":" in name:
+        if not _PROVIDERS:
+            install_default_providers()
         prefix, rest = name.split(":", 1)
         if prefix in _PROVIDERS:
             lut = np.asarray(_PROVIDERS[prefix](rest), np.float32)
