@@ -553,7 +553,11 @@ class MapScene:
 
     def _screen_window(self, plan):
         """Per-pixel DEM texel indices + screen fractions for the screen
-        camera mode (bottom-left quadrant at 2x, v up)."""
+        camera mode. The visible DEM window is a profile property
+        (u0, v0, wu, wv, v_up): the recipe-board camera (radius
+        2.4*span) exposes the bottom-left quadrant at 2x with v up; the
+        terrain-family camera (radius 5, theta 63) exposes a narrower
+        band — both fitted against their goldens."""
         p = plan["params"]
         dem = np.asarray(plan["dem"], np.float32)
         W, H = p.size_px
@@ -561,8 +565,12 @@ class MapScene:
         ys, xs = np.mgrid[0:H, 0:W]
         u = (xs + 0.5) / W
         v = 1.0 - (ys + 0.5) / H             # tex v: row 0 at screen bottom
-        j = np.clip((u * 0.5 * w).astype(np.int32), 0, w - 1)
-        i = np.clip((v * 0.5 * h).astype(np.int32), 0, h - 1)
+        u0, v0, wu, wv, v_up = self._SCREEN_PROFILE.get(
+            "window", (0.0, 0.0, 0.5, 0.5, True))
+        uu = u0 + u * wu
+        vv = v0 + (v if v_up else 1.0 - v) * wv
+        j = np.clip((uu * w).astype(np.int32), 0, w - 1)
+        i = np.clip((vv * h).astype(np.int32), 0, h - 1)
         return dem, u, v, i, j
 
     def _render_screen_terrain(self, plan):
@@ -608,6 +616,33 @@ class MapScene:
         sun = np.asarray(light.color, np.float32) * light.intensity
         amb = np.asarray(light.ambient_color, np.float32) * light.ambient
         prof = self._SCREEN_PROFILE
+        shadow_cfg = prof.get("shadow")
+        if shadow_cfg:
+            # heightfield cast shadows: horizon march toward the sun in
+            # texel space (the reference's PCSS cast shadows are the
+            # dominant feature at low sun elevations; shadow factor
+            # clamps at the reference's shadow_range floor 0.30 —
+            # terrain_params.py ClampSettings)
+            zrel = float(shadow_cfg.get("zrel", 45.0))   # height in texels
+            hw = t01 * zrel
+            tan_el = max(math.tan(el_r), 1e-3)
+            # march direction: toward the sun in texel space. Screen v is
+            # up; DEM row index grows downward, so +sun-y = -rows.
+            az0 = math.radians(light.azimuth_deg + 180.0)
+            dj = math.sin(az0)
+            di = -math.cos(az0)
+            occ = np.zeros_like(hw)
+            steps = int(shadow_cfg.get("steps", 40))
+            ii0, jj0 = np.mgrid[0:h, 0:w].astype(np.float32)
+            for s in range(1, steps + 1):
+                si = np.clip(ii0 + di * s, 0, h - 1).astype(np.int32)
+                sj = np.clip(jj0 + dj * s, 0, w - 1).astype(np.int32)
+                occ = np.maximum(occ, hw[si, sj] - hw - s * tan_el)
+            softness = float(shadow_cfg.get("softness", 1.0))
+            shad_full = 1.0 - np.clip(occ / max(softness, 1e-3), 0.0, 1.0)
+            floor = float(shadow_cfg.get("floor", 0.30))
+            shad = floor + (1.0 - floor) * shad_full
+            ndotl = ndotl * shad[i, j]
         r = self.recipe
         if getattr(r, "albedo_mode", "colormap") == "material":
             # flat material albedo in display space, normalized so level
@@ -722,6 +757,161 @@ class MapScene:
                          * float(cl.get("shadow_strength", 0.35)))[..., None]
         rgba = np.concatenate(
             [(np.clip(rgb, 0, 255) + 0.5).astype(np.uint8),
+             np.full((H, W, 1), 255, np.uint8)], axis=-1)
+        return rgba
+
+    # -- clipmap-mode terrain raster (reference camera_mode "clipmap:...") --
+    #
+    # The reference renders clipmap recipes through the CPU ring mesh
+    # (src/terrain/clipmap/) + vs_clipmap_main with the legacy Y-up orbit
+    # camera: mesh (x, z) land in world (X, Y) and heights run along
+    # world +Z, so the terrain stands like a wall that the orbit camera
+    # views at a grazing angle (terrain_pbr_pom.wgsl:4758-4830,
+    # upload.rs:344-371 non-zup branch). The preset camera sits at
+    # radius_scale * terrain_span (presets.py rainier_showcase).
+    def _render_clipmap_terrain(self, plan):
+        from .colormaps import get_lut
+        from .terrain.clipmap_mesh import (ClipmapConfig, build_clipmap_mesh,
+                                           clipmap_vertex_heights)
+
+        p = plan["params"]
+        dem = np.asarray(plan["dem"], np.float32)
+        spacing = plan["spacing"]
+        W, H = p.size_px
+        h, w = dem.shape
+        lo, hi = float(dem.min()), float(dem.max())
+        # reference span convention: max texel count x spacing
+        # (map_scene.py _terrain_scene_diagonal uses the array shape)
+        span = max(w * spacing[0], h * spacing[1], 1.0)
+        config = ClipmapConfig.from_camera_mode(plan["camera_mode"])
+        pos, uv, morph, tri = build_clipmap_mesh(config, (0.0, 0.0),
+                                                 float(span))
+        hv = clipmap_vertex_heights(dem, uv, morph, config.ring_resolution)
+        zs = p.z_scale
+        skirt_drop = np.where(morph[:, 0] < 0.0,
+                              config.ring_resolution * 0.001, 0.0)
+        zw = (hv - (lo + hi) * 0.5 - skirt_drop) * zs
+
+        # legacy Y-up orbit: mesh (x, z) -> world (X, Y), height -> +Z
+        world = np.stack([pos[:, 0], pos[:, 1], zw], axis=-1)
+        phi = math.radians(p.cam_phi_deg)
+        theta = math.radians(p.cam_theta_deg)
+        target = np.asarray(p.cam_target, np.float64)
+        eye = target + p.cam_radius * np.array([
+            math.sin(theta) * math.cos(phi), math.cos(theta),
+            math.sin(theta) * math.sin(phi)])
+        fwd = target - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        half_h = math.tan(math.radians(p.fov_y_deg) * 0.5)
+        half_w = (W / H) * half_h
+        rel = world - eye
+        cz = rel @ fwd
+        czc = np.maximum(cz, 1e-6)
+        sx = ((rel @ right) / (czc * half_w) + 1) * 0.5 * W - 0.5
+        sy = (1 - (rel @ up) / (czc * half_h)) * 0.5 * H - 0.5
+
+        lut = get_lut(p.colormap)
+        light = p.light
+        az_r = math.radians(light.azimuth_deg)
+        el_r = math.radians(light.elevation_deg)
+        # preset sun direction in the Y-up frame (presets.py: x=cos(el)
+        # sin(az), y=sin(el), z=cos(el)cos(az)); terrain normals live in
+        # the clipmap Z-up frame, so flat ground receives ~no direct sun
+        # in these goldens — ambient carries the image.
+        lvec = np.array([math.cos(el_r) * math.sin(az_r), math.sin(el_r),
+                         math.cos(el_r) * math.cos(az_r)])
+        sun = np.asarray(light.color, np.float32) * light.intensity
+        amb = np.asarray(light.ambient_color, np.float32) * light.ambient
+        texel_w = span / max(w - 1, 1)
+        texel_h = span / max(h - 1, 1)
+
+        prof = getattr(self, "_CLIPMAP_PROFILE", {"gain": 1.0,
+                                                  "bg": (25, 25, 38)})
+        img = np.empty((H, W, 3), np.float32)
+        img[:] = np.asarray(prof["bg"], np.float32)
+        zbuf = np.full((H, W), np.inf)
+        ys2, xs2 = np.mgrid[0:H, 0:W]
+        near = 0.1
+        tv = tri
+        vis = (cz[tv] > near).all(axis=1)
+        for t in tv[vis]:
+            tp = np.stack([sx[t], sy[t]], -1)
+            tz = cz[t]
+            xmin = max(int(np.floor(tp[:, 0].min())), 0)
+            xmax = min(int(np.ceil(tp[:, 0].max())) + 1, W)
+            ymin = max(int(np.floor(tp[:, 1].min())), 0)
+            ymax = min(int(np.ceil(tp[:, 1].max())) + 1, H)
+            if xmin >= xmax or ymin >= ymax:
+                continue
+            e1 = tp[1] - tp[0]
+            e2 = tp[2] - tp[0]
+            den = e1[0] * e2[1] - e1[1] * e2[0]
+            if abs(den) < 1e-9:
+                continue
+            px = xs2[ymin:ymax, xmin:xmax] - tp[0][0]
+            py = ys2[ymin:ymax, xmin:xmax] - tp[0][1]
+            b1 = (px * e2[1] - py * e2[0]) / den
+            b2 = (py * e1[0] - px * e1[1]) / den
+            inside = (b1 >= -1e-9) & (b2 >= -1e-9) & (b1 + b2 <= 1 + 1e-9)
+            if not inside.any():
+                continue
+            # perspective-correct interpolation of uv and depth
+            iw = 1.0 / tz
+            wint = iw[0] + b1 * (iw[1] - iw[0]) + b2 * (iw[2] - iw[0])
+            uvw = uv[t] * iw[:, None]
+            ui = (uvw[0, 0] + b1 * (uvw[1, 0] - uvw[0, 0])
+                  + b2 * (uvw[2, 0] - uvw[0, 0])) / wint
+            vi = (uvw[0, 1] + b1 * (uvw[1, 1] - uvw[0, 1])
+                  + b2 * (uvw[2, 1] - uvw[0, 1])) / wint
+            zi = 1.0 / wint
+            sub = (slice(ymin, ymax), slice(xmin, xmax))
+            nearer = inside & (zi < zbuf[sub])
+            if not nearer.any():
+                continue
+            uc = np.clip(ui, 0.0, 1.0)
+            vc = np.clip(vi, 0.0, 1.0)
+            xf = uc * (w - 1)
+            yf = vc * (h - 1)
+            x0 = np.clip(np.floor(xf).astype(int), 0, w - 1)
+            y0 = np.clip(np.floor(yf).astype(int), 0, h - 1)
+            x1 = np.minimum(x0 + 1, w - 1)
+            y1 = np.minimum(y0 + 1, h - 1)
+            fx = xf - x0
+            fy = yf - y0
+            hpx = (dem[y0, x0] * (1 - fx) * (1 - fy)
+                   + dem[y0, x1] * fx * (1 - fy)
+                   + dem[y1, x0] * (1 - fx) * fy + dem[y1, x1] * fx * fy)
+            t01 = np.clip((hpx - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
+            idx = np.clip(t01 * (len(lut) - 1), 0, len(lut) - 1)
+            i0 = idx.astype(np.int32)
+            frc = (idx - i0)[..., None]
+            i1 = np.minimum(i0 + 1, len(lut) - 1)
+            albedo = (lut[i0][..., :3] * (1 - frc)
+                      + lut[i1][..., :3] * frc)
+            # flat per-triangle normal from the morphed vertex positions —
+            # the reference's fragment normal is cross(dpdx(world),
+            # dpdy(world)) of the interpolated position, constant per
+            # triangle (terrain_pbr_pom.wgsl:1888), which gives the
+            # goldens their faceted look.
+            wp = world[t]
+            n = np.cross(wp[1] - wp[0], wp[2] - wp[0])
+            nl2 = np.linalg.norm(n)
+            if nl2 > 1e-12:
+                n = n / nl2
+                if n[2] < 0:
+                    n = -n
+            else:
+                n = np.array([0.0, 0.0, 1.0])
+            ndl = max(float(n @ lvec), 0.0)
+            shade = (sun * ndl + amb)
+            rgb = albedo * 255.0 * prof["gain"] * shade[None, None]
+            img[sub] = np.where(nearer[..., None], rgb, img[sub])
+            zbuf[sub] = np.where(nearer, zi, zbuf[sub])
+        rgba = np.concatenate(
+            [(np.clip(img, 0, 255) + 0.5).astype(np.uint8),
              np.full((H, W, 1), 255, np.uint8)], axis=-1)
         return rgba
 
@@ -1458,7 +1648,12 @@ class MapScene:
             or (isinstance(l, LabelLayer) and l.occlusion == "terrain")
             for l in layers)
 
-        if plan.get("camera_mode") == "mesh":
+        if str(plan.get("camera_mode", "")).startswith("clipmap"):
+            rgba = self._render_clipmap_terrain(plan)
+            depth = (np.full(rgba.shape[:2], np.inf)
+                     if needs_depth else None)
+            frame = Frame(rgba=rgba, metadata={"camera_mode": "clipmap"})
+        elif plan.get("camera_mode") == "mesh":
             rgba = self._render_mesh_terrain(
                 plan, camera=getattr(self.recipe, "mesh_camera", None))
             depth = (np.full(rgba.shape[:2], np.inf)

