@@ -1161,9 +1161,9 @@ class MapScene:
     # (scripts/fit_buildings*.py; SSIM 0.79): azimuth mirrored relative
     # to the recipe value, sun-independent dark ambient shading.
     _BUILDING_CAMERA = {
-        "distance": 3.302, "elevation_deg": 26.68, "az_offset_deg": -70.67,
-        "fov_axis": "y", "target": (-0.182, -0.098, -0.001),
-        "shade": (0.174, 0.0), "shade_space": "srgb", "fov_deg": 45.0,
+        "distance": 3.379, "elevation_deg": 2.0, "az_offset_deg": 33.57,
+        "fov_axis": "y", "target": (-0.2682, -0.0132, -0.0726),
+        "shade": (0.2521, 0.1022), "shade_space": "srgb", "fov_deg": 48.46,
     }
     _BUILDING_PALETTE = {
         "brick": (166, 82, 58, 235),
