@@ -56,9 +56,13 @@ def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
                    atlas: Optional[GlyphAtlas] = None, size: Optional[float] = None,
                    color=(255, 255, 255, 255), halo_color=(0, 0, 0, 255),
                    halo_width: float = 0.0, rotation_deg: float = 0.0,
-                   opacity: float = 1.0) -> np.ndarray:
-    """Composite text onto an RGBA u8 image at baseline (x, y); in-place.
+                   opacity: float = 1.0, anchor: str = "baseline") -> np.ndarray:
+    """Composite text onto an RGBA u8 image; in-place.
 
+    anchor="baseline": (x, y) is the baseline start (default).
+    anchor="center": (x, y) is the VISUAL CENTER of the glyph box — the
+    reference's exact-placement label convention
+    (_map_scene_render.py _text_anchor_for_visual_center).
     SDF edges give analytic AA; halo_width (pixels) draws an outline ring
     behind the fill — the reference's label halo.
     """
@@ -68,6 +72,18 @@ def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
     run = (text_or_run if isinstance(text_or_run, ShapedRun)
            else text_shape(str(text_or_run), atlas=atlas, size=size))
     scale = (size / atlas.px) if size else 1.0
+    if anchor == "center":
+        xs_b, py_lo, py_hi = [], [], []
+        for g in run.glyphs:
+            e = atlas.glyphs.get(g.char)
+            if e is None or e.w == 0:
+                continue
+            xs_b.extend((g.x, g.x + e.w * scale))
+            py_lo.append(g.y - e.h * scale)
+            py_hi.append(g.y)
+        if xs_b:
+            x = x - (min(xs_b) + max(xs_b)) * 0.5
+            y = y + (min(py_lo) + max(py_hi)) * 0.5
     H, W = target.shape[:2]
     cos_r, sin_r = math.cos(math.radians(rotation_deg)), math.sin(math.radians(rotation_deg))
     col = np.asarray(color, np.float32) / 255.0

@@ -1609,10 +1609,13 @@ class MapScene:
             color = tuple(int(c * 255) for c in lab.get("color", layer.color))
             halo_c = tuple(int(c * 255)
                            for c in lab.get("halo_color", layer.halo_color))
+            # exact placements center the glyph box on the anchor
+            # (_map_scene_render.py _text_anchor_for_visual_center)
             draw_text_rgba(rgba, text, px, py, size=size,
                            color=color, halo_color=halo_c,
                            halo_width=float(lab.get("halo_width",
-                                                    layer.halo_width)))
+                                                    layer.halo_width)),
+                           anchor="center")
         if not cands:
             return
         style = {

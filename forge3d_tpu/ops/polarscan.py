@@ -269,23 +269,53 @@ def synthesize_polar(values, q_prof, miss_values, ps: PolarStatic,
     idt = _F32 if mxu_dtype is None else mxu_dtype
     vals = values if mxu_dtype is None else values.astype(mxu_dtype)
 
+    # Sub-row crossing interpolation via a SOFT cumulative indicator: the
+    # true intersection lies between radial rows k and k+1 when
+    # M[k] < Q <= M[k+1]; snapping values to the first row past the
+    # crossing quantizes silhouettes and the heightfield front boundary
+    # to the radial row pitch (a systematic ~half-row bias — the dominant
+    # sweep<->per-ray residual). The cumulative
+    #   alpha[k] = clip((M[k+1] - Q) / (M[k+1] - M[k]), 0, 1)
+    # rises from 0 to 1 ACROSS the crossing, so its difference spreads
+    # the one-hot into lerp weights (1-f, f) on the two straddling rows
+    # with f = (Q - M[k]) / (M[k+1] - M[k]) — the exact crossing
+    # fraction. Same single C-channel contraction as the hard one-hot:
+    # the anti-aliasing is purely elementwise on the (E, K, A) indicator.
+    # last row repeats itself: alpha[K-1] degenerates to the HARD test
+    # M[K-1] >= Q, so hit_any (read from the last row) stays exact
+    m_next = jnp.concatenate([M[1:], M[-1:]], axis=0)
+    m_rden = 1.0 / jnp.maximum(m_next - M, 1e-9)    # reciprocal: the
+    # (E, K, A) indicator then needs one multiply, not a divide
+
+    q_e_i = q_e.astype(idt)
+
     def do_chunk(args):
-        m_c, v_c = args                                   # (K, Ac), (K, Ac, C)
-        ge = (m_c[None, :, :] >= q_e[:, None, None]).astype(idt)  # (E,K,Ac)
-        cross = ge - jnp.concatenate(
-            [jnp.zeros((E, 1, ge.shape[2]), idt), ge[:, :-1]], axis=1)
+        m_c, dn_c, v_c = args                 # (K, Ac), (K, Ac), (K, Ac, C)
+        # the (E, K, A) indicator arithmetic runs in the storage dtype
+        # (bf16 on TPU): the crossing fraction only positions a sub-row
+        # lerp, so ~0.4% relative error is far below the converged gates,
+        # while the elementwise work on the dominant tensor halves
+        alpha = jnp.clip(
+            (m_c.astype(idt)[None, :, :] - q_e_i[:, None, None])
+            * dn_c.astype(idt)[None, :, :],
+            jnp.asarray(0.0, idt), jnp.asarray(1.0, idt))  # (E, K, Ac)
+        cross = alpha - jnp.concatenate(
+            [jnp.zeros((E, 1, alpha.shape[2]), idt), alpha[:, :-1]],
+            axis=1)
         out = jnp.einsum("eka,kac->eac", cross, v_c,
                          preferred_element_type=_F32)
-        hit_any = ge[:, -1, :].astype(_F32)               # (E, Ac)
+        hit_any = alpha[:, -1, :].astype(_F32)            # (E, Ac)
         return out, hit_any
 
     n_chunks = (A + a_chunk - 1) // a_chunk
     Ap = n_chunks * a_chunk
-    m_p = jnp.pad(M, ((0, 0), (0, Ap - A)))
+    m_p = jnp.pad(m_next, ((0, 0), (0, Ap - A)))
+    dn_p = jnp.pad(m_rden, ((0, 0), (0, Ap - A)), constant_values=1.0)
     v_p = jnp.pad(vals, ((0, 0), (0, Ap - A), (0, 0)))
     out, hit_any = jax.lax.map(
         do_chunk,
         (m_p.reshape(K, n_chunks, a_chunk).transpose(1, 0, 2),
+         dn_p.reshape(K, n_chunks, a_chunk).transpose(1, 0, 2),
          v_p.reshape(K, n_chunks, a_chunk, C).transpose(1, 0, 2, 3)))
     out = out.transpose(1, 0, 2, 3).reshape(E, Ap, C)[:, :A]
     hit_any = hit_any.transpose(1, 0, 2).reshape(E, Ap)[:, :A]

@@ -65,6 +65,7 @@ def render_sweep_sharded(desc, n_frames: int, mesh=None):
     shadow_eps = jnp.asarray(1e-4 * (h_rng + 1.0), jnp.float32)
 
     rep = replicated_sharding(mesh)
+    hgt = jax.device_put(jnp.asarray(heights), rep)
     h_rot, du, dv = (jax.device_put(a, rep)
                      for a in prepare(jnp.asarray(heights)))
 
@@ -77,10 +78,11 @@ def render_sweep_sharded(desc, n_frames: int, mesh=None):
     env_specs = jax.tree_util.tree_map(lambda _: P(), env)
 
     @jax.jit
-    def sharded_accum(h_rot, du, dv, env_arg, lc, albedo, shadow_eps, keys):
-        def local(h_rot, du, dv, env_arg, lc, albedo, shadow_eps,
+    def sharded_accum(hgt, h_rot, du, dv, env_arg, lc, albedo, shadow_eps,
+                      keys):
+        def local(hgt, h_rot, du, dv, env_arg, lc, albedo, shadow_eps,
                   keys_local):
-            acc = frame_fn.raw(h_rot, du, dv, env_arg, lc, albedo,
+            acc = frame_fn.raw(hgt, h_rot, du, dv, env_arg, lc, albedo,
                                shadow_eps, keys_local[0])
             return jax.lax.psum(acc, TILE_AXIS)
 
@@ -91,13 +93,14 @@ def render_sweep_sharded(desc, n_frames: int, mesh=None):
         # that, so run in all-manual mode.
         return jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(), P(), env_specs, P(), P(), P(),
+            in_specs=(P(), P(), P(), P(), env_specs, P(), P(), P(),
                       P(TILE_AXIS)),
             out_specs=P(),
             check_vma=False,
-        )(h_rot, du, dv, env_arg, lc, albedo, shadow_eps, keys)
+        )(hgt, h_rot, du, dv, env_arg, lc, albedo, shadow_eps, keys)
 
-    acc = sharded_accum(h_rot, du, dv, env, lc, albedo, shadow_eps, keys)
+    acc = sharded_accum(hgt, h_rot, du, dv, env, lc, albedo, shadow_eps,
+                        keys)
     packed = resolve(acc / jnp.float32(n_frames),
                      jnp.asarray(desc.exposure, jnp.float32))
     return ts._unpack_render(desc, np.asarray(packed), n_frames,

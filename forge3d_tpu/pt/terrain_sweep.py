@@ -143,14 +143,14 @@ def _build_pipeline(dem_shape: Tuple[int, int],
             with_derivatives=True)
         return h_rot, du, dv
 
-    def frame_one(h_rot, du, dv, env_arg, lc, albedo, shadow_eps, key):
+    def frame_one(corners, h_rot, du, dv, env_arg, lc, albedo, shadow_eps,
+                  key):
         k_sky, k_jv, k_ja, k_je = jax.random.split(key, 4)
         maps = sweep_lighting(
             h_rot, du, dv, strata=strata, key=k_sky, env=env_arg,
             e_u=rg.e_u, e_v=rg.e_v, sun_world=sun_w, spacing=rg.spacing)
         rotbuf = jnp.concatenate([
-            h_rot[..., None], maps.e_sky, maps.z_sun[..., None],
-            du[..., None], dv[..., None]], axis=-1)
+            h_rot[..., None], maps.e_sky, maps.z_sun[..., None]], axis=-1)
 
         xi = jax.random.uniform(k_jv, (), _F32)
         ja = jax.random.uniform(k_ja, (), _F32) - 0.5
@@ -160,15 +160,49 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         h_p = prof[..., 0]
         e_sky_p = prof[..., 1:4]
         z_sun_p = prof[..., 4]
-        du_p = prof[..., 5]
-        dv_p = prof[..., 6]
 
-        invn = jax.lax.rsqrt(1.0 + du_p * du_p + dv_p * dv_p)
-        eu = rg.e_u
-        ev = rg.e_v
-        nx = (-du_p * eu[0] - dv_p * ev[0]) * invn
+        # EXACT bilinear-patch normals at the profile sample positions —
+        # the same normal field the per-ray reference evaluates at its
+        # screen samples (pt/terrain_ref normal_at; reference
+        # hybrid_terrain_traversal.wgsl:318-384). Interpolating node
+        # slopes instead (the round-2 design) low-passed the reference's
+        # cell-frequency shading faceting and capped sweep<->per-ray
+        # equivalence at ~0.95-0.97 SSIM. The sample world position is
+        # reconstructed from the polar geometry and the slopes gathered
+        # straight from the DEM, so shading sees NO resampling at all.
+        dem_h_px, dem_w_px = dem_shape
+        K, A = ps.k_count, ps.a_count
+        t_az = ps.t_lo + (jnp.arange(A, dtype=_F32) + 0.5 + ja) \
+            * ps.t_step
+        kidx = jnp.arange(K, dtype=_F32)
+        koff = kidx + _F32(ps.k0 + 1.0 - ps.cam_iv) + xi
+        p_col = ps.cam_iu + koff[:, None] * t_az[None, :]
+        row = (_F32(ps.k0 + 1.0) + xi + kidx)[:, None]
+        u_w = rg.u0 + p_col * rg.spacing
+        v_w = rg.v0 + row * rg.spacing
+        x_w = cam_xz[0] + u_w * rg.e_u[0] + v_w * rg.e_v[0]
+        z_w = cam_xz[1] + u_w * rg.e_u[2] + v_w * rg.e_v[2]
+        fx = x_w / spacing[0]
+        fz = z_w / spacing[1]
+        x0 = jnp.clip(jnp.floor(fx), 0, dem_w_px - 2).astype(jnp.int32)
+        z0 = jnp.clip(jnp.floor(fz), 0, dem_h_px - 2).astype(jnp.int32)
+        tx = jnp.clip(fx - x0, 0.0, 1.0)
+        tz = jnp.clip(fz - z0, 0.0, 1.0)
+        # one packed gather of all 4 cell corners (the corner pack is
+        # hoisted out of the per-frame vmap — see batch())
+        cell = corners[z0 * (dem_w_px - 1) + x0]
+        h00 = cell[..., 0]
+        h10 = cell[..., 1]
+        h01 = cell[..., 2]
+        h11 = cell[..., 3]
+        gx = ((h10 - h00) * (1.0 - tz) + (h11 - h01) * tz) \
+            * _F32(exaggeration / spacing[0])
+        gz = ((h01 - h00) * (1.0 - tx) + (h11 - h10) * tx) \
+            * _F32(exaggeration / spacing[1])
+        invn = jax.lax.rsqrt(1.0 + gx * gx + gz * gz)
+        nx = -gx * invn
         ny = invn
-        nz = (-du_p * eu[2] - dv_p * ev[2]) * invn
+        nz = -gz * invn
         ndotl = jnp.maximum(
             nx * sun_w[0] + ny * sun_w[1] + nz * sun_w[2], 0.0)
         vis_sun = (h_p + shadow_eps >= z_sun_p).astype(_F32)
@@ -201,7 +235,13 @@ def _build_pipeline(dem_shape: Tuple[int, int],
 
         polar = synthesize_polar(values, q_prof, miss, ps, je=je,
                                  a_chunk=a_chunk, mxu_dtype=mxu_dtype)
-        phantom = polar[..., 8:9] > 0.5
+        # With the soft (sub-row interpolated) crossing, a TRUE phantom —
+        # a ray entering the heightfield already below the surface —
+        # lands essentially all its weight on the entry sample (the
+        # invalid-side sentinel tangent -1e4 drives its crossing fraction
+        # to ~1), while a real hit just past the entry row blends entry
+        # 1-f < 1. A high threshold separates the two.
+        phantom = polar[..., 8:9] > 0.98
         polar = jnp.where(phantom, miss, polar)
         return polar
 
@@ -224,10 +264,15 @@ def _build_pipeline(dem_shape: Tuple[int, int],
             and ps.e_count * ps.k_count * a_chunk * 8 > HBM_BUDGET // 2:
         a_chunk //= 2
 
-    def batch(h_rot, du, dv, env_arg, lc, albedo, shadow_eps, keys):
+    def batch(hgt, h_rot, du, dv, env_arg, lc, albedo, shadow_eps, keys):
+        # cell-corner pack for the exact-normal gathers, built once per
+        # batch (constant across the vmapped frames)
+        corners = jnp.stack(
+            [hgt[:-1, :-1], hgt[:-1, 1:], hgt[1:, :-1], hgt[1:, 1:]],
+            axis=-1).reshape(-1, 4)
         return jnp.sum(jax.vmap(
-            lambda k: frame_one(h_rot, du, dv, env_arg, lc, albedo,
-                                shadow_eps, k))(keys), axis=0)
+            lambda k: frame_one(corners, h_rot, du, dv, env_arg, lc,
+                                albedo, shadow_eps, k))(keys), axis=0)
 
     frame_fn = jax.jit(batch)
     frame_fn.batch_n = int(batch_n)
@@ -319,7 +364,7 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         n_frames = n_batches * batch_sz
         acc = jnp.zeros((ps.e_count, ps.a_count, 9), _F32)
         for b in range(n_batches):               # static unroll
-            acc = acc + batch(h_rot, du, dv, env_arg, lc, albedo,
+            acc = acc + batch(hgt, h_rot, du, dv, env_arg, lc, albedo,
                               shadow_eps, keys[b])
         return resolve_impl(acc / _F32(n_frames), exposure)
 
@@ -332,7 +377,7 @@ def _build_pipeline(dem_shape: Tuple[int, int],
                               exaggeration=exaggeration,
                               with_derivatives=True)
 
-    def render_from_rot_impl(h_rot, du, dv, env_arg, lc, albedo,
+    def render_from_rot_impl(hgt, h_rot, du, dv, env_arg, lc, albedo,
                              shadow_eps, exposure, seed, n_batches,
                              batch_sz):
         """render_all with the camera rotation hoisted out — for
@@ -346,13 +391,13 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         n_frames = n_batches * batch_sz
         acc = jnp.zeros((ps.e_count, ps.a_count, 9), _F32)
         for b in range(n_batches):               # static unroll
-            acc = acc + batch(h_rot, du, dv, env_arg, lc, albedo,
+            acc = acc + batch(hgt, h_rot, du, dv, env_arg, lc, albedo,
                               shadow_eps, keys[b])
         return resolve_impl(acc / _F32(n_frames), exposure)
 
     render_all.rotate_only = jax.jit(rotate_only_impl)
     render_all.from_rot = jax.jit(render_from_rot_impl,
-                                  static_argnums=(9, 10))
+                                  static_argnums=(10, 11))
 
     return rg, ps, prepare, frame_fn, resolve, render_all
 
@@ -490,7 +535,7 @@ def render_terrain_sweep_sequence(desc: TerrainRefDesc,
         # the camera rotation is scene+camera-static: run it once and
         # feed every per-seed render from it (~18% compute saved/frame)
         h_rot, _valid, du, dv = render_all.rotate_only(hj)
-        packed = [render_all.from_rot(h_rot, du, dv, env, lc, albedo,
+        packed = [render_all.from_rot(hj, h_rot, du, dv, env, lc, albedo,
                                       shadow_eps, expo,
                                       jnp.uint32(int(s) & 0xFFFFFFFF),
                                       n_batches, BATCH) for s in seeds]

@@ -293,8 +293,23 @@ def test_geoid_fail_closed_and_grid():
     import forge3d_tpu.geo.geoid as G
 
     G._ACTIVE["earth"] = None
-    with pytest.raises(GeoidUnavailable):
-        geoid_undulation(-122.3, 47.6)
+    # with no grid loaded the packaged EGM96 harmonic model answers
+    # (geo/egm96.py); Seattle-area undulation is about -23 m
+    n_egm = float(geoid_undulation(-122.3, 47.6))
+    assert -35.0 < n_egm < -10.0
+    # fail-closed only when the coefficient asset itself is unavailable
+    import forge3d_tpu.geo.egm96 as egm96_mod
+
+    def _broken(lon, lat):
+        raise OSError("asset missing (simulated)")
+
+    saved_fn = egm96_mod.egm96_undulation
+    egm96_mod.egm96_undulation = _broken
+    try:
+        with pytest.raises(GeoidUnavailable):
+            geoid_undulation(-122.3, 47.6)
+    finally:
+        egm96_mod.egm96_undulation = saved_fn
     grid = synthetic_test_grid()
     load_geoid_grid(grid)
     n = geoid_undulation(-122.3, 47.6)

@@ -243,14 +243,16 @@ def test_sweep_render_matches_reference_converged():
     b = sw["rgba"][..., :3].astype(np.float32) / 255
     s = ssim(a, b)
     mad = float(np.abs(a - b).mean() * 255)
-    # ratchet: known residual = cell-frequency shading texture attenuation
-    # (profile resampling low-passes the reference's bilinear-patch normal
-    # faceting); tracked in PERF.md. Round-3 measured 0.9678 / 1.83 on
-    # this scene (stationary-nearest slope resampling was tried and did
-    # NOT close the gap — see PERF.md round-3 notes); gate holds a margin
-    # below the measurement so backend noise can't flake it.
-    assert s > 0.95, f"SSIM {s}"
-    assert mad < 3.0, f"mean abs diff {mad}/255"
+    # ratchet: round-3 measured 0.9718 / 1.11 on this scene after (a)
+    # exact bilinear-patch normals gathered at the profile sample
+    # positions (no slope resampling at all) and (b) sub-row crossing
+    # interpolation in the first-hit contraction (anti-aliased
+    # silhouettes/boundaries). Remaining residual: sub-pixel silhouette
+    # placement at crests and the DEM front edge (PERF.md round-3
+    # notes). Gate holds a margin below the measurement so backend noise
+    # can't flake it.
+    assert s > 0.96, f"SSIM {s}"
+    assert mad < 1.6, f"mean abs diff {mad}/255"
 
 
 def test_sweep_sequence_bitwise_matches_single_calls():
