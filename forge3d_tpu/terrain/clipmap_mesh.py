@@ -183,12 +183,21 @@ def build_clipmap_mesh(config: ClipmapConfig, center=(0.0, 0.0),
 
 def clipmap_vertex_heights(dem: np.ndarray, uv: np.ndarray,
                            morph: np.ndarray,
-                           ring_resolution: int) -> np.ndarray:
+                           ring_resolution: int,
+                           sampling: str = "bilinear") -> np.ndarray:
     """Geomorphed height per vertex (raw DEM units, before centering /
     exaggeration; skirt drop NOT applied). Mirrors vs_clipmap_main:
-    fine bilinear at uv blended with a bilinear sample snapped to a
-    2^(ring+1)-texel coarse grid by the morph weight."""
+    fine sample at uv blended with a sample snapped to a 2^(ring+1)-texel
+    coarse grid by the morph weight. `sampling` selects the height-texture
+    filter: the recipe goldens bake the renderer's default NEAREST sampler
+    (wgpu convention: texel floor(u * size)), while "bilinear" matches the
+    shader's explicit filtered path."""
     h, w = dem.shape
+
+    def nearest(u, v):
+        xi = np.clip(np.floor(np.clip(u, 0.0, 1.0) * w).astype(int), 0, w - 1)
+        yi = np.clip(np.floor(np.clip(v, 0.0, 1.0) * h).astype(int), 0, h - 1)
+        return dem[yi, xi]
 
     def bilin(u, v):
         x = np.clip(u, 0.0, 1.0) * (w - 1)
@@ -201,6 +210,9 @@ def clipmap_vertex_heights(dem: np.ndarray, uv: np.ndarray,
         fy = y - y0
         return (dem[y0, x0] * (1 - fx) * (1 - fy) + dem[y0, x1] * fx * (1 - fy)
                 + dem[y1, x0] * (1 - fx) * fy + dem[y1, x1] * fx * fy)
+
+    if sampling == "nearest":
+        bilin = nearest  # noqa: F811 — same call contract, snapped texels
 
     u, v = uv[:, 0].astype(np.float64), uv[:, 1].astype(np.float64)
     h_fine = bilin(u, v)

@@ -379,12 +379,16 @@ def _recipes():
                 + 0.22 * np.cos(yyg * np.pi * 3.0)).astype(np.float32)
     from forge3d_tpu.terrain.params import LightSettings
 
+    # exact reference camera: preset radius_scale 2.4 x the DEM's
+    # metadata span (0.6) in normalized clipmap units, the preset
+    # phi/theta/fov (135/45/55) and the recipe's exaggeration 1.2
+    # (test_recipe_goldens.py:749-771 + presets.py rainier_showcase).
     rec = _base_recipe(width=128, height=80)
-    rec.terrain = TerrainSource(dem=sine_dem, spacing=(1.0, 1.0),
-                                z_scale=40.84)
-    rec.camera = OrbitCamera(target=(0.0, 0.0, 0.0), radius=72.86,
-                             phi_deg=127.89, theta_deg=41.34,
-                             fov_y_deg=60.18)
+    rec.terrain = TerrainSource(dem=sine_dem, spacing=(1 / 32, 1 / 32),
+                                z_scale=1.2)
+    rec.camera = OrbitCamera(target=(0.0, 0.0, 0.0), radius=1.44,
+                             phi_deg=135.0, theta_deg=45.0,
+                             fov_y_deg=55.0)
     rec.lighting = LightSettings(azimuth_deg=135.0, elevation_deg=25.0,
                                  intensity=0.0, color=(1.0, 0.95, 0.9),
                                  ambient=0.58 * 0.67,
