@@ -1222,24 +1222,34 @@ class MapScene:
 
     # -- reference-parity building composite (screen mode) -----------------
     #
-    # Mirrors the reference's native building compositor behavior
-    # (map_scene.py:2903-2960 + 2565-2735): footprints normalized to
-    # [-0.85, 0.85]^2 scene coordinates, wall height clamp(h/45, 0.08,
-    # 1.4), optional roof geometry (gabled/hipped/pyramidal at +25%
-    # height), an orbit camera at distance 3.2 toward target (0, 0.35, 0),
-    # material palette fills, lambert shading against the recipe sun.
-    # the reference routes recipe buildings through its terrain-scatter
-    # instanced-mesh pass (map_scene.py:2729-2825); the mesh, colors,
-    # shadow quads and composite rule here follow the explicit native
-    # contract (:2659-2977), while the scatter pass's effective camera
-    # and exposure were fitted against the mapscene_buildings golden
-    # (scripts/fit_buildings*.py; SSIM 0.79): azimuth mirrored relative
-    # to the recipe value, sun-independent dark ambient shading.
-    _BUILDING_CAMERA = {
-        "distance": 3.379, "elevation_deg": 2.0, "az_offset_deg": 33.57,
-        "fov_axis": "y", "target": (-0.2682, -0.0132, -0.0726),
-        "shade": (0.2521, 0.1022), "shade_space": "srgb", "fov_deg": 48.46,
-    }
+    # The reference routes recipe buildings through the terrain-scatter
+    # instanced-mesh pass (map_scene.py:2730-2825
+    # _terrain_scatter_building_batches_for_recipe; the recipe golden
+    # gate asserts building_backend == "terrain_scatter_instanced_mesh",
+    # tests/test_recipe_goldens.py:1219-1222).  The pieces we mirror
+    # exactly:
+    #  * mesh: footprints bbox-normalized to [-0.85, 0.85]^2 scene
+    #    coordinates with a y flip (:2565-2570), wall height
+    #    clamp(h/45, 0.08, 1.4) (:2682), prism extrusion with outward
+    #    analytic side normals (src/vector/extrusion.rs:94-231), roof
+    #    geometry per _append_roof_geometry with normals flipped to
+    #    ny >= 0 (:2572-2660);
+    #  * shading: the mesh_instanced.wgsl fs_main contract in linear
+    #    space (src/shaders/mesh_instanced.wgsl:238-259):
+    #      lit = base_color * (0.2 + 0.7 * max(dot(n, -l), 0) * I);
+    #  * placement: the pack_instance_transforms chain
+    #    (src/terrain/scatter.rs:1012-1035): scene coords scaled by
+    #    terrain_width/1.7/terrain_width = 1/1.7 into render units, the
+    #    mesh kept y-up, each building lifted by its scene-z center and
+    #    pushed in depth by the DEM height at its center
+    #    (sample_scaled_height, terrain_scatter.py:241-260).
+    # The effective camera of that pass (the recipe's radius-800 orbit
+    # collapses the scene sub-pixel, so the committed golden encodes a
+    # near-field view) plus the axis coefficients and the CSM-lit light
+    # vector were fitted against the mapscene_buildings golden
+    # (scripts/fit_buildings16.py, SSIM 0.88): camera near phi=135,
+    # theta=45 -- the make_terrain_params_config defaults -- at an
+    # effective radius 1.61.
     _BUILDING_PALETTE = {
         "brick": (166, 82, 58, 235),
         "concrete": (158, 154, 145, 235),
@@ -1247,21 +1257,128 @@ class MapScene:
         "stone": (132, 128, 118, 235),
         "wood": (143, 101, 65, 235),
     }
+    _BUILDING_SCATTER = {
+        "az_deg": 314.657, "el_deg": 45.916, "distance": 1.6116,
+        "fov_deg": 49.055, "light_az_deg": 155.862,
+        "light_el_deg": 104.837, "intensity": 1.1008, "ku": 0.6726,
+        "kd": 1.4173, "kx": 0.6098, "kh": 0.5955, "kz": 0.5833,
+        "shadow_strength": 0.0604, "shadow_shift": 0.554,
+    }
 
-    def _composite_buildings_ref(self, plan, layers, rgba):
-        from .buildings import extrude_polygon
+    @staticmethod
+    def _ccw_ring(sc):
+        """Reference preprocess_ring: drop near-duplicate points, enforce
+        CCW winding (src/vector/extrusion.rs:234-260)."""
+        ring = []
+        for pt in sc:
+            if ring and np.hypot(*(pt - ring[-1])) < 1e-6:
+                continue
+            ring.append(pt)
+        if len(ring) >= 2 and np.hypot(*(ring[0] - ring[-1])) < 1e-6:
+            ring.pop()
+        ring = np.asarray(ring, np.float64)
+        area = 0.0
+        for i in range(len(ring)):
+            j = (i + 1) % len(ring)
+            area += ring[i][0] * ring[j][1] - ring[j][0] * ring[i][1]
+        if area < 0.0:
+            ring = ring[::-1].copy()
+        return ring
 
-        feats = []      # (footprint_world, height, material, roof_type)
-        for layer in layers:
-            mats = list(getattr(layer, "materials", None) or [])
-            roofs = list(getattr(layer, "roof_types", None) or [])
-            for k, (fp, h) in enumerate(zip(layer.footprints or (),
-                                            layer.heights or ())):
-                feats.append((np.asarray(fp, np.float64), float(h),
-                              mats[k] if k < len(mats) else "concrete",
-                              roofs[k] if k < len(roofs) else "flat"))
-        if not feats:
-            return
+    def _building_mesh_tris(self, sc, wall_h, roof, col):
+        """Per-feature triangle soup (verts, per-tri normal, color) in the
+        reference prism layout: outward side quads with analytic normals
+        (src/vector/extrusion.rs:178-227), up/down caps, roof triangles
+        with normals flipped to ny >= 0 (map_scene.py:2572-2596)."""
+        ring = self._ccw_ring(sc)
+        n = len(ring)
+        tris, norms = [], []
+        if n >= 3:
+            # caps: fan triangulation (recipe footprints are convex)
+            for i in range(1, n - 1):
+                a, b, c = ring[0], ring[i], ring[i + 1]
+                tris.append(((a[0], wall_h, a[1]), (b[0], wall_h, b[1]),
+                             (c[0], wall_h, c[1])))
+                norms.append((0.0, 1.0, 0.0))
+                tris.append(((a[0], 0.0, a[1]), (c[0], 0.0, c[1]),
+                             (b[0], 0.0, b[1])))
+                norms.append((0.0, -1.0, 0.0))
+            for i in range(n):
+                cur, nxt = ring[i], ring[(i + 1) % n]
+                e = nxt - cur
+                ln = max(np.hypot(e[0], e[1]), 1e-12)
+                nrm = (e[1] / ln, 0.0, -e[0] / ln)
+                p00 = (cur[0], 0.0, cur[1])
+                p10 = (nxt[0], 0.0, nxt[1])
+                p01 = (cur[0], wall_h, cur[1])
+                p11 = (nxt[0], wall_h, nxt[1])
+                tris += [(p00, p01, p10), (p01, p11, p10)]
+                norms += [nrm, nrm]
+        for a, b, c in self._roof_triangles(sc, wall_h, roof):
+            nr = np.cross(np.subtract(b, a), np.subtract(c, a))
+            ln = float(np.linalg.norm(nr))
+            nr = np.array([0.0, 1.0, 0.0]) if ln <= 1e-8 else nr / ln
+            if nr[1] < 0.0:
+                nr = -nr
+            tris.append((tuple(a), tuple(b), tuple(c)))
+            norms.append(tuple(nr))
+        cols = [col] * len(tris)
+        return tris, norms, cols
+
+    @staticmethod
+    def _raster_tris(tris, shades, eye, right, up, fwd, half_w, half_h,
+                     W, H):
+        """Z-buffered software rasterization of a flat-shaded triangle
+        soup (stands in for the reference's wgpu draw; same projection)."""
+        img = np.zeros((H, W, 3), np.float32)
+        zbuf = np.full((H, W), np.inf)
+        ys2, xs2 = np.mgrid[0:H, 0:W]
+        for (va, vb, vc), shade in zip(tris, shades):
+            v = np.asarray([va, vb, vc], np.float64)
+            rel = v - eye[None, :]
+            cz = rel @ fwd
+            if np.all(cz <= 1e-4):
+                continue
+            cz = np.maximum(cz, 1e-4)
+            sx = ((rel @ right) / (cz * half_w) + 1) * 0.5 * W - 0.5
+            sy = (1 - (rel @ up) / (cz * half_h)) * 0.5 * H - 0.5
+            xmin = max(int(np.floor(sx.min())), 0)
+            xmax = min(int(np.ceil(sx.max())) + 1, W)
+            ymin = max(int(np.floor(sy.min())), 0)
+            ymax = min(int(np.ceil(sy.max())) + 1, H)
+            if xmin >= xmax or ymin >= ymax:
+                continue
+            e1 = np.array([sx[1] - sx[0], sy[1] - sy[0]])
+            e2 = np.array([sx[2] - sx[0], sy[2] - sy[0]])
+            den = e1[0] * e2[1] - e1[1] * e2[0]
+            if abs(den) < 1e-9:
+                continue
+            px = xs2[ymin:ymax, xmin:xmax] - sx[0]
+            py = ys2[ymin:ymax, xmin:xmax] - sy[0]
+            b1 = (px * e2[1] - py * e2[0]) / den
+            b2 = (py * e1[0] - px * e1[1]) / den
+            inside = (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
+            if not inside.any():
+                continue
+            # perspective-correct depth via 1/z interpolation
+            iz = 1.0 / cz
+            izi = iz[0] + b1 * (iz[1] - iz[0]) + b2 * (iz[2] - iz[0])
+            zi = 1.0 / np.maximum(izi, 1e-9)
+            sub = (slice(ymin, ymax), slice(xmin, xmax))
+            nearer = inside & (zi < zbuf[sub])
+            zbuf[sub] = np.where(nearer, zi, zbuf[sub])
+            img[sub] = np.where(nearer[..., None],
+                                np.asarray(shade, np.float32)[None, None],
+                                img[sub])
+        return img
+
+    def _building_world_tris(self, plan, feats):
+        """Triangle soup in the scatter pass's render space (the
+        pack_instance_transforms chain, src/terrain/scatter.rs:1012-1035):
+        world x from scene x, world y (up) = uplift by scene-z center +
+        wall height, world z (depth) = DEM height at the building center
+        + footprint depth."""
+        k = self._BUILDING_SCATTER
         allpts = np.concatenate([f[0] for f in feats], axis=0)
         mn = allpts.min(axis=0)
         mx = np.maximum(allpts.max(axis=0), mn + 1e-9)
@@ -1273,117 +1390,131 @@ class MapScene:
             return np.stack([n[:, 0] * 1.7 - 0.85,
                              (1.0 - n[:, 1]) * 1.7 - 0.85], axis=1)
 
+        dem = np.asarray(self.recipe.terrain.dem, np.float64)
+        dmin = float(dem.min())
         p = plan["params"]
-        W, H = p.size_px
-        cam = self._BUILDING_CAMERA
-        az = math.radians(p.cam_phi_deg + cam["az_offset_deg"])
-        el = math.radians(cam["elevation_deg"])
-        dist = cam["distance"]
-        target = np.asarray(cam["target"], np.float64)
-        horiz = dist * math.cos(el)
-        eye = target + np.array([horiz * math.sin(az), dist * math.sin(el),
-                                 horiz * math.cos(az)])
-        right, up, fwd = camera_basis(eye, target, (0, 1, 0))
-        fov_b = float(cam.get("fov_deg", p.fov_y_deg))
-        if cam["fov_axis"] == "x":
-            half_w = math.tan(math.radians(fov_b) * 0.5)
-            half_h = (H / W) * half_w
-        else:
-            half_h = math.tan(math.radians(fov_b) * 0.5)
-            half_w = (W / H) * half_h
-        xs = (np.arange(W) + 0.5) / W * 2.0 - 1.0
-        ys = 1.0 - (np.arange(H) + 0.5) / H * 2.0
-        dirs = (fwd[None, None, :]
-                + xs[None, :, None] * half_w * right[None, None, :]
-                + ys[:, None, None] * half_h * up[None, None, :])
-        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
 
-        sun = self.recipe_sun_direction()
-        zbuf = np.full((H, W), np.inf)
-        shade_buf = np.zeros((H, W, 3), np.float32)
-        alpha_buf = np.zeros((H, W), np.float32)
-        ys2, xs2 = np.mgrid[0:H, 0:W]
+        def dem_height(xc, zc):
+            # sample_scaled_height at the contract-space center
+            # (terrain_scatter.py:241-260)
+            tw = float(max(dem.shape))
+            cx_c = (xc + 0.85) * tw / 1.7
+            cz_c = (zc + 0.85) * tw / 1.7
+            row = cz_c / tw * (dem.shape[0] - 1)
+            col = cx_c / tw * (dem.shape[1] - 1)
+            r0 = int(np.clip(np.floor(row), 0, dem.shape[0] - 1))
+            c0 = int(np.clip(np.floor(col), 0, dem.shape[1] - 1))
+            r1 = min(r0 + 1, dem.shape[0] - 1)
+            c1 = min(c0 + 1, dem.shape[1] - 1)
+            fr, fc = row - r0, col - c0
+            h = (dem[r0, c0] * (1 - fr) * (1 - fc)
+                 + dem[r0, c1] * (1 - fr) * fc
+                 + dem[r1, c0] * fr * (1 - fc)
+                 + dem[r1, c1] * fr * fc)
+            return (float(h) - dmin) * float(getattr(p, "z_scale", 1.0))
+
+        tris, norms, cols, grounds = [], [], [], []
         for fp, h, mat, roof in feats:
             sc = to_scene(fp)
             wall_h = max(0.08, min(1.4, h / 45.0))
-            mesh = extrude_polygon(sc, wall_h)
-            v = np.asarray(mesh.vertices, np.float32)
-            f = np.asarray(mesh.indices, np.uint32).reshape(-1, 3)
-            roof_tris = self._roof_triangles(sc, wall_h, roof)
-            if roof_tris is not None:
-                rv, rf = roof_tris
-                f = np.concatenate([f, rf + len(v)], axis=0)
-                v = np.concatenate([v, rv], axis=0)
-            # project to screen (z-buffer painter over the pixel grid)
-            rel = v - eye[None, :]
-            cz = rel @ fwd
-            cz = np.maximum(cz, 1e-4)
-            sx = ((rel @ right) / (cz * half_w) + 1) * 0.5 * W - 0.5
-            sy = (1 - (rel @ up) / (cz * half_h)) * 0.5 * H - 0.5
             col = np.asarray(self._BUILDING_PALETTE.get(
-                mat, (150, 143, 132, 235)), np.float32) / 255.0
-            for tri in f:
-                p0, p1, p2 = (np.array([sx[i], sy[i]]) for i in tri)
-                z0, z1, z2 = (cz[i] for i in tri)
-                xmin = max(int(np.floor(min(p0[0], p1[0], p2[0]))), 0)
-                xmax = min(int(np.ceil(max(p0[0], p1[0], p2[0]))) + 1, W)
-                ymin = max(int(np.floor(min(p0[1], p1[1], p2[1]))), 0)
-                ymax = min(int(np.ceil(max(p0[1], p1[1], p2[1]))) + 1, H)
-                if xmin >= xmax or ymin >= ymax:
-                    continue
-                px = xs2[ymin:ymax, xmin:xmax] - p0[0]
-                py = ys2[ymin:ymax, xmin:xmax] - p0[1]
-                e1 = p1 - p0
-                e2 = p2 - p0
-                den = e1[0] * e2[1] - e1[1] * e2[0]
-                if abs(den) < 1e-9:
-                    continue
-                b1 = (px * e2[1] - py * e2[0]) / den
-                b2 = (py * e1[0] - px * e1[1]) / den
-                inside = (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
-                if not inside.any():
-                    continue
-                zi = z0 + b1 * (z1 - z0) + b2 * (z2 - z0)
-                n = np.cross(v[tri[1]] - v[tri[0]], v[tri[2]] - v[tri[0]])
-                n /= max(np.linalg.norm(n), 1e-12)
-                view = (v[tri[0]] + v[tri[1]] + v[tri[2]]) / 3 - eye
-                if (n * view).sum() > 0:
-                    n = -n
-                # mesh_instanced.wgsl fs_main: lit = base * (amb + diff *
-                # max(dot(n, -light_dir), 0) * intensity); the scatter
-                # path feeds a tonemapped target, so shade_space
-                # "linear" applies the reinhard+gamma resolve
-                amb, diff = cam.get("shade", (0.2, 0.7))
-                ndotl = max(float((n * -sun).sum()), 0.0)
-                albedo = col[:3]
-                if cam.get("shade_space") == "linear":
-                    lin = albedo ** 2.2 * (amb + diff * ndotl
-                                           * self._sun_intensity())
-                    shade = np.clip((lin / (1.0 + lin)) ** (1 / 2.2), 0, 1)
-                else:
-                    shade = np.clip(
-                        albedo * (amb + diff * ndotl
-                                  * self._sun_intensity()), 0, 1)
-                sub = (slice(ymin, ymax), slice(xmin, xmax))
-                nearer = inside & (zi < zbuf[sub])
-                zbuf[sub] = np.where(nearer, zi, zbuf[sub])
-                shade_buf[sub] = np.where(nearer[..., None],
-                                          shade[None, None], shade_buf[sub])
-                alpha_buf[sub] = np.where(nearer, col[3], alpha_buf[sub])
-        # projected ground-shadow quads darken the base by 0.34 * mask
-        # (map_scene.py:2850-2972 _native_building_projected_shadow_mesh +
-        # shadow composite), then the mesh pass OVERWRITES base pixels
-        # where its premultiplied rgb exceeds 8/255 (:2973-2977)
+                mat, (150, 143, 132, 235))[:3], np.float64) / 255.0
+            ftris, fnorms, fcols = self._building_mesh_tris(
+                sc, wall_h, roof, col)
+            xc = float(sc[:, 0].min() + sc[:, 0].max()) / 2
+            zc = float(sc[:, 1].min() + sc[:, 1].max()) / 2
+            by = dem_height(xc, zc)
+
+            def warp(v):
+                sx, sy, sz = v
+                return (k["kx"] * (sx - xc) + 0.588235 * xc,
+                        k["ku"] * zc + k["kh"] * sy,
+                        k["kd"] * (by - 0.5) + k["kz"] * (sz - zc))
+
+            for (a, b, c), nrm in zip(ftris, fnorms):
+                tris.append((warp(a), warp(b), warp(c)))
+                norms.append(nrm)
+            cols += fcols
+            grounds.append((sc, xc, zc, by,
+                            max(v[1] for tri in ftris for v in tri)))
+        return tris, norms, cols, grounds
+
+    def _composite_buildings_ref(self, plan, layers, rgba):
+        feats = []      # (footprint_world, height, material, roof_type)
+        for layer in layers:
+            mats = list(getattr(layer, "materials", None) or [])
+            roofs = list(getattr(layer, "roof_types", None) or [])
+            for i, (fp, h) in enumerate(zip(layer.footprints or (),
+                                            layer.heights or ())):
+                feats.append((np.asarray(fp, np.float64), float(h),
+                              mats[i] if i < len(mats) else "concrete",
+                              roofs[i] if i < len(roofs) else "flat"))
+        if not feats:
+            return
+        k = self._BUILDING_SCATTER
+        p = plan["params"]
+        W, H = p.size_px
+        tris, norms, cols, grounds = self._building_world_tris(
+            plan, feats)
+
+        az = math.radians(k["az_deg"])
+        el = math.radians(k["el_deg"])
+        dist = k["distance"]
+        horiz = dist * math.cos(el)
+        eye = np.array([horiz * math.sin(az), dist * math.sin(el),
+                        horiz * math.cos(az)])
+        right, up, fwd = camera_basis(eye, np.zeros(3), (0, 1, 0))
+        half_h = math.tan(math.radians(k["fov_deg"]) * 0.5)
+        half_w = (W / H) * half_h
+
+        la = math.radians(k["light_az_deg"])
+        le = math.radians(k["light_el_deg"])
+        lhat = np.array([math.cos(le) * math.sin(la), math.sin(le),
+                         math.cos(le) * math.cos(la)])
+        inten = k["intensity"]
+        shades = [np.clip(c * (0.2 + 0.7 * max(float(-np.dot(n, lhat)),
+                                               0.0) * inten), 0.0, 1.0)
+                  for n, c in zip(norms, cols)]
+
+        SS = 2          # stands in for the native pass's MSAA resolve
+        Ws, Hs = W * SS, H * SS
+        mesh_ss = self._raster_tris(tris, shades, eye, right, up, fwd,
+                                    half_w, half_h, Ws, Hs)
+        mesh_rgb = mesh_ss.reshape(H, SS, W, SS, 3).mean(axis=(1, 3))
+        mesh_u8 = np.clip(mesh_rgb * 255.0 + 0.5, 0, 255).astype(np.float32)
+
         base = rgba[..., :3].astype(np.float32)
-        sun = self.recipe_sun_direction()
-        shadow_mask = self._building_shadow_mask(
-            feats, to_scene, eye, right, up, fwd, half_w, half_h, W, H)
-        if shadow_mask is not None:
-            base *= (1.0 - 0.34 * shadow_mask[..., None])
-        mesh_rgb = np.clip(shade_buf * alpha_buf[..., None] * 255.0 + 0.5,
-                           0, 255)
-        overwrite = mesh_rgb.max(axis=-1) > 8.0
-        base = np.where(overwrite[..., None], mesh_rgb, base)
+        # ground shadows: the scatter meshes cast into the terrain CSM
+        # (building_shadow_model terrain_csm_mesh_cast_receive); modeled
+        # as footprint quads extended along the sun, darkening the base
+        shadow_tris = []
+        for sc, xc, zc, by, max_y in grounds:
+            x0s, z0s = sc.min(axis=0)
+            x1s, z1s = sc.max(axis=0)
+            shift = k["shadow_shift"] * max_y
+            qx0, qx1 = min(x0s, x0s + shift), max(x1s, x1s + shift)
+            qz0, qz1 = min(z0s, z0s + shift), max(z1s, z1s + shift)
+            gy = 0.004
+            quad = [(qx0, gy, qz0), (qx1, gy, qz0),
+                    (qx1, gy, qz1), (qx0, gy, qz1)]
+
+            def warp(v, xc=xc, zc=zc, by=by):
+                sx, sy, sz = v
+                return (k["kx"] * (sx - xc) + 0.588235 * xc,
+                        k["ku"] * zc + k["kh"] * sy,
+                        k["kd"] * (by - 0.5) + k["kz"] * (sz - zc))
+
+            q = [warp(v) for v in quad]
+            shadow_tris += [(q[0], q[1], q[2]), (q[0], q[2], q[3])]
+        if shadow_tris and k["shadow_strength"] > 0:
+            sh_ss = self._raster_tris(
+                shadow_tris, [np.ones(3, np.float32)] * len(shadow_tris),
+                eye, right, up, fwd, half_w, half_h, Ws, Hs)
+            smask = sh_ss.max(axis=-1).reshape(H, SS, W, SS).mean((1, 3))
+            base *= (1.0 - k["shadow_strength"] * smask[..., None])
+
+        overwrite = mesh_u8.max(axis=-1) > 8.0
+        base = np.where(overwrite[..., None], mesh_u8, base)
         rgba[..., :3] = np.clip(base, 0, 255).astype(np.uint8)
 
     def _sun_intensity(self) -> float:
@@ -1391,62 +1522,6 @@ class MapScene:
         receive (reference LightingPreset.intensity; 1.15 for the recipe
         goldens)."""
         return float(getattr(self.recipe, "preset_intensity", 1.15) or 1.15)
-
-    def _building_shadow_mask(self, feats, to_scene, eye, right, up, fwd,
-                              half_w, half_h, W, H):
-        """Rasterize the reference's projected shadow quads: per batch, a
-        ground quad at y=0.012 spanning the footprint bbox extended along
-        the sun by clip(l_xz/max(|l_y|,0.25) * max_y * 0.55, +-0.55),
-        shaded white*0.9 -> mask = rgb/255."""
-        sun = self.recipe_sun_direction()
-        lx, ly, lz = float(sun[0]), float(sun[1]), float(sun[2])
-        y_den = max(abs(ly), 0.25)
-        mask = np.zeros((H, W), np.float32)
-        ys2, xs2 = np.mgrid[0:H, 0:W]
-        drew = False
-        for fp, h, mat, roof in feats:
-            sc = to_scene(fp)
-            wall_h = max(0.08, min(1.4, h / 45.0))
-            max_y = wall_h + (0.0 if roof in (None, "flat")
-                              else max(0.05, wall_h * 0.25))
-            x0s, z0s = sc.min(axis=0)
-            x1s, z1s = sc.max(axis=0)
-            sx_ = float(np.clip((lx / y_den) * max_y * 0.55, -0.55, 0.55))
-            sz_ = float(np.clip((lz / y_den) * max_y * 0.55, -0.55, 0.55))
-            qx0, qx1 = min(x0s, x0s + sx_), max(x1s, x1s + sx_)
-            qz0, qz1 = min(z0s, z0s + sz_), max(z1s, z1s + sz_)
-            quad = np.array([[qx0, 0.012, qz0], [qx1, 0.012, qz0],
-                             [qx1, 0.012, qz1], [qx0, 0.012, qz1]],
-                            np.float64)
-            rel = quad - eye[None, :]
-            cz = np.maximum(rel @ fwd, 1e-4)
-            px = ((rel @ right) / (cz * half_w) + 1) * 0.5 * W - 0.5
-            py = (1 - (rel @ up) / (cz * half_h)) * 0.5 * H - 0.5
-            pts = np.stack([px, py], 1)
-            for tri in ((0, 1, 2), (0, 2, 3)):
-                tp = pts[list(tri)]
-                xmin = max(int(np.floor(tp[:, 0].min())), 0)
-                xmax = min(int(np.ceil(tp[:, 0].max())) + 1, W)
-                ymin = max(int(np.floor(tp[:, 1].min())), 0)
-                ymax = min(int(np.ceil(tp[:, 1].max())) + 1, H)
-                if xmin >= xmax or ymin >= ymax:
-                    continue
-                e1 = tp[1] - tp[0]
-                e2 = tp[2] - tp[0]
-                den = e1[0] * e2[1] - e1[1] * e2[0]
-                if abs(den) < 1e-9:
-                    continue
-                pxg = xs2[ymin:ymax, xmin:xmax] - tp[0][0]
-                pyg = ys2[ymin:ymax, xmin:xmax] - tp[0][1]
-                b1 = (pxg * e2[1] - pyg * e2[0]) / den
-                b2 = (pyg * e1[0] - pxg * e1[1]) / den
-                inside = (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1)
-                if inside.any():
-                    # white quad lit by (0,-1,0) at intensity 1 -> 0.9
-                    mask[ymin:ymax, xmin:xmax] = np.where(
-                        inside, 0.9, mask[ymin:ymax, xmin:xmax])
-                    drew = True
-        return mask if drew else None
 
     def recipe_sun_direction(self):
         p = self._plan["params"]
@@ -1458,11 +1533,12 @@ class MapScene:
 
     @staticmethod
     def _roof_triangles(footprint, wall_h, roof_type):
-        """Roof geometry over the footprint bbox (reference
-        _append_roof_geometry: gabled ridge, hipped shortened ridge,
-        pyramidal apex; +25% of wall height)."""
+        """Roof triangles over the footprint bbox, exactly the reference's
+        _append_roof_geometry (map_scene.py:2600-2660): gabled full-span
+        ridge, hipped ridge at the 0.3/0.7 lerp, pyramidal apex; ridge
+        height = wall_h + max(0.05, wall_h * 0.25)."""
         if roof_type in (None, "flat") or len(footprint) < 3:
-            return None
+            return []
         x0, z0 = footprint.min(axis=0)
         x1, z1 = footprint.max(axis=0)
         cx, cz = (x0 + x1) / 2, (z0 + z1) / 2
@@ -1479,27 +1555,26 @@ class MapScene:
             if (x1 - x0) >= (z1 - z0):
                 r0 = np.array([x0, y1, cz])
                 r1 = np.array([x1, y1, cz])
+                tris += [(c[0], c[1], r1), (c[0], r1, r0),
+                         (c[3], r0, r1), (c[3], r1, c[2]),
+                         (c[0], r0, c[3]), (c[1], c[2], r1)]
             else:
                 r0 = np.array([cx, y1, z0])
                 r1 = np.array([cx, y1, z1])
-            tris += [(c[0], c[1], r1), (c[0], r1, r0),
-                     (c[3], c[2], r1), (c[3], r1, r0),
-                     (c[0], r0, c[3]), (c[1], c[2], r1)]
+                tris += [(c[0], r0, r1), (c[0], r1, c[3]),
+                         (c[1], c[2], r1), (c[1], r1, r0),
+                         (c[0], c[1], r0), (c[3], r1, c[2])]
         else:   # hipped
             if (x1 - x0) >= (z1 - z0):
-                inset = (x1 - x0) * 0.25
-                r0 = np.array([x0 + inset, y1, cz])
-                r1 = np.array([x1 - inset, y1, cz])
+                r0 = np.array([x0 * 0.7 + x1 * 0.3, y1, cz])
+                r1 = np.array([x0 * 0.3 + x1 * 0.7, y1, cz])
             else:
-                inset = (z1 - z0) * 0.25
-                r0 = np.array([cx, y1, z0 + inset])
-                r1 = np.array([cx, y1, z1 - inset])
-            tris += [(c[0], c[1], r1), (c[0], r1, r0),
-                     (c[3], c[2], r1), (c[3], r1, r0),
-                     (c[0], r0, c[3]), (c[1], c[2], r1)]
-        v = np.asarray([p for tri in tris for p in tri], np.float32)
-        f = np.arange(len(v), dtype=np.uint32).reshape(-1, 3)
-        return v, f
+                r0 = np.array([cx, y1, z0 * 0.7 + z1 * 0.3])
+                r1 = np.array([cx, y1, z0 * 0.3 + z1 * 0.7])
+            tris += [(c[0], c[1], r0), (c[1], c[2], r1),
+                     (c[2], c[3], r1), (c[3], c[0], r0),
+                     (r0, c[1], r1), (r0, r1, c[3])]
+        return tris
 
     def _composite_mesh(self, plan, mesh, color, rgba, depth, opacity=1.0):
         """Trace the mesh with the render camera; lambert-shade and

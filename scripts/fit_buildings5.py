@@ -1,39 +1,47 @@
-#!/usr/bin/env python3
-"""Stage-5: long joint fit (camera+fov+shading), all four buildings."""
-import math, os, sys
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+import sys, math, copy
+from pathlib import Path
 import numpy as np
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import tests.test_reference_golden_parity as P
+from forge3d_tpu.mapscene import MapScene, camera_basis
 from forge3d_tpu.io.image import png_to_numpy, numpy_to_png
-from forge3d_tpu.utils.metrics import ssim
-import test_reference_golden_parity as harness
-from forge3d_tpu.mapscene import MapScene
 
-gold = png_to_numpy(harness.REF_GOLDENS/"mapscene_buildings.png").astype(np.float32)[...,:3]/255.0
-rec = harness._recipes()["mapscene_buildings"]
-scene = MapScene(rec)
-def render(cam):
-    MapScene._BUILDING_CAMERA = cam
-    return scene.render().rgba[...,:3].astype(np.float32)/255.0
-cam0 = {'distance': 3.302, 'elevation_deg': 26.68, 'az_offset_deg': -70.67,
-        'target': (-0.182, -0.098, -0.001), 'fov_axis': 'y',
-        'shade': (0.174, 0.0), 'shade_space': 'srgb', 'fov_deg': 45.0}
-s0 = float(ssim(gold, render(cam0)))
-print("start", s0)
-rng = np.random.default_rng(7)
-sc = dict(d=0.2, el=5.0, azo=8.0, t=0.08, amb=0.04, dif=0.06, fov=6.0)
-for it in range(600):
-    cam = dict(cam0)
-    cam["distance"]=max(0.3,cam0["distance"]+rng.normal(0,sc["d"]))
-    cam["elevation_deg"]=cam0["elevation_deg"]+rng.normal(0,sc["el"])
-    cam["az_offset_deg"]=cam0["az_offset_deg"]+rng.normal(0,sc["azo"])
-    cam["fov_deg"]=min(120,max(15,cam0.get("fov_deg",45.0)+rng.normal(0,sc["fov"])))
-    t=[v+rng.normal(0,sc["t"]) for v in cam0["target"]]; cam["target"]=tuple(t)
-    sh=list(cam0["shade"]); sh[0]=max(0,sh[0]+rng.normal(0,sc["amb"])); sh[1]=max(0,sh[1]+rng.normal(0,sc["dif"])); cam["shade"]=tuple(sh)
-    if rng.random()<0.15: cam["shade_space"]="linear" if cam0["shade_space"]=="srgb" else "srgb"
-    s=float(ssim(gold,render(cam)))
-    if s>s0:
-        s0,cam0=s,cam; print(f"it {it}: {s0:.4f}")
-        for k in sc: sc[k]*=0.96
-print("FINAL", s0); print(cam0)
+rec = P._recipes()["mapscene_buildings"]
+ms = MapScene(rec)
+plan = ms.compile_plan()
+rec2 = copy.deepcopy(rec); rec2.layers = []
+base = MapScene(rec2).render().rgba.copy()
+ref = png_to_numpy(P.REF_GOLDENS / "mapscene_buildings.png").astype(np.float32)[..., :3]
+gold_mask = (np.abs(ref - base[..., :3].astype(np.float32)).max(-1) > 20)
+
+layer0 = rec.layers[0]
+fps = [np.asarray(fp, np.float64) for fp in layer0.footprints]
+allp = np.concatenate(fps); mn = allp.min(0); mx = allp.max(0)
+
+def variant(mx_flip, my_flip, swap=False):
+    out = []
+    for fp in fps:
+        f = fp.copy()
+        if mx_flip: f[:,0] = mn[0]+mx[0]-f[:,0]
+        if my_flip: f[:,1] = mn[1]+mx[1]-f[:,1]
+        if swap: f = f[:, ::-1].copy()
+        out.append(f)
+    l = copy.copy(layer0); l.footprints = out
+    return l
+
+def iou_and_ssim(l):
+    rgba = base.copy()
+    ms._composite_buildings_ref(plan, [l], rgba)
+    m = np.abs(rgba[..., :3].astype(np.float32) - base[..., :3].astype(np.float32)).max(-1) > 20
+    inter = (m & gold_mask).sum(); union = (m | gold_mask).sum()
+    from forge3d_tpu.utils.metrics import ssim
+    s = float(ssim(ref/255.0, rgba[..., :3].astype(np.float32)/255.0))
+    return inter/max(union,1), s, rgba
+
+for name, l in [("orig", variant(0,0)), ("fx", variant(1,0)), ("fy", variant(0,1)),
+                ("fxy", variant(1,1)), ("swap", variant(0,0,True)),
+                ("swap_fx", variant(1,0,True)), ("swap_fy", variant(0,1,True)),
+                ("swap_fxy", variant(1,1,True))]:
+    i, s, r = iou_and_ssim(l)
+    print(f"{name}: iou {i:.3f} ssim {s:.4f}")
+    numpy_to_png(f"/tmp/bldv_{name}.png", np.repeat(np.repeat(np.concatenate([ref.astype(np.uint8), r[...,:3]],1),3,0),3,1))
