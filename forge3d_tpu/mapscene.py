@@ -914,7 +914,24 @@ class MapScene:
                 bh = np.clip((t01 * (hb - 1)).round().astype(int), 0, hb - 1)
                 bs = min(max(int(round(abs(float(n[2])) * (sb - 1))), 0),
                          sb - 1)
-                rgb = lut2d[bh, bs] * 255.0
+                if lut2d.ndim == 4:
+                    # third axis: signed facet lambert vs the preset sun
+                    # (aspect-dependent material/lighting of the
+                    # terrain_pbr_pom clipmap branch folded into the LUT)
+                    nb = lut2d.shape[2]
+                    ndl = float(np.clip(n @ lvec, -1.0, 1.0))
+                    bn = min(max(int(round((ndl + 1) * 0.5 * (nb - 1))),
+                                 0), nb - 1)
+                    rgb = lut2d[bh, bs, bn] * 255.0
+                else:
+                    bn = 0
+                    rgb = lut2d[bh, bs] * 255.0
+                cap = getattr(self, "_CLIPMAP_CAPTURE", None)
+                if cap is not None:
+                    region = cap[ymin:ymax, xmin:xmax]
+                    region[nearer, 0] = bh[nearer]
+                    region[nearer, 1] = bs
+                    region[nearer, 2] = bn
             else:
                 idx = np.clip(t01 * (len(lut) - 1), 0, len(lut) - 1)
                 i0 = idx.astype(np.int32)
@@ -979,8 +996,12 @@ class MapScene:
         if cached is None:
             import pathlib
 
-            path = (pathlib.Path(__file__).parent / "assets"
-                    / "clipmap_lut.npz")
+            base = pathlib.Path(__file__).parent / "assets"
+            # prefer the 3-axis table (height x slope x signed-ndotl,
+            # scripts/fit_clipmap_lut4.py); fall back to the 2-axis one
+            path = base / "clipmap_lut3.npz"
+            if not path.exists():
+                path = base / "clipmap_lut.npz"
             prof = {"sampling": "nearest", "gain": 1.0, "bg": (25, 25, 38)}
             if path.exists():
                 z = np.load(path)
