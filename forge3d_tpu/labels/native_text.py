@@ -24,6 +24,9 @@ from .font import FontFace, ShapedText, _face, _flatten_contours, shape
 _BAKE_SIZE = 24.0
 _PX_RANGE = 6.0
 _PADDING = 3
+#: default edge smoothing (text_overlay.wgsl U.smoothing); module-level so
+#: the recipe-parity fit can calibrate the effective fwidth ramp
+_SMOOTHING = 0.6  # calibrated on the four label recipe goldens
 
 
 @lru_cache(maxsize=512)
@@ -83,7 +86,7 @@ def draw_native_label(image: np.ndarray, text: str,
                       bake_size: Optional[float] = None,
                       px_range: float = _PX_RANGE,
                       padding: int = _PADDING,
-                      smoothing: float = 1.0,
+                      smoothing: Optional[float] = None,
                       font_chain: Optional[Sequence[str]] = None) -> None:
     """Draw one label with the native-overlay shader semantics. `anchor`
     is the baseline pen origin (the reference's label anchor). `color` /
@@ -100,6 +103,8 @@ def draw_native_label(image: np.ndarray, text: str,
     if hal.size == 3:
         hal = np.append(hal, 1.0)
     # fwidth of normalized sdf per screen px
+    if smoothing is None:
+        smoothing = _SMOOTHING
     fw = (bake / max(float(font_size), 1e-6)) / px_range
     edge = max(fw * max(smoothing, 0.1), 1e-6)
     halo_distance = max(float(halo_width_px), 0.0) * edge

@@ -51,6 +51,11 @@ def _smoothstep(e0, e1, x):
 #: text (tuned against the reference label recipe goldens)
 FILL_BIAS = 0.45
 
+#: smoothstep half-ramp in pixels around the glyph edge; the reference's
+#: MSDF pass uses a sub-pixel fwidth ramp (text_overlay.wgsl), tuned
+#: against the label recipe goldens
+AA_RAMP = 0.6
+
 
 def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
                    atlas: Optional[GlyphAtlas] = None, size: Optional[float] = None,
@@ -125,7 +130,7 @@ def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
         v = entry.y - (py - ly) / scale
         sdf = _sample_sdf(atlas.image, u, v, -atlas.sdf_range)
         sdf_px = sdf * scale  # distances scale with the glyph
-        aa = 0.6
+        aa = AA_RAMP
         fill_cov = _smoothstep(-aa, aa, sdf_px - FILL_BIAS) * opacity
         region = target[y_min:y_max + 1, x_min:x_max + 1].astype(np.float32) / 255.0
         if halo_width > 0:
