@@ -345,9 +345,14 @@ class SceneRecipe:
     #: deterministic sinusoid field (map_scene.py:811-845)
     clouds: Optional[dict] = None
     #: screen-space reflection intensity for water scenes (reference
-    #: lighting_settings["screen_space"]["ssr"]); paints a mirrored
-    #: reflection band on the terrain below the waterline
+    #: lighting_settings["screen_space"]["ssr"]); shorthand for
+    #: screen_space={"ssr": {"enabled": True, "intensity": ...}}
     ssr_intensity: float = 0.0
+    #: reference screen-space postfx settings dict
+    #: (lighting_settings["screen_space"]): keys "ssao"/"ssgi"/"ssr"/
+    #: "taa", each {"enabled", "intensity"[, "radius"]}
+    #: (map_scene.py:884-951 _apply_mapscene_screen_space)
+    screen_space: Optional[dict] = None
     #: "colormap" shades the height colormap; "material" shades a flat
     #: material albedo (the reference's path when a recipe carries
     #: explicit lighting settings: MaterialSet.terrain_default(), no
@@ -691,7 +696,6 @@ class MapScene:
         # screen_space_reflection goldens: a left-dark horizontal ramp
         # wall block one quarter-frame tall under the water, and for SSR
         # a two-tone gray reflection block over its lower half)
-        ssr = float(getattr(r, "ssr_intensity", 0.0))
         if wmask_shifted is not None and wmask_shifted.any() \
                 and getattr(r, "albedo_mode", "colormap") == "material":
             rows = np.nonzero(wmask_shifted.any(axis=1))[0]
@@ -711,24 +715,6 @@ class MapScene:
                 if yr >= H:
                     break
                 rgb[yr] = np.where(sel[:, None], wall, rgb[yr])
-            if ssr > 0:
-                g0 = np.array([89, 97, 96], np.float32)
-                g1 = np.array([108, 114, 112], np.float32)
-                gray = g0[None, :] + (g1 - g0)[None, :] * ramp[:, None]
-                flat = np.array([115, 124, 122], np.float32)
-                sel_r = (xs_r >= xl) & (xs_r < xl + 0.39 * W)
-                for dy in range(1, block_h + 7):
-                    yr = wb + dy
-                    if yr >= H:
-                        break
-                    if dy > block_h * 0.2 and dy <= block_h:
-                        rgb[yr] = np.where(sel_r[:, None],
-                                           rgb[yr] * (1 - ssr)
-                                           + gray * ssr, rgb[yr])
-                    elif dy > block_h:
-                        rgb[yr] = np.where(sel_r[:, None],
-                                           rgb[yr] * (1 - ssr)
-                                           + flat * ssr, rgb[yr])
 
         # deterministic cloud shadows (reference formula,
         # map_scene.py:823-837)
@@ -1240,6 +1226,64 @@ class MapScene:
             bases = self._terrain_height(plan, np.asarray(cents))
         return extrude_footprints(layer.footprints, layer.heights,
                                   bases=bases)
+
+    def _apply_screen_space_ref(self, rgba):
+        """The reference MapScene screen-space postfx, behavior-exact
+        (map_scene.py:884-951 _apply_mapscene_screen_space): numpy
+        SSAO/SSGI/SSR over the composed frame driven by the DEM.
+        SSAO: occlusion from inverted height + slope; SSGI: warm bounce
+        on low-slope high ground; SSR: vertical-flip reflection blended
+        by water mask x fresnel ramp."""
+        ss = dict(getattr(self.recipe, "screen_space", None) or {})
+        ssr_short = float(getattr(self.recipe, "ssr_intensity", 0.0))
+        if ssr_short > 0 and "ssr" not in ss:
+            ss["ssr"] = {"enabled": True, "intensity": ssr_short}
+        if not any((ss.get(k) or {}).get("enabled")
+                   for k in ("ssao", "ssgi", "ssr")):
+            return
+        dem = np.asarray(self.recipe.terrain.dem, np.float32)
+        H, W = rgba.shape[:2]
+        rgb = rgba[..., :3].astype(np.float32)
+        yy = np.linspace(0, dem.shape[0] - 1, H).astype(np.int32)
+        xx = np.linspace(0, dem.shape[1] - 1, W).astype(np.int32)
+        sampled = dem[np.ix_(yy, xx)]
+        span = max(float(sampled.max() - sampled.min()), 1e-6)
+        hn = (sampled - float(sampled.min())) / span
+        ssao = ss.get("ssao") or {}
+        gy, gx = np.gradient(hn)
+        slope = np.clip(np.hypot(gx, gy)
+                        * max(1.0, float(ssao.get("radius", 1.0))), 0.0, 1.0)
+        if ssao.get("enabled"):
+            occ = np.clip((1.0 - hn) * 0.55 + slope * 0.45, 0.0, 1.0)
+            ao = 1.0 - occ * min(0.55,
+                                 0.22 * float(ssao.get("intensity", 1.0)))
+            rgb *= ao[..., None]
+        ssgi = ss.get("ssgi") or {}
+        if ssgi.get("enabled"):
+            bounce = (1.0 - slope) * hn
+            warm = np.array([1.035, 1.025, 0.985], np.float32)
+            rgb = rgb * (1.0 + bounce[..., None]
+                         * min(0.18, 0.06 * float(ssgi.get("intensity", 1.0)))
+                         * warm)
+        ssr = ss.get("ssr") or {}
+        if ssr.get("enabled"):
+            wl = getattr(self.recipe, "water_level", None)
+            if wl is not None:
+                # auto water mask: low AND flat DEM cells (reference
+                # gis.derive_water_mask; recipe slope_threshold 1.0)
+                dgy, dgx = np.gradient(dem)
+                m = ((dem <= float(wl))
+                     & (np.hypot(dgx, dgy)
+                        <= float(ssr.get("slope_threshold", 1.0))))
+                sm = np.clip(m.astype(np.float32)[np.ix_(yy, xx)], 0.0, 1.0)
+            else:
+                sm = np.clip(1.0 - hn * 8.0, 0.0, 1.0)
+            reflected = np.flip(rgb, axis=0)
+            fresnel = np.linspace(0.25, 0.95, H, dtype=np.float32)[:, None]
+            mix = sm * fresnel * min(0.60,
+                                     0.32 * float(ssr.get("intensity", 1.0)))
+            rgb = rgb * (1.0 - mix[..., None]) + reflected * mix[..., None]
+        rgba[..., :3] = np.clip(rgb, 0.0, 255.0).astype(np.uint8)
 
     # -- reference-parity building composite (screen mode) -----------------
     #
@@ -2075,6 +2119,10 @@ class MapScene:
                     pts = self._project(plan, layer.coordinates, layer.height_offset)
                     vs.add_points(pts, color=layer.color, size=layer.width,
                                   opacity=layer.opacity)
+        # screen-space postfx after solid content, before labels/vectors
+        # (reference composite order, map_scene.py:3241-3245)
+        self._apply_screen_space_ref(rgba)
+
         if vs.layers:
             rgb, alpha, _ = vs.render(W, H, base_rgb=rgba[..., :3].astype(np.float32) / 255.0)
             rgba[..., :3] = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)

@@ -350,16 +350,25 @@ def _recipes():
     tex[..., 3] = 255
     tex[::2, :, 2] = 220
     tex[:, ::2, 0] = 245
-    out["mapscene_textured_gltf_landmark"] = _base_recipe(
+    rec = _base_recipe(
         width=128, height=88,
         layers=[RasterOverlayLayer(image=tex,
                                    screen_rect=(0.34, 0.16, 0.68, 0.70))])
+    rec.screen_space = {
+        "ssao": {"enabled": True, "radius": 1.8, "intensity": 0.65}}
+    out["mapscene_textured_gltf_landmark"] = rec
     # screen-space contact: the buildings scene under the outdoor_sun
     # preset + SSAO (desaturated gray base)
     import copy as _copy
 
     rec = _copy.deepcopy(out["mapscene_buildings"])
     rec.base_filter = "ssao_gray"
+    # exact reference postfx on top (map_scene.py:884-951; recipe
+    # settings from test_recipe_goldens.py:622-636)
+    rec.screen_space = {
+        "ssao": {"enabled": True, "radius": 2.6, "intensity": 1.35},
+        "ssgi": {"enabled": True, "intensity": 0.45},
+    }
     out["mapscene_screen_space_contact"] = rec
     # material maps: dark detail-material exposure over the base
     rec = _base_recipe(width=128, height=80)
