@@ -50,10 +50,15 @@ def test_ssr_band_paints_below_waterline():
     diff = np.abs(ssr[..., :3].astype(int) - base[..., :3].astype(int))
     rows_changed = np.nonzero(diff.sum(axis=(1, 2)))[0]
     assert rows_changed.size > 0
-    # the reflection band sits strictly below the waterline rows
+    # the flip+fresnel reflection (reference _apply_mapscene_screen_space)
+    # only blends where the water mask is set, and the fresnel ramp makes
+    # lower rows change more than upper rows
     water_rows = np.nonzero(
         (base[..., 2] > base[..., 0] + 40).any(axis=1))[0]
-    assert rows_changed.min() > water_rows.max()
+    assert rows_changed.min() >= water_rows.min()
+    per_row = diff.sum(axis=(1, 2)).astype(float)
+    lo_half = per_row[water_rows.min():].reshape(-1)
+    assert lo_half[-len(lo_half) // 3:].mean() >= lo_half[:len(lo_half) // 3].mean()
 
 
 def test_material_mode_flat_ground_shows_material_color():
