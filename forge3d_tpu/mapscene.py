@@ -705,7 +705,12 @@ class MapScene:
             xr = int(W - np.argmax(cols_water[::-1]))
             block_h = max(int(round(H * 0.25)), 1)
             xs_r = np.arange(W, dtype=np.float32)
-            ramp = np.clip((xs_r - xl) / max(0.46 * W, 1.0), 0.0, 1.0)
+            # the reference band is DEM-texel-quantized (per-texel flat
+            # normals in the wall shading; measured 2-texel blocks on the
+            # auto_water golden) — evaluate the ramp at block centers
+            bw = max(int(round(W / max(w, 1))) * 2, 1)
+            xs_q = np.floor(xs_r / bw) * bw + bw * 0.5
+            ramp = np.clip((xs_q - xl) / max(0.46 * W, 1.0), 0.0, 1.0)
             c0 = np.array([88, 77, 69], np.float32)
             c1 = np.array([125, 111, 101], np.float32)
             wall = c0[None, :] + (c1 - c0)[None, :] * ramp[:, None]

@@ -539,13 +539,35 @@ def render_terrain_sweep_sequence(desc: TerrainRefDesc,
                                       shadow_eps, expo,
                                       jnp.uint32(int(s) & 0xFFFFFFFF),
                                       n_batches, BATCH) for s in seeds]
+        # pipeline the host side too: the rgba decode of frame k (pure
+        # numpy, GIL-releasing ufuncs) runs on a worker thread while
+        # frame k+1's device->host transfer blocks this thread — at
+        # 1080p the decode is ~0.25 s/frame of otherwise-serial time
+        from concurrent.futures import ThreadPoolExecutor
+
+        # start all device->host copies as soon as each render finishes
+        # (standard JAX async D2H; overlaps the tunnel transfer of frame
+        # k with device compute of frame k+1 where the runtime supports
+        # it — np.asarray below then finds the bytes already staged)
+        for p in packed:
+            try:
+                p.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                break
+
         outs = []
-        for buf in packed:
-            out = _unpack_render(desc, np.asarray(buf), n_total)
-            mm = tracker.metrics()
-            out["peak_host_visible_bytes"] = int(mm["peak_tracked_bytes"])
-            out["gpu_resource_bytes"] = int(rot_bytes + polar_bytes)
-            outs.append(out)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            decodes = []
+            for buf in packed:
+                out = _unpack_render(desc, np.asarray(buf), n_total)
+                mm = tracker.metrics()
+                out["peak_host_visible_bytes"] = int(
+                    mm["peak_tracked_bytes"])
+                out["gpu_resource_bytes"] = int(rot_bytes + polar_bytes)
+                decodes.append(ex.submit(out.__getitem__, "rgba"))
+                outs.append(out)
+            for d in decodes:
+                d.result()
         return outs
     finally:
         for rid in rids:
@@ -558,65 +580,117 @@ def _unpack_render(desc: TerrainRefDesc, buf: np.ndarray, n_frames: int,
 
     Layout per pixel (see resolve_impl): vis u8, normal oct-u8x2,
     depth f16 (bit-cast), HDR Radiance RGBE u8x4.
-    """
+
+    Decoding is LAZY per output: at 1080p the full decode costs ~0.8 s of
+    host numpy per render while most consumers only read "rgba", so each
+    derived image is computed on first access (bit-identical math to the
+    eager version — the op order is unchanged)."""
     W, H = desc.width, desc.height
     hw = H * W
-    off = 0
+    vis_u8 = buf[:hw].reshape(H, W)
+    oct_u8 = buf[hw:hw * 3].reshape(H, W, 2)
+    depth_raw = buf[hw * 3:hw * 5]
+    rgbe = buf[hw * 5:hw * 9].reshape(H, W, 4)
 
-    def take(n):
-        nonlocal off
-        out = buf[off:off + n]
-        off += n
-        return out
+    class _LazyRender(dict):
+        """Render dict with on-demand AOV decoding."""
 
-    vis_u8 = take(hw).reshape(H, W)
-    oct_u8 = take(hw * 2).reshape(H, W, 2)
-    depth = take(hw * 2).copy().view(np.float16).astype(
-        np.float32).reshape(H, W)
-    rgbe = take(hw * 4).reshape(H, W, 4)
-    exp = rgbe[..., 3].astype(np.int32)
-    hscale = np.ldexp(1.0, exp - 136).astype(np.float32)   # 2^(e-128)/256
-    hdr = np.where(exp[..., None] > 0,
-                   (rgbe[..., :3].astype(np.float32) + 0.5)
-                   * hscale[..., None],
-                   0.0).astype(np.float32)
+        _LAZY = ("rgba", "hdr", "depth", "normal", "albedo")
 
-    # beauty: host tonemap of the shipped HDR (same Reinhard the device
-    # applied before the packing change; within 1 u8 step)
-    xexp = hdr * float(desc.exposure)
-    ldr = (xexp / (1.0 + xexp)).astype(np.float16).astype(np.float32)
-    rgb_u8 = np.clip(ldr * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    rgba = np.concatenate([rgb_u8,
-                           np.full((H, W, 1), 255, np.uint8)], axis=-1)
+        def __init__(self):
+            super().__init__()
+            self._hdr_cache = None
 
-    hitm = vis_u8 >= 128
-    # octahedral decode (y primary)
-    f = oct_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
-    ny = 1.0 - np.abs(f[..., 0]) - np.abs(f[..., 1])
-    t_fold = np.clip(-ny, 0.0, 1.0)
-    nx = f[..., 0] + np.where(f[..., 0] >= 0, -t_fold, t_fold)
-    nz = f[..., 1] + np.where(f[..., 1] >= 0, -t_fold, t_fold)
-    nvec = np.stack([nx, ny, nz], axis=-1)
-    nlen = np.linalg.norm(nvec, axis=-1, keepdims=True)
-    normal = np.where(hitm[..., None], nvec / np.maximum(nlen, 1e-9),
-                      0.0).astype(np.float32)
-    albedo_img = np.where(
-        hitm[..., None], np.asarray(desc.albedo, np.float32), 0.0
-    ).astype(np.float32)
-    out = {
-        "rgba": rgba,
-        "albedo": albedo_img,
-        "normal": normal,
-        "depth": depth,
+        def _hdr_img(self):
+            if self._hdr_cache is None:
+                exp = rgbe[..., 3].astype(np.int32)
+                hscale = np.ldexp(1.0, exp - 136).astype(np.float32)
+                self._hdr_cache = np.where(
+                    exp[..., None] > 0,
+                    (rgbe[..., :3].astype(np.float32) + 0.5)
+                    * hscale[..., None],
+                    0.0).astype(np.float32)
+            return self._hdr_cache
+
+        def __missing__(self, key):
+            if key == "hdr":
+                val = self._hdr_img()
+            elif key == "rgba":
+                # host tonemap of the shipped HDR (same Reinhard the
+                # device applied before the packing change; within 1 u8
+                # step)
+                xexp = self._hdr_img() * float(desc.exposure)
+                ldr = (xexp / (1.0 + xexp)).astype(np.float16).astype(
+                    np.float32)
+                rgb_u8 = np.clip(ldr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                val = np.concatenate(
+                    [rgb_u8, np.full((H, W, 1), 255, np.uint8)], axis=-1)
+            elif key == "depth":
+                val = depth_raw.copy().view(np.float16).astype(
+                    np.float32).reshape(H, W)
+            elif key == "normal":
+                hitm = vis_u8 >= 128
+                # octahedral decode (y primary)
+                f = oct_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+                ny = 1.0 - np.abs(f[..., 0]) - np.abs(f[..., 1])
+                t_fold = np.clip(-ny, 0.0, 1.0)
+                nx = f[..., 0] + np.where(f[..., 0] >= 0, -t_fold, t_fold)
+                nz = f[..., 1] + np.where(f[..., 1] >= 0, -t_fold, t_fold)
+                nvec = np.stack([nx, ny, nz], axis=-1)
+                nlen = np.linalg.norm(nvec, axis=-1, keepdims=True)
+                val = np.where(hitm[..., None],
+                               nvec / np.maximum(nlen, 1e-9),
+                               0.0).astype(np.float32)
+            elif key == "albedo":
+                hitm = vis_u8 >= 128
+                val = np.where(hitm[..., None],
+                               np.asarray(desc.albedo, np.float32),
+                               0.0).astype(np.float32)
+            else:
+                raise KeyError(key)
+            self[key] = val
+            return val
+
+        def _force(self):
+            for k in self._LAZY:
+                self[k]
+
+        # keep dict iteration honest about the lazy keys
+        def keys(self):  # noqa: D102
+            self._force()
+            return super().keys()
+
+        def items(self):  # noqa: D102
+            self._force()
+            return super().items()
+
+        def values(self):  # noqa: D102
+            self._force()
+            return super().values()
+
+        def __iter__(self):
+            self._force()
+            return super().__iter__()
+
+        def __contains__(self, key):
+            return key in self._LAZY or super().__contains__(key)
+
+        def get(self, key, default=None):  # noqa: D102
+            try:
+                return self[key]
+            except KeyError:
+                return default
+
+    out = _LazyRender()
+    out.update({
         "frames": n_frames,
         "variance": 0.0,
         "converged": True,
         "peak_host_visible_bytes": 0,
         "minmax_pyramid_bytes": 0,
         "gpu_resource_bytes": 0,
-        "hdr": hdr,
         "method": "sweep",
-    }
+    })
     if extra:
         out.update(extra)
     return out
