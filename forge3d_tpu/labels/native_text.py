@@ -26,7 +26,8 @@ _PX_RANGE = 6.0
 _PADDING = 3
 #: default edge smoothing (text_overlay.wgsl U.smoothing); module-level so
 #: the recipe-parity fit can calibrate the effective fwidth ramp
-_SMOOTHING = 0.6  # calibrated on the four label recipe goldens
+_SMOOTHING = 0.72  # calibrated on the four label recipe goldens
+
 
 
 @lru_cache(maxsize=512)

@@ -272,7 +272,10 @@ class LabelLayer:
     #        "size": px, "priority": float, "color": rgba,
     #        "halo_color": rgba, "halo_width": px,
     #        "depth": float01 (vs depth_image occlusion)}
-    size_px: float = 13.0
+    #: default label text size — the reference's MapScene native label
+    #: pass default (map_scene.py:2411-2416: "Keep MapScene's default at
+    #: 12 px")
+    size_px: float = 12.0
     color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     halo_color: Tuple[float, float, float, float] = (0.04, 0.05, 0.06, 0.9)
     halo_width: float = 2.0

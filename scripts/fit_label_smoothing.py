@@ -14,7 +14,7 @@ recipes = P._recipes()
 refs = {i: png_to_numpy(P.REF_GOLDENS/f"{i}.png").astype(np.float32)[...,:3]/255.0 for i in IDS}
 def scores():
     return {i: float(ssim(refs[i], MapScene(recipes[i]).render().rgba[...,:3].astype(np.float32)/255.0)) for i in IDS}
-for sm in (0.55, 0.6, 0.65, 0.7, 0.75):
+for sm in (0.8, 0.9, 1.0, 1.1):
     NT._SMOOTHING = sm
     s = scores()
     print(f"smoothing={sm}: mean {round(sum(s.values())/4,4)} {[round(v,4) for v in s.values()]}", flush=True)
