@@ -257,6 +257,13 @@ class Tiles3DLayer:
     #: "edl" darkens isolated splats like the reference's eye-dome
     #: lighting pass; "color" uses the per-point colors directly
     shading: str = "color"
+    #: explicit projection camera (reference Tiles3DLayer metadata
+    #: "camera_position"/"camera_target"/"fov_y_deg",
+    #: map_scene.py:1899-1925); defaults to the span-derived orbit when
+    #: unset
+    camera_position: Optional[Tuple[float, float, float]] = None
+    camera_target: Optional[Tuple[float, float, float]] = None
+    fov_y_deg: float = 45.0
     name: str = ""
 
 
@@ -1959,16 +1966,29 @@ class MapScene:
                         hi3 = world.max(axis=0)
                         anchor = (lo3 + hi3) * 0.5
                         span = max(float((hi3 - lo3).max()), 1.0)
-                        eye = anchor + np.array([span * 1.5, span * 1.2,
-                                                 span * 1.5])
-                        fwd = anchor - eye
+                        # explicit camera metadata wins (reference
+                        # _project_tiles3d_perspective:1899-1902)
+                        tgt = (np.asarray(layer.camera_target, np.float64)
+                               if layer.camera_target is not None
+                               else anchor)
+                        if layer.camera_position is not None:
+                            eye = np.asarray(layer.camera_position,
+                                             np.float64)
+                        else:
+                            eye = anchor + np.array([span * 1.5,
+                                                     span * 1.2,
+                                                     span * 1.5])
+                        fwd = tgt - eye
                         fwd /= np.linalg.norm(fwd)
                         rgt = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+                        if np.linalg.norm(rgt) <= 1e-12:
+                            rgt = np.cross(fwd, np.array([0.0, 0.0, 1.0]))
                         rgt /= max(np.linalg.norm(rgt), 1e-12)
                         upv = np.cross(rgt, fwd)
                         rel = world - eye
                         cz = rel @ fwd
-                        focal = 1.0 / math.tan(math.radians(45.0) * 0.5)
+                        focal = 1.0 / math.tan(
+                            math.radians(float(layer.fov_y_deg)) * 0.5)
                         aspect = W / max(H, 1)
                         ok = cz > 1e-6
                         safe = np.where(ok, cz, 1.0)
@@ -1983,9 +2003,10 @@ class MapScene:
                                            np.float32)
                         from .screen_compose import draw_disc
 
-                        r = max(float(layer.point_size) * 0.2, 1.0)
+                        r = max(float(layer.point_size) * 0.3, 1.0)
                         for k in np.nonzero(ok)[0]:
-                            draw_disc(rgba, float(px[k]), float(py[k]),
+                            draw_disc(rgba, float(px[k]) - 0.5,
+                                      float(py[k]) - 0.5,
                                       (int(cols[k][0] * 255),
                                        int(cols[k][1] * 255),
                                        int(cols[k][2] * 255), 255), r)

@@ -456,10 +456,18 @@ def render_terrain_sweep(desc: TerrainRefDesc, frames: int | None = None,
         n_batches = max((n_frames + batch_max - 1) // batch_max, 1)
         BATCH = (n_frames + n_batches - 1) // n_batches
         n_frames = n_batches * BATCH
-        packed = render_all(jnp.asarray(heights), env, lc, albedo,
-                            shadow_eps, jnp.asarray(desc.exposure, _F32),
-                            jnp.uint32(desc.seed & 0xFFFFFFFF),
-                            n_batches, BATCH)
+        # single renders run through the SAME two programs the sequence
+        # path uses (rotate_only + from_rot, bit-identical to the fused
+        # render_all) so one warm render compiles everything a sequence
+        # needs — no second multi-minute XLA compile on the first
+        # sequence call (bench.py's warmup relies on this)
+        hj = jnp.asarray(heights)
+        h_rot, _valid, du, dv = render_all.rotate_only(hj)
+        packed = render_all.from_rot(hj, h_rot, du, dv, env, lc, albedo,
+                                     shadow_eps,
+                                     jnp.asarray(desc.exposure, _F32),
+                                     jnp.uint32(desc.seed & 0xFFFFFFFF),
+                                     n_batches, BATCH)
 
         # the sweep estimator's per-frame noise is already sub-spp-64;
         # tests gate converged SSIM against the per-ray reference instead

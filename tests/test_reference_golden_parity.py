@@ -319,7 +319,10 @@ def _recipes():
     out["mapscene_tiles3d_points"] = _base_recipe(width=128, height=80,
                                                   layers=[
         Tiles3DLayer(positions=pnts_pos, bounds=(0.0, 0.0, 10.0, 8.0),
-                     point_size=5, shading="edl")])
+                     point_size=5, shading="edl",
+                     # reference recipe metadata camera
+                     # (test_recipe_goldens.py:841)
+                     camera_position=(5.0, 4.0, 25.0))])
     # screen-space reflection over the auto-water basin
     rec = _base_recipe(width=128, height=80)
     rec.terrain = TerrainSource(dem=water_dem, spacing=(1.0, 1.0),
