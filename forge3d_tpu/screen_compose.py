@@ -314,14 +314,15 @@ def draw_polygon_fill(image: np.ndarray, points_or_rings,
 
 
 # ---------------------------------------------------------------------------
-# pre-tonemap (linear-scene) fills
+# premultiplied polygon fills
 #
-# The reference renders polygon fills INTO the linear scene framebuffer
-# before the reinhard+gamma resolve (measured on the choropleth golden:
-# out = gamma(reinhard(fill_srgb^2.2 * a + scene_linear * (1-a))), fill
-# alpha = fill-opacity), while line strokes draw post-tonemap in raw
-# sRGB. blend_region_linear reproduces that math over the already
-# tonemapped base.
+# The reference's native fill pass feeds PREMULTIPLIED paint (rgb *
+# fill-opacity) through source-over blending, so a full-coverage fill
+# lands as out = c*a^2 + b*(1-a) in display space. Measured exactly on
+# the mapscene_thematic_choropleth golden: all four class fills match
+# within ~2/255 under this model (the previous linear-reinhard model
+# erred by up to 16/255 on the mid greens). Line strokes draw
+# straight-alpha raw sRGB.
 # ---------------------------------------------------------------------------
 
 def blend_region_linear(image: np.ndarray, cov: np.ndarray,
@@ -331,11 +332,8 @@ def blend_region_linear(image: np.ndarray, cov: np.ndarray,
         return
     a = (cov * float(alpha))[..., None]
     dst = image[..., :3].astype(np.float32) / 255.0
-    dst_tm = np.clip(dst ** 2.2, 0.0, 0.999)
-    dst_lin = dst_tm / (1.0 - dst_tm)           # invert reinhard
-    fill_lin = np.asarray(color01, np.float32)[None, None, :3] ** 2.2
-    out_lin = fill_lin * a + dst_lin * (1.0 - a)
-    out = (out_lin / (1.0 + out_lin)) ** (1.0 / 2.2)
+    src = np.asarray(color01, np.float32)[None, None, :3] * float(alpha)
+    out = src * cov[..., None] * float(alpha) + dst * (1.0 - a)
     image[..., :3] = np.clip(out * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
