@@ -28,9 +28,15 @@
 # 0.186 Msamples/s/chip on this same scene).
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 BASELINE_MSPS_PER_CHIP = (1920 * 1080 * 256) / 8 / 1e6  # 66.355
 SPP_EQUIV = 64
@@ -56,8 +62,10 @@ def main():
     # warmup (compile; cached pipeline makes later renders steady-state;
     # the second warmup absorbs tunnel claim jitter after first compile)
     for s in (7, 8):
+        t0 = time.perf_counter()
         f3d.hybrid_render_terrain_reference(dem, W, H, cam, spp=2, seed=s,
                                             traversal="sweep")
+        _note(f"warmup seed {s}: {time.perf_counter() - t0:.1f}s")
     # steady-state sequence throughput: a production render job (an
     # animation / batch of converged frames) dispatches renders ahead of
     # readback, so device compute overlaps the host transfer. Measured as
@@ -71,6 +79,7 @@ def main():
         outs = f3d.hybrid_render_terrain_sequence(
             dem, W, H, cam, seeds=[11 + rep * K + s for s in range(K)],
             spp=2)
+        _note(f"sequence rep {rep}: {time.perf_counter() - t0:.1f}s")
         # force the delivered beauty frames INSIDE the timed window —
         # the decode is part of delivering a render (it is pipelined
         # against the transfers by render_terrain_sweep_sequence)
