@@ -286,9 +286,9 @@ def _recipes():
     # transform we don't replicate)
     out["mapscene_alignment_utm"] = screen(_base_recipe(layers=[
         VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([(0.0316, 0.6111),
-                                                 (0.7474, 0.4175),
-                                                 (0.8421, 0.9762)]),
+                           coordinates=np.array([(0.0328, 0.6211),
+                                                 (0.7560, 0.4196),
+                                                 (0.8270, 0.9767)]),
                            color=(172 / 255, 70 / 255, 68 / 255), width=3),
     ]))
     # cloud shadows: 16x16 plateau DEM + the deterministic sinusoid field
