@@ -345,6 +345,10 @@ class SceneRecipe:
     lighting: object = "default"       # preset name or LightSettings
     colormap: str = "terrain"
     water_level: Optional[float] = None
+    #: explicit water mask over the DEM grid (reference water_mask
+    #: texture, e.g. test_terrain_visual_goldens._build_water_mask);
+    #: overrides the level-derived mask when set
+    water_mask: Optional[np.ndarray] = None
     fog_density: float = 0.0
     layers: List = field(default_factory=list)
     furniture: MapFurniture = field(default_factory=MapFurniture)
@@ -680,7 +684,14 @@ class MapScene:
         # edge at 72), so the under-water test uses a half-cell-shifted
         # height field.
         wmask_shifted = None
-        if r.water_level is not None and hi > lo:
+        wm = getattr(r, "water_mask", None)
+        if wm is not None:
+            wm = np.asarray(wm, np.float32)
+            wmask_shifted = wm[i, j] > 0.5
+            rgb = np.where(wmask_shifted[..., None],
+                           np.asarray(prof["water_rgb"],
+                                      np.float32)[None, None], rgb)
+        elif r.water_level is not None and hi > lo:
             wl = (float(r.water_level) - lo) / (hi - lo)
             half_cell = max(int(round(W / max(w, 1))), 0)
             t_shift = np.empty_like(t)
@@ -695,9 +706,24 @@ class MapScene:
                                       np.float32)[None, None], rgb)
 
         if getattr(r, "albedo_mode", "colormap") != "material":
-            # screen-space aerial perspective toward the sky color
-            f = np.clip(prof["fog0"] + prof["fog_u"] * u
-                        + prof["fog_v"] * (1.0 - v), 0.0, 1.0)[..., None]
+            # screen-space aerial perspective toward the sky color. The
+            # reference evaluates its atmosphere per TEXEL (flat within a
+            # height texel, visible as the blocky base of the offline
+            # golden); quantize the fog coordinates to texel centers
+            # when the profile asks for it.
+            if prof.get("fog_texel"):
+                uq = (j + 0.5) / w
+                vq = 1.0 - (i + 0.5) / h
+                u0_, v0_, wu_, wv_, vup_ = prof.get(
+                    "window", (0.0, 0.0, 0.5, 0.5, True))
+                fu = np.clip((uq - u0_) / max(wu_, 1e-6), 0.0, 1.0)
+                fv = np.clip((vq - v0_) / max(wv_, 1e-6), 0.0, 1.0)
+                if not vup_:
+                    fv = 1.0 - fv
+            else:
+                fu, fv = u, v
+            f = np.clip(prof["fog0"] + prof["fog_u"] * fu
+                        + prof["fog_v"] * (1.0 - fv), 0.0, 1.0)[..., None]
             sky = np.asarray(prof["sky"], np.float32)[None, None]
             rgb = rgb * (1.0 - f) + sky * f
 

@@ -1,6 +1,6 @@
 import os, sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo'); sys.path.insert(0, '/root/repo/tests')
 import numpy as np
 import importlib.util
 spec = importlib.util.spec_from_file_location("fam", "/root/repo/tests/test_reference_family_goldens.py")
