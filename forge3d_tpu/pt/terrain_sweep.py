@@ -240,9 +240,22 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         # lands essentially all its weight on the entry sample (the
         # invalid-side sentinel tangent -1e4 drives its crossing fraction
         # to ~1), while a real hit just past the entry row blends entry
-        # 1-f < 1. A high threshold separates the two.
-        phantom = polar[..., 8:9] > 0.98
-        polar = jnp.where(phantom, miss, polar)
+        # 1-f < 1. A high threshold separates the two. BUT a ray that is
+        # still ABOVE the terrain at the entry row and crosses there is a
+        # REAL hit on the DEM's front-edge cell (the per-ray reference
+        # intersects that first bilinear patch); only rays already below
+        # the entry-row surface passed under. Guard the suppression with
+        # the ray-height test — this was the bottom-frame front-edge
+        # stripe in the sweep<->per-ray residual (round-3 PERF notes).
+        k_entry = jnp.argmax(valid, axis=0)                      # (A,)
+        h_entry = jnp.take_along_axis(h_p, k_entry[None, :],
+                                      axis=0)[0]                 # (A,)
+        ebase = _F32(ps.k0 + 1.0 - ps.cam_iv)
+        s_entry = (k_entry.astype(_F32) + ebase + xi) * ps.spacing
+        z_ray = ps.cam_y + ps.q_rows(je)[:, None] * s_entry[None, :]
+        under = z_ray < (h_entry[None, :] - shadow_eps)
+        phantom = (polar[..., 8] > 0.98) & under
+        polar = jnp.where(phantom[..., None], miss, polar)
         return polar
 
     # All frames of one batch run as ONE vmapped program: the per-frame

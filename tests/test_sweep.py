@@ -243,15 +243,16 @@ def test_sweep_render_matches_reference_converged():
     b = sw["rgba"][..., :3].astype(np.float32) / 255
     s = ssim(a, b)
     mad = float(np.abs(a - b).mean() * 255)
-    # ratchet: round-3 measured 0.9718 / 1.11 on this scene after (a)
+    # ratchet: round-3 measured 0.9719 / 1.11 on this scene after (a)
     # exact bilinear-patch normals gathered at the profile sample
-    # positions (no slope resampling at all) and (b) sub-row crossing
+    # positions (no slope resampling at all), (b) sub-row crossing
     # interpolation in the first-hit contraction (anti-aliased
-    # silhouettes/boundaries). Remaining residual: sub-pixel silhouette
-    # placement at crests and the DEM front edge (PERF.md round-3
-    # notes). Gate holds a margin below the measurement so backend noise
-    # can't flake it.
-    assert s > 0.96, f"SSIM {s}"
+    # silhouettes/boundaries), and (c) the ray-height-guarded phantom
+    # rule (front-edge entry crossings above the entry-row surface are
+    # real hits). Remaining residual: sub-pixel silhouette placement at
+    # crests and the soft front-edge fade. Gate holds a margin below the
+    # measurement so backend noise can't flake it.
+    assert s > 0.962, f"SSIM {s}"
     assert mad < 1.6, f"mean abs diff {mad}/255"
 
 
