@@ -190,7 +190,7 @@ def _render_hybrid_mini_dem():
     import forge3d_tpu as f3d
 
     dem = np.load(
-        "/root/reference/python/forge3d/data/mini_dem.npy")[::2, ::2]
+        "/root/reference/python/forge3d/data/mini_dem.npy")
     dem = dem.astype(np.float32)
     dem -= dem.min()
     dem /= max(float(dem.max()), 1e-6)
