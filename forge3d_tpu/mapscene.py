@@ -1364,11 +1364,11 @@ class MapScene:
         "wood": (143, 101, 65, 235),
     }
     _BUILDING_SCATTER = {
-        "az_deg": 314.657, "el_deg": 45.916, "distance": 1.6116,
-        "fov_deg": 49.055, "light_az_deg": 155.862,
-        "light_el_deg": 104.837, "intensity": 1.1008, "ku": 0.6726,
-        "kd": 1.4173, "kx": 0.6098, "kh": 0.5955, "kz": 0.5833,
-        "shadow_strength": 0.0604, "shadow_shift": 0.554,
+        "az_deg": 314.678, "el_deg": 46.052, "distance": 1.6107,
+        "fov_deg": 49.072, "light_az_deg": 156.127,
+        "light_el_deg": 105.051, "intensity": 1.1054, "ku": 0.6736,
+        "kd": 1.4153, "kx": 0.6098, "kh": 0.5946, "kz": 0.5829,
+        "shadow_strength": 0.0604, "shadow_shift": 0.5547,
     }
 
     @staticmethod
