@@ -313,6 +313,38 @@ def draw_polygon_fill(image: np.ndarray, points_or_rings,
     blend_region(image, polygon_coverage(points_or_rings, w, h), color)
 
 
+def point_to_pixel_f(point, width: int, height: int):
+    """Continuous variant of point_to_pixel for fill rasterization: the
+    reference's fill pass maps fractional coords through the full-viewport
+    NDC transform (x*2-1), i.e. pixel-space x = frac*width, with pixel
+    centers at i+0.5 — no rounding (src/shaders/polygon_fill.wgsl vertex
+    path). Values outside [0,1] are raw pixels."""
+    x = float(point[0]) if len(point) > 0 else 0.0
+    y = float(point[1]) if len(point) > 1 else 0.0
+    fx = x * width if 0.0 <= x <= 1.0 else x
+    fy = y * height if 0.0 <= y <= 1.0 else y
+    return fx, fy
+
+
+def polygon_coverage_hard(rings, w: int, h: int) -> np.ndarray:
+    """Hard (non-AA) even-odd coverage with the raster sample rule: a
+    pixel is covered iff its center (i+0.5, j+0.5) lies inside — matching
+    the reference's rasterized polygon_fill pass, which has no analytic
+    AA (verified against the choropleth golden's hard edges)."""
+    rings = [r for r in ([list(map(tuple, rr)) for rr in rings]) if len(r) >= 3]
+    cov = np.zeros((h, w), np.float32)
+    if not rings:
+        return cov
+    yy, xx = np.mgrid[0:h, 0:w]
+    sx = xx.astype(np.float32) + 0.5
+    sy = yy.astype(np.float32) + 0.5
+    inside = np.zeros((h, w), bool)
+    for ring in rings:
+        inside ^= _ring_contains(ring, sx, sy)
+    cov[inside] = 1.0
+    return cov
+
+
 # ---------------------------------------------------------------------------
 # premultiplied polygon fills
 #
@@ -372,11 +404,14 @@ def composite_vector_layer(image: np.ndarray, layer,
     dash = getattr(layer, "dash_array", None)
     width_px = float(getattr(layer, "width", 1.0) or 1.0)
     if layer.kind == "polygons":
-        rings = [[point_to_pixel(p, width, height) for p in ring]
+        rings = [[point_to_pixel_f(p, width, height) for p in ring]
                  for ring in layer.coordinates]
         # fills land in the linear scene pre-tonemap (see
-        # blend_region_linear); strokes stay post-tonemap raw sRGB
-        blend_region_linear(image, polygon_coverage(rings, width, height),
+        # blend_region_linear); strokes stay post-tonemap raw sRGB.
+        # Coverage is HARD (pixel-center raster rule): the native fill
+        # pass draws un-antialiased triangles.
+        blend_region_linear(image,
+                            polygon_coverage_hard(rings, width, height),
                             color[:3], float(color[3] if len(color) > 3
                                              else 1.0)
                             * float(getattr(layer, "opacity", 1.0)))
