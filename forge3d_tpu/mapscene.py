@@ -662,18 +662,62 @@ class MapScene:
             floor = float(shadow_cfg.get("floor", 0.30))
             shad = floor + (1.0 - floor) * shad_full
             ndotl = ndotl * shad[i, j]
+        env_cfg = prof.get("env_amb")
+        if env_cfg is not None:
+            # IBL ambient: per-pixel equirect sample of the scene's
+            # environment map by the surface normal. The terrain-family
+            # goldens are lit by the test suite's tiny 8x4 gradient HDR
+            # (test_terrain_visual_goldens._create_test_hdr) whose
+            # red-azimuth / green-elevation axes tint slopes by facing —
+            # the source of the goldens' banded, maroon-tinted look.
+            env = np.asarray(env_cfg["map"], np.float32)
+            es = float(env_cfg.get("zscale", 1.0))
+            egx, egz = gx * es, gz * es
+            einv = 1.0 / np.sqrt(1.0 + egx ** 2 + egz ** 2)
+            nx2, ny2, nz2 = -egx * einv, einv, -egz * einv
+            n_az = np.arctan2(nx2, nz2)
+            n_el = np.arcsin(np.clip(ny2, -1.0, 1.0))
+            eh, ew = env.shape[:2]
+            eu = (n_az / (2.0 * np.pi) + 0.5
+                  + float(env_cfg.get("rot", 0.0))) % 1.0
+            ev = np.clip(0.5 - n_el / np.pi
+                         + float(env_cfg.get("ev_off", 0.0)), 0.0, 1.0)
+            if env_cfg.get("nearest", True):
+                ex = np.clip((eu * ew).astype(np.int32), 0, ew - 1)
+                ey = np.clip((ev * eh).astype(np.int32), 0, eh - 1)
+                esamp = env[ey, ex]
+            else:
+                fx = np.clip(eu * ew - 0.5, 0, ew - 1)
+                fy = np.clip(ev * eh - 0.5, 0, eh - 1)
+                x0 = np.floor(fx).astype(int); y0 = np.floor(fy).astype(int)
+                x1 = np.minimum(x0 + 1, ew - 1)
+                y1 = np.minimum(y0 + 1, eh - 1)
+                ax = (fx - x0)[..., None]; ay = (fy - y0)[..., None]
+                esamp = (env[y0, x0] * (1 - ax) * (1 - ay)
+                         + env[y0, x1] * ax * (1 - ay)
+                         + env[y1, x0] * (1 - ax) * ay
+                         + env[y1, x1] * ax * ay)
+            amb_px = amb[None, None] * esamp
+            # flat-ground normalizer: env sample straight up
+            up = env[0, min(int((0.5 + float(env_cfg.get("rot", 0.0)))
+                                % 1.0 * ew), ew - 1)]
+            amb_flat = amb * up
+        else:
+            amb_px = np.broadcast_to(
+                amb[None, None], ndotl.shape + (3,))
+            amb_flat = amb
         r = self.recipe
         if getattr(r, "albedo_mode", "colormap") == "material":
             # flat material albedo in display space, normalized so level
             # ground shows the material color exactly; no atmosphere
-            lit = sun[None, None] * ndotl[..., None] + amb[None, None]
-            flat = sun * ly + amb
+            lit = sun[None, None] * ndotl[..., None] + amb_px
+            flat = sun * ly + amb_flat
             mat = np.asarray(r.material_color, np.float32)
             rgb = mat[None, None] * lit / np.maximum(flat[None, None],
                                                      1e-6)
         else:
             shade = prof["gain"] * (sun[None, None] * ndotl[..., None]
-                                    + amb[None, None])
+                                    + amb_px)
             rgb = albedo * 255.0 * shade
 
         # flat water fill below the recipe water level (reference renders
