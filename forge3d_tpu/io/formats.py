@@ -308,16 +308,25 @@ _VK_FORMATS = {
 
 
 def read_ktx2(path) -> dict:
-    """Parse a KTX2 container: header, per-level data (zstd unsupported ->
-    FormatError, fail-closed), decoded numpy for known uncompressed
-    formats."""
+    """Parse a KTX2 container: header, per-level data, decoded numpy for
+    known uncompressed formats. Supercompression: none (0) and zstd (2,
+    KHR spec 3.12.2) are supported; BasisLZ (1) fails closed with a
+    typed FormatError (reference KTX2 loader: src/loaders/)."""
     raw = Path(path).read_bytes()
     if raw[:12] != _KTX2_ID:
         raise FormatError("not a KTX2 file")
     (vk_format, type_size, w, h, depth, layers, faces, levels,
      scheme) = struct.unpack_from("<9I", raw, 12)
-    if scheme != 0:
+    if scheme not in (0, 2):
         raise FormatError(f"supercompression scheme {scheme} unsupported")
+    if scheme == 2:
+        try:
+            import zstandard
+        except ImportError as exc:           # pragma: no cover - env gate
+            raise FormatError(
+                "KTX2 zstd supercompression needs the zstandard module"
+            ) from exc
+        _zdec = zstandard.ZstdDecompressor()
     # level index starts at byte 80
     level_index = []
     for i in range(max(levels, 1)):
@@ -327,8 +336,14 @@ def read_ktx2(path) -> dict:
            "levels": max(levels, 1), "faces": max(faces, 1),
            "layers": max(layers, 1), "level_data": [], "images": []}
     fmt = _VK_FORMATS.get(vk_format)
-    for li, (off, length, _) in enumerate(level_index):
+    for li, (off, length, ulength) in enumerate(level_index):
         data = raw[off:off + length]
+        if scheme == 2:
+            data = _zdec.decompress(data, max_output_size=max(ulength, 1))
+            if ulength and len(data) != ulength:
+                raise FormatError(
+                    f"KTX2 level {li}: zstd inflate size {len(data)} != "
+                    f"indexed {ulength}")
         out["level_data"].append(data)
         if fmt is not None:
             name, bpp, dt = fmt

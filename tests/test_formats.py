@@ -95,3 +95,46 @@ def test_ktx2_supercompression_fails_closed(tmp_path):
     p.write_bytes(ident + header + b"\0" * 64)
     with pytest.raises(FormatError):
         read_ktx2(p)
+
+
+def test_ktx2_zstd_supercompression(tmp_path):
+    """KHR scheme 2 (zstd): levels inflate to the indexed byte length."""
+    import zstandard
+
+    w = h = 4
+    pixel = np.arange(w * h * 4, dtype=np.uint8)
+    payload = zstandard.ZstdCompressor().compress(pixel.tobytes())
+    ident = bytes([0xAB, 0x4B, 0x54, 0x58, 0x20, 0x32, 0x30, 0xBB,
+                   0x0D, 0x0A, 0x1A, 0x0A])
+    header = struct.pack("<9I", 37, 1, w, h, 0, 0, 1, 1, 2)   # scheme=2
+    header += struct.pack("<2I", 0, 0)
+    header += struct.pack("<2I", 0, 0)
+    header += struct.pack("<2Q", 0, 0)
+    data_off = 12 + len(header) + 24
+    level_index = struct.pack("<3Q", data_off, len(payload),
+                              len(pixel.tobytes()))
+    p = tmp_path / "tz.ktx2"
+    p.write_bytes(ident + header + level_index + payload)
+    out = read_ktx2(p)
+    assert out["images"][0].shape == (4, 4, 4)
+    np.testing.assert_array_equal(out["images"][0].ravel(), pixel)
+
+
+def test_ktx2_zstd_truncated_fails_closed(tmp_path):
+    """A zstd level whose inflated size mismatches the index must raise."""
+    import zstandard
+
+    pixel = np.zeros(4 * 4 * 4, np.uint8)
+    payload = zstandard.ZstdCompressor().compress(pixel.tobytes())
+    ident = bytes([0xAB, 0x4B, 0x54, 0x58, 0x20, 0x32, 0x30, 0xBB,
+                   0x0D, 0x0A, 0x1A, 0x0A])
+    header = struct.pack("<9I", 37, 1, 4, 4, 0, 0, 1, 1, 2)
+    header += struct.pack("<2I", 0, 0) + struct.pack("<2I", 0, 0)
+    header += struct.pack("<2Q", 0, 0)
+    data_off = 12 + len(header) + 24
+    level_index = struct.pack("<3Q", data_off, len(payload),
+                              len(pixel.tobytes()) + 7)   # wrong ulength
+    p = tmp_path / "bad.ktx2"
+    p.write_bytes(ident + header + level_index + payload)
+    with pytest.raises(FormatError):
+        read_ktx2(p)
