@@ -223,6 +223,100 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         valid_prev = jnp.concatenate(
             [jnp.zeros((1, valid.shape[1]), bool), valid[:-1]], axis=0)
         entry = (valid & ~valid_prev).astype(_F32)
+
+        # ---- EXACT boundary-entry sample (front-edge silhouettes) ----
+        # The first valid profile sample sits up to one radial row INSIDE
+        # the DEM, so front-edge crossings were positioned/shaded up to a
+        # row late — the dominant sweep<->per-ray residual after the
+        # sub-row lerp (bottom-frame rows in scripts/sweep_residual.py).
+        # Replace the sentinel row just before entry with a sample
+        # evaluated exactly where the ground track crosses the DEM rect:
+        # the crossing lerp then interpolates the true front face.
+        K_rows, A_cols = h_p.shape
+        k_entry = jnp.argmax(valid, axis=0)                     # (A,)
+        has_valid = jnp.any(valid, axis=0)
+        sp = rg.spacing
+        eu0, eu2 = _F32(rg.e_u[0]), _F32(rg.e_u[2])
+        ev0, ev2 = _F32(rg.e_v[0]), _F32(rg.e_v[2])
+        # world position of the ground track as a LINEAR function of the
+        # continuous rotated-grid row r (from the (k, a) sample mapping
+        # above): u_w(r) = u0 + (cam_iu + (r - cam_iv) t) sp, v_w = v0 + r sp
+        u_c = _F32(rg.u0) + (ps.cam_iu - ps.cam_iv * t_az) * _F32(sp)
+        x0w = _F32(cam_xz[0]) + u_c * eu0 + _F32(rg.v0) * ev0
+        z0w = _F32(cam_xz[1]) + u_c * eu2 + _F32(rg.v0) * ev2
+        dxr = _F32(sp) * (t_az * eu0 + ev0)
+        dzr = _F32(sp) * (t_az * eu2 + ev2)
+
+        def _slab(p0, d, lim):
+            dd = jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+            t1 = (0.0 - p0) / dd
+            t2 = (lim - p0) / dd
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            inside = (p0 >= 0.0) & (p0 <= lim)
+            deg = jnp.abs(d) <= 1e-12
+            lo = jnp.where(deg, jnp.where(inside, -1e9, 1e9), lo)
+            hi = jnp.where(deg, jnp.where(inside, 1e9, -1e9), hi)
+            return lo, hi
+
+        xmax = _F32((dem_w_px - 1) * spacing[0])
+        zmax = _F32((dem_h_px - 1) * spacing[1])
+        lox, hix = _slab(x0w, dxr, xmax)
+        loz, hiz = _slab(z0w, dzr, zmax)
+        r_in = jnp.maximum(lox, loz)
+        r_out = jnp.minimum(hix, hiz)
+        koff_e = r_in - ps.cam_iv                               # fwd rows
+        can_edge = (has_valid & (k_entry >= 1)
+                    & (koff_e > 0.25) & (r_in < r_out))
+        xe = x0w + r_in * dxr
+        ze = z0w + r_in * dzr
+        fxe = jnp.clip(xe / _F32(spacing[0]), 0.0, dem_w_px - 1.0)
+        fze = jnp.clip(ze / _F32(spacing[1]), 0.0, dem_h_px - 1.0)
+        xe0 = jnp.clip(jnp.floor(fxe), 0, dem_w_px - 2).astype(jnp.int32)
+        ze0 = jnp.clip(jnp.floor(fze), 0, dem_h_px - 2).astype(jnp.int32)
+        txe = jnp.clip(fxe - xe0, 0.0, 1.0)
+        tze = jnp.clip(fze - ze0, 0.0, 1.0)
+        cell_e = corners[ze0 * (dem_w_px - 1) + xe0]            # (A, 4)
+        eh00, eh10 = cell_e[..., 0], cell_e[..., 1]
+        eh01, eh11 = cell_e[..., 2], cell_e[..., 3]
+        h_edge = ((eh00 * (1 - txe) + eh10 * txe) * (1 - tze)
+                  + (eh01 * (1 - txe) + eh11 * txe) * tze) \
+            * _F32(exaggeration)
+        egx = ((eh10 - eh00) * (1 - tze) + (eh11 - eh01) * tze) \
+            * _F32(exaggeration / spacing[0])
+        egz = ((eh01 - eh00) * (1 - txe) + (eh11 - eh10) * txe) \
+            * _F32(exaggeration / spacing[1])
+        einv = jax.lax.rsqrt(1.0 + egx * egx + egz * egz)
+        nxe, nye, nze = -egx * einv, einv, -egz * einv
+        ndle = jnp.maximum(
+            nxe * sun_w[0] + nye * sun_w[1] + nze * sun_w[2], 0.0)
+        take = lambda arr: jnp.take_along_axis(  # noqa: E731
+            arr, k_entry[None, :, *([None] * (arr.ndim - 2))], axis=0)[0]
+        z_sun_e = take(z_sun_p)
+        e_sky_e = take(e_sky_p)
+        vis_e = (h_edge + shadow_eps >= z_sun_e).astype(_F32)
+        if not shadows:
+            vis_e = jnp.ones_like(vis_e)
+        rgb_e = albedo[None, :] * (lc[None, :] * (ndle * vis_e)[:, None]
+                                   + e_sky_e)
+        s_edge = jnp.maximum(koff_e, 1e-6) * _F32(sp)
+        q_edge = jnp.clip((h_edge - ps.cam_y) / jnp.maximum(s_edge, 1e-6),
+                          -1e4, 1e4)
+        sec2_e = 1.0 + t_az * t_az
+        t_edge = jnp.maximum(s_edge, 1e-6) \
+            * jnp.sqrt(sec2_e + q_edge * q_edge)
+        slot = jnp.where(can_edge, k_entry - 1, K_rows)   # K -> no one-hot
+        selb = jax.nn.one_hot(slot, K_rows, axis=-1,
+                              dtype=_F32).T > 0.5         # (K, A)
+        q_prof = jnp.where(selb, q_edge[None, :], q_prof)
+        t_dist = jnp.where(selb, t_edge[None, :], t_dist)
+        rgb = jnp.where(selb[..., None], rgb_e[None, :, :], rgb)
+        nx = jnp.where(selb, nxe[None, :], nx)
+        ny = jnp.where(selb, nye[None, :], ny)
+        nz = jnp.where(selb, nze[None, :], nz)
+        # the edge sample becomes the entry row where it exists
+        entry = jnp.where(can_edge[None, :], selb.astype(_F32), entry)
+
         values = jnp.concatenate([
             rgb, t_dist[..., None], nx[..., None], ny[..., None],
             nz[..., None], ones[..., None], entry[..., None]], axis=-1)
@@ -245,15 +339,17 @@ def _build_pipeline(dem_shape: Tuple[int, int],
         # REAL hit on the DEM's front-edge cell (the per-ray reference
         # intersects that first bilinear patch); only rays already below
         # the entry-row surface passed under. Guard the suppression with
-        # the ray-height test — this was the bottom-frame front-edge
-        # stripe in the sweep<->per-ray residual (round-3 PERF notes).
-        k_entry = jnp.argmax(valid, axis=0)                      # (A,)
+        # the ray-height test. Where the exact boundary sample exists the
+        # entry row IS the DEM edge, so the under-test compares against
+        # the true edge height at the true edge distance.
         h_entry = jnp.take_along_axis(h_p, k_entry[None, :],
                                       axis=0)[0]                 # (A,)
         ebase = _F32(ps.k0 + 1.0 - ps.cam_iv)
-        s_entry = (k_entry.astype(_F32) + ebase + xi) * ps.spacing
-        z_ray = ps.cam_y + ps.q_rows(je)[:, None] * s_entry[None, :]
-        under = z_ray < (h_entry[None, :] - shadow_eps)
+        s_ent = (k_entry.astype(_F32) + ebase + xi) * ps.spacing
+        h_ent = jnp.where(can_edge, h_edge, h_entry)
+        s_ent = jnp.where(can_edge, s_edge, s_ent)
+        z_ray = ps.cam_y + ps.q_rows(je)[:, None] * s_ent[None, :]
+        under = z_ray < (h_ent[None, :] - shadow_eps)
         phantom = (polar[..., 8] > 0.98) & under
         polar = jnp.where(phantom[..., None], miss, polar)
         return polar

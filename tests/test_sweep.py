@@ -243,17 +243,18 @@ def test_sweep_render_matches_reference_converged():
     b = sw["rgba"][..., :3].astype(np.float32) / 255
     s = ssim(a, b)
     mad = float(np.abs(a - b).mean() * 255)
-    # ratchet: round-3 measured 0.9719 / 1.11 on this scene after (a)
+    # ratchet: round-3 measured 0.9927 / 0.53 on this scene after (a)
     # exact bilinear-patch normals gathered at the profile sample
     # positions (no slope resampling at all), (b) sub-row crossing
     # interpolation in the first-hit contraction (anti-aliased
-    # silhouettes/boundaries), and (c) the ray-height-guarded phantom
-    # rule (front-edge entry crossings above the entry-row surface are
-    # real hits). Remaining residual: sub-pixel silhouette placement at
-    # crests and the soft front-edge fade. Gate holds a margin below the
-    # measurement so backend noise can't flake it.
-    assert s > 0.962, f"SSIM {s}"
-    assert mad < 1.6, f"mean abs diff {mad}/255"
+    # silhouettes/boundaries), (c) the ray-height-guarded phantom rule,
+    # and (d) EXACT boundary-entry samples: the sentinel row before each
+    # azimuth's first in-DEM sample is replaced by a sample evaluated at
+    # the true DEM-rect crossing, so front-edge hits position and shade
+    # exactly (this removed the bottom-frame residual stripe). Gate holds
+    # a margin below the measurement so backend noise can't flake it.
+    assert s > 0.985, f"SSIM {s}"
+    assert mad < 0.9, f"mean abs diff {mad}/255"
 
 
 def test_sweep_sequence_bitwise_matches_single_calls():
