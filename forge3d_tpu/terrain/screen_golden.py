@@ -1,0 +1,1348 @@
+"""Behavior-exact replica of the reference's screen-mode terrain render.
+
+The reference's terrain golden family (``tests/golden/terrain/*.png``) is
+produced by ``TerrainRenderer.render_terrain_pbr_pom`` with
+``camera_mode="screen"``: a fullscreen triangle whose fragment shader
+(`src/shaders/terrain_pbr_pom.wgsl:3130` ``shade_main``) evaluates the DEM
+per pixel.  This module re-derives that pipeline in numpy, stage by stage,
+from the reference's behavior (NOT its code):
+
+* vertex stage quirks (`terrain_pbr_pom.wgsl:1539-1645`): the fullscreen
+  triangle spans uv (0,0)/(2,0)/(0,2) and ``tex_coord = clamp(uv, 0, 1)``
+  is clamped PER VERTEX, so the interpolated fragment uv equals
+  ``screen_uv / 2`` - the visible frame shows the DEM's [0,0.5]^2 quadrant.
+  ``world_position`` is interpolated from the three vertices, so its z is a
+  PLANE through three corner heights, not the terrain surface.
+* nearest height sampling (R32Float is non-filterable;
+  `renderer/resources/init.rs:20-27` "terrain.sampler.nearest") - the
+  source of the characteristic terracing.
+* LOD-aware Sobel normals built Y-up while the sun direction is decoded
+  Z-up (`render_params/decode_lighting.rs:26-41`) - a cross-convention the
+  goldens bake in.
+* hillshade-style beauty composition (`terrain_pbr_pom.wgsl:4443-4570`):
+  ``albedo * (diffuse_lit + ibl_term) + capped specular``, filmic Hable
+  tonemap (`includes/tonemap_common.wgsl:82`), legacy pow-gamma encode.
+* CSM/PCSS cast shadows with the baked-in span mismatch: the shadow depth
+  pass rasterizes the DEM at ``terrain_span`` (2.8) while
+  ``normalize_for_shadow`` uses the screen-mode spacing 1.0
+  (`renderer/shadows/render.rs:1-230`, `terrain_shadow_depth.wgsl`,
+  `terrain_pbr_pom.wgsl:1046-1383`).
+* split-sum IBL from the scene HDR (`src/core/ibl/*`, `ibl_prefilter.wgsl`,
+  `ibl_brdf.wgsl`): 256 env cube, 128 irradiance with 128 cos samples,
+  6-mip GGX prefilter (1024>>mip samples, roughness sqrt(mip/5)),
+  512 BRDF LUT @1024 samples with the reference's non-standard g_vis.
+* analytic sky + aerial perspective (`sky.wgsl`, `renderer/atmosphere.rs`,
+  fog composition `terrain_pbr_pom.wgsl:3062-3129`), Hosek-Wilkie
+  coefficients cooked from the published RGB dataset (forge3d_tpu.sky).
+
+Heavy intermediates (IBL pyramid, shadow depth map, BRDF LUT) are cached on
+disk keyed by a content hash so test reruns are fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import numpy as np
+
+CACHE_DIR = Path(
+    os.environ.get(
+        "FORGE3D_SCREEN_GOLDEN_CACHE",
+        Path(__file__).resolve().parents[2] / "tests" / "goldens" / "_cache",
+    )
+)
+
+SHADOW_MIN = 0.20
+SHADOW_IBL_FACTOR = 0.20
+AMBIENT_FLOOR = 0.18
+WATER_DEPTH_ATTEN_DEEP = 0.30
+WATER_COMBINED_REFLECTION_SCALE = 0.30
+WATER_SUN_SPECULAR_SCALE = 0.50
+WATER_BASE_TINT = np.array([0.15, 0.45, 0.85], np.float32)
+WATER_BASE_TINT_SCALE = 0.80
+WATER_SCATTER_SCALE = 2.0
+
+# PCSS poisson disks (terrain_pbr_pom.wgsl:1057-1069, 1245-1262)
+_POISSON_12 = np.array([
+    (-0.94201624, -0.39906216), (0.94558609, -0.76890725),
+    (-0.094184101, -0.92938870), (0.34495938, 0.29387760),
+    (-0.91588581, 0.45771432), (-0.81544232, -0.87912464),
+    (-0.38277543, 0.27676845), (0.97484398, 0.75648379),
+    (0.44323325, -0.97511554), (0.53742981, -0.47373420),
+    (-0.26496911, -0.41893023), (0.79197514, 0.19090188)], np.float32)
+_POISSON_16 = np.concatenate([_POISSON_12, np.array([
+    (-0.24188840, 0.99706507), (-0.81409955, 0.91437590),
+    (0.19984126, 0.78641367), (0.14383161, -0.14100790)], np.float32)])
+
+
+def _hash(*arrays) -> str:
+    h = hashlib.sha256()
+    for a in arrays:
+        if isinstance(a, np.ndarray):
+            h.update(np.ascontiguousarray(a).tobytes())
+        else:
+            h.update(repr(a).encode())
+    return h.hexdigest()[:24]
+
+
+def _f16(x):
+    """rgba16float storage round-trip."""
+    return np.asarray(x, np.float16).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# glam camera matrices (Y-up orbit; upload.rs:339-384 build_camera_matrices)
+# ---------------------------------------------------------------------------
+
+def look_at_rh(eye, target, up):
+    eye = np.asarray(eye, np.float32)
+    f = np.asarray(target, np.float32) - eye
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, np.asarray(up, np.float32))
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    m = np.eye(4, dtype=np.float32)
+    m[0, :3] = s
+    m[1, :3] = u
+    m[2, :3] = -f
+    m[0, 3] = -np.dot(s, eye)
+    m[1, 3] = -np.dot(u, eye)
+    m[2, 3] = np.dot(f, eye)
+    return m  # row-major math convention: view @ [x,y,z,1]
+
+
+def look_to_rh(eye, direction, up):
+    eye = np.asarray(eye, np.float32)
+    return look_at_rh(eye, eye + np.asarray(direction, np.float32), up)
+
+
+def orthographic_rh(left, right, bottom, top, near, far):
+    """glam orthographic_rh: z mapped to [0, 1] (WebGPU convention)."""
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = 2.0 / (right - left)
+    m[1, 1] = 2.0 / (top - bottom)
+    m[2, 2] = -1.0 / (far - near)
+    m[0, 3] = -(right + left) / (right - left)
+    m[1, 3] = -(top + bottom) / (top - bottom)
+    m[2, 3] = -near / (far - near)
+    m[3, 3] = 1.0
+    return m
+
+
+def orbit_eye(radius, phi_deg, theta_deg, target=(0.0, 0.0, 0.0)):
+    """Y-up orbit eye (upload.rs:366-375, screen mode branch)."""
+    phi = np.deg2rad(phi_deg)
+    theta = np.deg2rad(theta_deg)
+    off = np.array([
+        radius * np.sin(theta) * np.cos(phi),
+        radius * np.cos(theta),
+        radius * np.sin(theta) * np.sin(phi)], np.float32)
+    return np.asarray(target, np.float32) + off
+
+
+def light_direction(azimuth_deg, elevation_deg):
+    """Z-up sun direction (decode_lighting.rs:26-41)."""
+    az = np.deg2rad(azimuth_deg)
+    el = np.deg2rad(elevation_deg)
+    d = np.array([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                  np.sin(el)], np.float32)
+    return d / np.linalg.norm(d)
+
+
+# ---------------------------------------------------------------------------
+# Texture sampling helpers
+# ---------------------------------------------------------------------------
+
+def _nearest(tex, u, v):
+    """ClampToEdge nearest sample of a (H, W) texture at uv arrays."""
+    h, w = tex.shape[:2]
+    x = np.clip(np.floor(u * w).astype(np.int64), 0, w - 1)
+    y = np.clip(np.floor(v * h).astype(np.int64), 0, h - 1)
+    return tex[y, x]
+
+
+def _bilinear(tex, u, v):
+    """ClampToEdge bilinear sample of (H, W[, C]) texture."""
+    h, w = tex.shape[:2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = (x - x0)[..., None] if tex.ndim == 3 else (x - x0)
+    fy = (y - y0)[..., None] if tex.ndim == 3 else (y - y0)
+    x0 = np.clip(x0.astype(np.int64), 0, w - 1)
+    y0 = np.clip(y0.astype(np.int64), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    t00 = tex[y0, x0]
+    t10 = tex[y0, x1]
+    t01 = tex[y1, x0]
+    t11 = tex[y1, x1]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def _lut_sample(lut_rgb, u):
+    """256x1 Rgba8Unorm LUT, linear filter at (u, 0.5) (colormap_lut.rs)."""
+    n = lut_rgb.shape[0]
+    x = u * n - 0.5
+    x0 = np.floor(x)
+    f = (x - x0)[..., None]
+    x0 = np.clip(x0.astype(np.int64), 0, n - 1)
+    x1 = np.clip(x0 + 1, 0, n - 1)
+    return lut_rgb[x0] + (lut_rgb[x1] - lut_rgb[x0]) * f
+
+
+# ---------------------------------------------------------------------------
+# Cube map plumbing (ibl_prefilter.wgsl:36-46 uv_to_direction and inverse)
+# ---------------------------------------------------------------------------
+
+def _face_dirs(size):
+    """Direction of every texel of every face: (6, size, size, 3)."""
+    t = (np.arange(size, dtype=np.float32) + 0.5) / size
+    u, v = np.meshgrid(t, t)  # v rows, u cols
+    cu = u * 2.0 - 1.0
+    cv = v * 2.0 - 1.0
+    one = np.ones_like(cu)
+    faces = np.stack([
+        np.stack([one, -cv, -cu], -1),
+        np.stack([-one, -cv, cu], -1),
+        np.stack([cu, one, cv], -1),
+        np.stack([cu, -one, -cv], -1),
+        np.stack([cu, -cv, one], -1),
+        np.stack([-cu, -cv, -one], -1)], 0)
+    return faces / np.linalg.norm(faces, axis=-1, keepdims=True)
+
+
+def _dir_to_face_uv(d):
+    """Inverse of uv_to_direction: face index + face uv for dirs (..., 3)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.zeros(x.shape, np.int64)
+    uc = np.zeros_like(x)
+    vc = np.zeros_like(x)
+    ma = np.zeros_like(x)
+    # +X / -X
+    m = (ax >= ay) & (ax >= az)
+    mp = m & (x > 0)
+    mn = m & ~(x > 0)
+    face[mp] = 0
+    uc[mp] = -z[mp]
+    vc[mp] = -y[mp]
+    face[mn] = 1
+    uc[mn] = z[mn]
+    vc[mn] = -y[mn]
+    ma[m] = ax[m]
+    # +Y / -Y
+    m = (ay > ax) & (ay >= az)
+    mp = m & (y > 0)
+    mn = m & ~(y > 0)
+    face[mp] = 2
+    uc[mp] = x[mp]
+    vc[mp] = z[mp]
+    face[mn] = 3
+    uc[mn] = x[mn]
+    vc[mn] = -z[mn]
+    ma[m] = ay[m]
+    # +Z / -Z
+    m = (az > ax) & (az > ay)
+    mp = m & (z > 0)
+    mn = m & ~(z > 0)
+    face[mp] = 4
+    uc[mp] = x[mp]
+    vc[mp] = -y[mp]
+    face[mn] = 5
+    uc[mn] = -x[mn]
+    vc[mn] = -y[mn]
+    ma[m] = az[m]
+    ma = np.maximum(ma, 1e-20)
+    u = (uc / ma + 1.0) * 0.5
+    v = (vc / ma + 1.0) * 0.5
+    return face, u, v
+
+
+def _cube_sample(cube, dirs):
+    """Bilinear cube sample. cube: (6, S, S, 3); dirs (..., 3)."""
+    face, u, v = _dir_to_face_uv(dirs)
+    s = cube.shape[1]
+    x = u * s - 0.5
+    y = v * s - 0.5
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = np.clip(x0.astype(np.int64), 0, s - 1)
+    y0 = np.clip(y0.astype(np.int64), 0, s - 1)
+    x1 = np.clip(x0 + 1, 0, s - 1)
+    y1 = np.clip(y0 + 1, 0, s - 1)
+    t00 = cube[face, y0, x0]
+    t10 = cube[face, y0, x1]
+    t01 = cube[face, y1, x0]
+    t11 = cube[face, y1, x1]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def _cube_sample_mips(mips, dirs, mip):
+    """Trilinear between adjacent prefiltered mips, clamped to the chain."""
+    max_mip = len(mips) - 1
+    mip = np.clip(mip, 0.0, float(max_mip))
+    lo = np.floor(mip).astype(np.int64)
+    hi = np.minimum(lo + 1, max_mip)
+    f = (mip - lo)[..., None]
+    out = np.zeros(dirs.shape[:-1] + (3,), np.float32)
+    for level in np.unique(lo):
+        m = lo == level
+        a = _cube_sample(mips[int(level)], dirs[m])
+        b = _cube_sample(mips[int(np.minimum(level + 1, max_mip))], dirs[m])
+        out[m] = a + (b - a) * f[m]
+    return out
+
+
+def _hammersley(n):
+    i = np.arange(n, dtype=np.uint32)
+    bits = i.copy()
+    bits = (bits << np.uint32(16)) | (bits >> np.uint32(16))
+    bits = ((bits & np.uint32(0x55555555)) << np.uint32(1)) | \
+           ((bits & np.uint32(0xAAAAAAAA)) >> np.uint32(1))
+    bits = ((bits & np.uint32(0x33333333)) << np.uint32(2)) | \
+           ((bits & np.uint32(0xCCCCCCCC)) >> np.uint32(2))
+    bits = ((bits & np.uint32(0x0F0F0F0F)) << np.uint32(4)) | \
+           ((bits & np.uint32(0xF0F0F0F0)) >> np.uint32(4))
+    bits = ((bits & np.uint32(0x00FF00FF)) << np.uint32(8)) | \
+           ((bits & np.uint32(0xFF00FF00)) >> np.uint32(8))
+    return np.stack([i.astype(np.float32) / n,
+                     bits.astype(np.float64).astype(np.float32)
+                     * np.float32(2.3283064365386963e-10)], -1)
+
+
+def _tangent_frame(n):
+    """up = |n.z|<0.999 ? +Z : +X; t = norm(cross(up, n)); b = cross(n, t)."""
+    up = np.where((np.abs(n[..., 2]) < 0.999)[..., None],
+                  np.array([0.0, 0.0, 1.0], np.float32),
+                  np.array([1.0, 0.0, 0.0], np.float32))
+    t = np.cross(up, n)
+    t = t / np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
+    b = np.cross(n, t)
+    return t, b
+
+
+def decode_test_hdr(width=8, height=4):
+    """The golden suite's gradient RGBE env
+    (test_terrain_visual_goldens.py:41-50): value = byte * 2^(e-136)."""
+    x = np.arange(width, dtype=np.float32)
+    y = np.arange(height, dtype=np.float32)
+    r = np.floor(x / max(width - 1, 1) * 255.0)
+    g = np.floor(y / max(height - 1, 1) * 255.0)
+    img = np.zeros((height, width, 3), np.float32)
+    img[..., 0] = r[None, :] / 256.0
+    img[..., 1] = g[:, None] / 256.0
+    img[..., 2] = 128.0 / 256.0
+    return img
+
+
+def build_ibl(hdr_rgb):
+    """Split-sum IBL pyramid per the reference pipeline (IBLQuality::Medium).
+
+    Returns dict with irradiance (6,128,128,3), spec_mips (list of 6 cubes
+    256..8), brdf (512,512,2).
+    """
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    key = _hash(hdr_rgb, "ibl-v1")
+    path = CACHE_DIR / f"ibl_{key}.npz"
+    if path.exists():
+        d = np.load(path)
+        return {"irradiance": d["irradiance"],
+                "spec_mips": [d[f"spec{m}"] for m in range(6)],
+                "brdf": d["brdf"]}
+
+    eq = _f16(hdr_rgb)  # equirect stored rgba16float
+    # env cube 256, 1 mip (environment.rs:167-199, ibl_equirect.wgsl)
+    env_size = 256
+    dirs = _face_dirs(env_size)
+    u = np.arctan2(dirs[..., 2], dirs[..., 0]) / (2.0 * np.pi) + 0.5
+    v = np.arccos(np.clip(dirs[..., 1], -1.0, 1.0)) / np.pi
+    env = _f16(_bilinear(eq, np.mod(u, 1.0), np.clip(v, 0.0, 1.0)))
+
+    # irradiance cube 128, 128 cos-weighted Hammersley samples, saturated
+    irr_size = 128
+    n = _face_dirs(irr_size).reshape(-1, 3)
+    xi = _hammersley(128)
+    phi = 2.0 * np.pi * xi[:, 0]
+    ct = np.sqrt(1.0 - xi[:, 1])
+    st = np.sqrt(1.0 - ct * ct)
+    local = np.stack([np.cos(phi) * st, np.sin(phi) * st, ct], -1)
+    t, b = _tangent_frame(n)
+    irr = np.zeros((n.shape[0], 3), np.float32)
+    chunk = 16384
+    for s0 in range(0, n.shape[0], chunk):
+        sl = slice(s0, s0 + chunk)
+        sd = (t[sl, None, :] * local[None, :, 0:1]
+              + b[sl, None, :] * local[None, :, 1:2]
+              + n[sl, None, :] * local[None, :, 2:3])
+        sd = sd / np.linalg.norm(sd, axis=-1, keepdims=True)
+        col = _cube_sample(env, sd)
+        irr[sl] = (col * local[None, :, 2:3]).sum(1)
+    irr = np.clip(np.pi * irr / 128.0, 0.0, 1.0)
+    irradiance = _f16(irr.reshape(6, irr_size, irr_size, 3))
+
+    # specular prefilter: 6 mips, sizes 256..8, samples 1024>>mip min 64,
+    # roughness sqrt(mip/5) (prefilter.rs:67-76)
+    spec_mips = []
+    for mip in range(6):
+        size = env_size >> mip
+        rough = np.sqrt(mip / 5.0) if mip else 0.0
+        if mip == 0:
+            # roughness 0 -> every GGX half = normal -> prefiltered = env(n)
+            spec_mips.append(env.copy())
+            continue
+        n_m = _face_dirs(size).reshape(-1, 3)
+        count = max(1024 >> mip, 64)
+        xi = _hammersley(count)
+        a = rough * rough
+        phi = 2.0 * np.pi * xi[:, 0]
+        ct = np.sqrt((1.0 - xi[:, 1]) / (1.0 + (a * a - 1.0) * xi[:, 1]))
+        st = np.sqrt(1.0 - ct * ct)
+        hl = np.stack([np.cos(phi) * st, np.sin(phi) * st, ct], -1)
+        t, b = _tangent_frame(n_m)
+        acc = np.zeros((n_m.shape[0], 3), np.float32)
+        wacc = np.zeros((n_m.shape[0],), np.float32)
+        for s0 in range(0, n_m.shape[0], chunk):
+            sl = slice(s0, s0 + chunk)
+            h = (t[sl, None, :] * hl[None, :, 0:1]
+                 + b[sl, None, :] * hl[None, :, 1:2]
+                 + n_m[sl, None, :] * hl[None, :, 2:3])
+            h = h / np.linalg.norm(h, axis=-1, keepdims=True)
+            vdh = (n_m[sl, None, :] * h).sum(-1)
+            l = 2.0 * vdh[..., None] * h - n_m[sl, None, :]
+            l = l / np.maximum(np.linalg.norm(l, axis=-1, keepdims=True),
+                               1e-20)
+            ndl = np.maximum((n_m[sl, None, :] * l).sum(-1), 0.0)
+            col = _cube_sample(env, l)
+            acc[sl] = (col * ndl[..., None]).sum(1)
+            wacc[sl] = ndl.sum(1)
+        pref = acc / np.maximum(wacc, 1e-3)[..., None]
+        pref = np.clip(pref, 0.0, 1.0)
+        spec_mips.append(_f16(pref.reshape(6, size, size, 3)))
+
+    brdf = _build_brdf_lut()
+    np.savez_compressed(path, irradiance=irradiance, brdf=brdf,
+                        **{f"spec{m}": spec_mips[m] for m in range(6)})
+    return {"irradiance": irradiance, "spec_mips": spec_mips, "brdf": brdf}
+
+
+def _build_brdf_lut(size=512, samples=1024):
+    """ibl_brdf.wgsl cs_brdf_lut, including its non-standard g_vis."""
+    path = CACHE_DIR / f"brdf_{size}_{samples}.npz"
+    if path.exists():
+        return np.load(path)["brdf"]
+    uv = (np.arange(size, dtype=np.float32) + 0.5) / size
+    out = np.zeros((size, size, 2), np.float32)
+    xi = _hammersley(samples)
+    for yi in range(size):
+        rough = uv[yi]
+        a = rough * rough
+        phi = 2.0 * np.pi * xi[:, 0]
+        ct = np.sqrt((1.0 - xi[:, 1]) / (1.0 + (a * a - 1.0) * xi[:, 1]))
+        st = np.sqrt(1.0 - ct * ct)
+        h = np.stack([np.cos(phi) * st, np.sin(phi) * st, ct], -1)  # (S,3)
+        ndv = uv  # (X,)
+        sin_v = np.sqrt(np.maximum(1.0 - ndv * ndv, 0.0))
+        # view = (sin, 0, ndv); per-x dot with each half
+        vdh = sin_v[:, None] * h[None, :, 0] + ndv[:, None] * h[None, :, 2]
+        lz = 2.0 * vdh * h[None, :, 2] - ndv[:, None]
+        # normalize l only needed for l.z: |l| = 1 already (reflection of
+        # unit v about unit h): keep exact
+        ndl = np.maximum(lz, 0.0)
+        ndh = np.maximum(h[None, :, 2], 0.0)
+        vdh_c = np.maximum(vdh, 0.0)
+        g = (2.0 * ndh * ndv[:, None]) / np.maximum(vdh_c, 1e-5)
+        g_vis = g / np.maximum(ndl, 1e-5)
+        fres = (1.0 - vdh_c) ** 5
+        live = ndl > 0.0
+        aa = np.where(live, (1.0 - fres) * g_vis, 0.0).sum(1) / samples
+        bb = np.where(live, fres * g_vis, 0.0).sum(1) / samples
+        out[yi, :, 0] = np.clip(aa, 0.0, 1.0)
+        out[yi, :, 1] = np.clip(bb, 0.0, 1.0)
+    out = _f16(out)
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, brdf=out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shadow depth pass (terrain_shadow_depth.wgsl + shadows/render.rs)
+# ---------------------------------------------------------------------------
+
+def build_shadow_map(heightmap, *, terrain_span, z_scale, sun_dir,
+                     resolution=4096, grid_res=1024):
+    """Rasterize the DEM grid into the light's ortho depth map.
+
+    Returns (depth (R,R) f32, light_view_proj 4x4, texel_size).
+    sun_dir is the NEGATED light direction (shadows/setup.rs:150-153).
+    """
+    key = _hash(heightmap, terrain_span, z_scale, sun_dir, resolution,
+                grid_res, "shadow-v2")
+    path = CACHE_DIR / f"shadow_{key}.npz"
+    if path.exists():
+        d = np.load(path)
+        return d["depth"], d["lvp"], float(d["texel"])
+
+    light_dir = np.asarray(sun_dir, np.float32)
+    light_dir = light_dir / np.linalg.norm(light_dir)
+    light_up = np.array([0.0, 1.0, 0.0], np.float32) \
+        if abs(light_dir[2]) > 0.99 else np.array([0.0, 0.0, 1.0], np.float32)
+
+    half = terrain_span * 0.5
+    tmin = np.array([-half, -half, 0.0], np.float32)
+    tmax = np.array([half, half, z_scale], np.float32)
+    center = (tmin + tmax) * 0.5
+    diag = np.linalg.norm(tmax - tmin)
+    cam_pos = center - light_dir * (diag * 2.0)
+    view = look_to_rh(cam_pos, light_dir, light_up)
+
+    corners = np.array([[x, y, z] for z in (tmin[2], tmax[2])
+                        for y in (tmin[1], tmax[1])
+                        for x in (tmin[0], tmax[0])], np.float32)
+    lc = (view[:3, :3] @ corners.T).T + view[:3, 3]
+    lmin = lc.min(0) - terrain_span * 0.3
+    lmax = lc.max(0) + terrain_span * 0.3
+    zpad = terrain_span * 0.1
+    proj = orthographic_rh(lmin[0], lmax[0], lmin[1], lmax[1],
+                           -lmax[2] - zpad, -lmin[2] + zpad)
+    lvp = proj @ view
+    texel = (lmax[0] - lmin[0]) / resolution
+
+    # grid vertices: uv i/(grid-1); height textureLoad at floor(uv*dims)
+    g = np.arange(grid_res, dtype=np.float32) / (grid_res - 1)
+    hdim = heightmap.shape
+    tx = np.clip((g * hdim[1]).astype(np.int64), 0, hdim[1] - 1)
+    ty = np.clip((g * hdim[0]).astype(np.int64), 0, hdim[0] - 1)
+    hgrid = heightmap[np.ix_(ty, tx)]  # (gy, gx)
+    wx = (g - 0.5) * terrain_span
+    wz = np.clip(hgrid, 0.0, 1.0) * z_scale
+
+    # project all grid vertices to light NDC -> framebuffer texel coords
+    # clip = lvp @ [wx, wy, wz, 1]; ortho w=1
+    X, Y = np.meshgrid(wx, wx)  # X[j,i]=wx[i], Y[j,i]=wy[j]
+    P = np.stack([X, Y, wz], -1).reshape(-1, 3)
+    ndc = (lvp[:3, :3] @ P.T).T + lvp[:3, 3]
+    # framebuffer: x = (ndc.x+1)/2*R, y = (1-ndc.y)/2*R, depth = ndc.z
+    fx = (ndc[:, 0] * 0.5 + 0.5) * resolution
+    fy = (0.5 - ndc[:, 1] * 0.5) * resolution
+    fz = ndc[:, 2]
+    fx = fx.reshape(grid_res, grid_res)
+    fy = fy.reshape(grid_res, grid_res)
+    fz = fz.reshape(grid_res, grid_res)
+
+    depth = _rasterize_grid_depth(fx, fy, fz, resolution)
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, depth=depth, lvp=lvp, texel=texel)
+    return depth, lvp, texel
+
+
+def _rasterize_grid_depth(fx, fy, fz, resolution):
+    """Depth-only TriangleList raster of the (g-1)^2*2 grid triangles.
+
+    Matches wgpu state: cull Back (front = CCW in framebuffer coords),
+    depth Less, clear 1.0, plus the pipeline's depth bias
+    (constant=2, slope_scale=2.0 on Depth32Float;
+    shadows/resources.rs:247-261).  Quad triangles per
+    terrain_shadow_depth.wgsl: t0=(0,0)(1,0)(0,1), t1=(1,0)(1,1)(0,1).
+    """
+    g = fx.shape[0]
+    v00 = np.stack([fx[:-1, :-1], fy[:-1, :-1], fz[:-1, :-1]], -1)
+    v10 = np.stack([fx[:-1, 1:], fy[:-1, 1:], fz[:-1, 1:]], -1)
+    v01 = np.stack([fx[1:, :-1], fy[1:, :-1], fz[1:, :-1]], -1)
+    v11 = np.stack([fx[1:, 1:], fy[1:, 1:], fz[1:, 1:]], -1)
+    v00 = v00.reshape(-1, 3)
+    v10 = v10.reshape(-1, 3)
+    v01 = v01.reshape(-1, 3)
+    v11 = v11.reshape(-1, 3)
+    tris = np.concatenate([
+        np.stack([v00, v10, v01], 1),
+        np.stack([v10, v11, v01], 1)], 0)
+
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    # signed area in framebuffer coords (y down). wgpu front_face=Ccw is
+    # defined in NDC (y up): CCW in NDC = CW in framebuffer = negative area.
+    area2 = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+             - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    keep = area2 < 0.0  # NDC-CCW triangles survive Back culling
+    if keep.sum() < (~keep).sum():
+        keep = ~keep
+    tris = tris[keep]
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    area2 = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+             - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    nz = np.abs(area2) > 1e-12
+    tris, a, b, c, area2 = tris[nz], a[nz], b[nz], c[nz], area2[nz]
+
+    # per-triangle depth-bias (D3D/Vulkan formula for float depth)
+    dzdx = ((c[:, 2] - a[:, 2]) * (b[:, 1] - a[:, 1])
+            - (b[:, 2] - a[:, 2]) * (c[:, 1] - a[:, 1])) / area2
+    dzdy = ((b[:, 2] - a[:, 2]) * (c[:, 0] - a[:, 0])
+            - (c[:, 2] - a[:, 2]) * (b[:, 0] - a[:, 0])) / area2
+    m = np.maximum(np.abs(dzdx), np.abs(dzdy))
+    zmax = np.maximum(np.abs(tris[:, :, 2]).max(1), 1e-20)
+    r_unit = 2.0 ** (np.floor(np.log2(zmax)) - 23.0)
+    bias = 2.0 * m + 2.0 * r_unit
+
+    xmin = np.floor(np.minimum(np.minimum(a[:, 0], b[:, 0]), c[:, 0]) + 0.5)
+    ymin = np.floor(np.minimum(np.minimum(a[:, 1], b[:, 1]), c[:, 1]) + 0.5)
+    xmax = np.ceil(np.maximum(np.maximum(a[:, 0], b[:, 0]), c[:, 0]) - 0.5)
+    ymax = np.ceil(np.maximum(np.maximum(a[:, 1], b[:, 1]), c[:, 1]) - 0.5)
+    wbb = int(np.clip((xmax - xmin).max() + 1, 1, 64))
+    hbb = int(np.clip((ymax - ymin).max() + 1, 1, 64))
+
+    depth = np.full((resolution, resolution), 1.0, np.float32)
+    inv = 1.0 / area2
+    for dy in range(hbb):
+        py = ymin + dy + 0.5
+        rowlive = py <= ymax + 0.5
+        for dx in range(wbb):
+            px = xmin + dx + 0.5
+            live = rowlive & (px <= xmax + 0.5)
+            if not live.any():
+                continue
+            w0 = ((b[:, 0] - px) * (c[:, 1] - py)
+                  - (c[:, 0] - px) * (b[:, 1] - py)) * inv
+            w1 = ((c[:, 0] - px) * (a[:, 1] - py)
+                  - (a[:, 0] - px) * (c[:, 1] - py)) * inv
+            w2 = 1.0 - w0 - w1
+            inside = live & (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            if not inside.any():
+                continue
+            z = (w0 * a[:, 2] + w1 * b[:, 2] + w2 * c[:, 2] + bias)[inside]
+            xs = np.clip(px[inside].astype(np.int64), 0, resolution - 1)
+            ys = np.clip(py[inside].astype(np.int64), 0, resolution - 1)
+            z = np.clip(z, 0.0, 1.0)
+            np.minimum.at(depth, (ys, xs), z.astype(np.float32))
+    return depth
+
+
+# ---------------------------------------------------------------------------
+# PCSS shadow visibility (terrain_pbr_pom.wgsl:1046-1383)
+# ---------------------------------------------------------------------------
+
+def _pcf2x2(depth_map, u, v, ref):
+    """Hardware PCF: bilinear weight of per-texel (ref <= texel)."""
+    r = depth_map.shape[0]
+    x = u * r - 0.5
+    y = v * r - 0.5
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = np.clip(x0.astype(np.int64), 0, r - 1)
+    y0i = np.clip(y0.astype(np.int64), 0, r - 1)
+    x1i = np.clip(x0i + 1, 0, r - 1)
+    y1i = np.clip(y0i + 1, 0, r - 1)
+    c00 = (ref <= depth_map[y0i, x0i]).astype(np.float32)
+    c10 = (ref <= depth_map[y0i, x1i]).astype(np.float32)
+    c01 = (ref <= depth_map[y1i, x0i]).astype(np.float32)
+    c11 = (ref <= depth_map[y1i, x1i]).astype(np.float32)
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
+def pcss_visibility(depth_map, lvp, texel_size, shadow_pos, normal,
+                    light_dir_csm, *, shadow_map_size=4096.0,
+                    blocker_radius=6.0, filter_radius=4.0, light_size=1.0,
+                    depth_bias=0.0005, slope_bias=0.001, pp_offset=0.0002):
+    """sample_shadow_pcf_terrain, technique PCSS."""
+    flat = shadow_pos.reshape(-1, 3)
+    ndc = (lvp[:3, :3] @ flat.T).T + lvp[:3, 3]
+    su = ndc[:, 0] * 0.5 + 0.5
+    sv = ndc[:, 1] * -0.5 + 0.5
+    depth01 = ndc[:, 2]
+
+    nrm = normal.reshape(-1, 3)
+    ld = light_dir_csm / np.linalg.norm(light_dir_csm)
+    ndl = np.maximum((nrm * ld).sum(-1), 0.0)
+    slope = np.clip(1.0 - ndl, 0.0, 1.0)
+    bias = depth_bias + slope_bias * slope + pp_offset
+    cmp = depth01 - bias
+
+    vis = np.ones(flat.shape[0], np.float32)
+    inb = (su >= 0) & (su <= 1) & (sv >= 0) & (sv <= 1) \
+        & (depth01 >= 0) & (depth01 <= 1)
+
+    r = depth_map.shape[0]
+    tuv = 1.0 / shadow_map_size
+    sr = min(blocker_radius, 50.0) * tuv
+    bu = su[inb, None] + _POISSON_12[None, :, 0] * sr
+    bv = sv[inb, None] + _POISSON_12[None, :, 1] * sr
+    binb = (bu >= 0) & (bu <= 1) & (bv >= 0) & (bv <= 1)
+    tx = np.clip((bu * r), 0.0, r - 1.0).astype(np.int64)
+    ty = np.clip((bv * r), 0.0, r - 1.0).astype(np.int64)
+    sdep = depth_map[ty, tx]
+    is_blk = binb & (sdep < cmp[inb, None])
+    bsum = np.where(is_blk, sdep, 0.0).sum(1)
+    bcnt = is_blk.sum(1).astype(np.float32)
+    has_blk = bcnt > 0
+    avg_blk = np.where(has_blk, bsum / np.maximum(bcnt, 1.0), -1.0)
+
+    pen = np.maximum(cmp[inb] - avg_blk, 0.0) * light_size \
+        / np.maximum(avg_blk, 0.001)
+    pen = np.clip(pen, 0.0, 100.0)
+    maxfr = min(filter_radius, 100.0)
+    fr = np.minimum(np.maximum(pen, min(maxfr, 1.0)), maxfr)
+    sfr = fr / shadow_map_size
+
+    fu = su[inb, None] + _POISSON_16[None, :, 0] * sfr[:, None]
+    fv = sv[inb, None] + _POISSON_16[None, :, 1] * sfr[:, None]
+    finb = (fu >= 0) & (fu <= 1) & (fv >= 0) & (fv <= 1)
+    cref = np.clip(cmp[inb], 0.0, 1.0)[:, None]
+    pcf = _pcf2x2(depth_map, fu, fv, np.broadcast_to(cref, fu.shape))
+    ssum = np.where(finb, pcf, 1.0).sum(1) / 16.0
+    vin = np.where(has_blk, ssum, 1.0)
+    vis_inb = vis[inb]
+    vis_inb = vin.astype(np.float32)
+    vis[inb] = vis_inb
+    return vis.reshape(shadow_pos.shape[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Sky pass (sky.wgsl cs_render_sky, hosek model) + aerial fog
+# ---------------------------------------------------------------------------
+
+def render_sky_texture(width, height, *, view, proj, sky_cfg, light_dir):
+    """Numpy port of the sky compute pass. Returns (H, W, 3) u8-quantized."""
+    from forge3d_tpu.sky import _cook_channel, _hosek_data
+
+    sun_dir = np.array([light_dir[0], light_dir[2], light_dir[1]], np.float32)
+    turbidity = float(np.clip(sky_cfg["turbidity"], 1.0, 10.0))
+    albedo = float(np.clip(sky_cfg["ground_albedo"], 0.0, 1.0))
+    sky_sun_y = float(np.clip(light_dir[2], 0.0, 1.0))
+    solar_elev = float(np.clip(np.arcsin(sky_sun_y), 0.0, np.pi / 2))
+    cfgs, rads = _hosek_data()
+    configs = []
+    radiances = []
+    for ch in range(3):
+        cc, rr = _cook_channel(cfgs[ch], rads[ch], turbidity, albedo,
+                               solar_elev)
+        configs.append(np.asarray(cc, np.float32))
+        radiances.append(np.float32(rr))
+
+    px = (np.arange(width, dtype=np.float32) + 0.5) / width
+    py = (np.arange(height, dtype=np.float32) + 0.5) / height
+    uu, vv = np.meshgrid(px, py)
+    ndc = np.stack([uu * 2.0 - 1.0, 1.0 - vv * 2.0], -1)
+
+    inv_proj = np.linalg.inv(proj)
+    inv_view = np.linalg.inv(view)
+    clip = np.concatenate([ndc, np.ones(ndc.shape[:2] + (2,), np.float32)],
+                          -1)
+    vp = clip @ inv_proj.T
+    vdir = vp[..., :3] / vp[..., 3:4]
+    vdir = vdir / np.linalg.norm(vdir, axis=-1, keepdims=True)
+    wdir = vdir @ inv_view[:3, :3].T
+    wdir = wdir / np.linalg.norm(wdir, axis=-1, keepdims=True)
+
+    cos_theta = np.maximum(wdir[..., 1], 0.0)
+    cos_gamma = (wdir * sun_dir).sum(-1)
+    gamma = np.arccos(np.clip(cos_gamma, -1.0, 1.0))
+    ray_m = cos_gamma * cos_gamma
+    zenith = np.sqrt(np.maximum(cos_theta, 0.0))
+
+    model = sky_cfg.get("model", "hosek-wilkie")
+    color = np.zeros(wdir.shape[:2] + (3,), np.float32)
+    if model in ("hosek-wilkie", "hosek_wilkie", "hosekwilkie"):
+        for ch in range(3):
+            A, B, C, D, E, F, G, Hc, I = configs[ch]
+            mie_den = np.maximum(1e-4, 1.0 + I * I - 2.0 * I * cos_gamma)
+            mie = (1.0 + ray_m) / mie_den ** 1.5
+            color[..., ch] = radiances[ch] \
+                * (1.0 + A * np.exp(B / (cos_theta + 0.01))) \
+                * (C + D * np.exp(E * gamma) + F * ray_m + G * mie
+                   + Hc * zenith)
+    else:
+        # preetham luminance-only path (sky.wgsl eval_preetham)
+        t = turbidity
+        A = 0.1787 * t - 1.4630
+        B = -0.3554 * t + 0.4275
+        C = -0.0227 * t + 5.3251
+        D = 0.1206 * t - 2.5771
+        E = -0.0670 * t + 0.3703
+        cts = max(sun_dir[1], 0.0)
+
+        def perez(ct_, cg_):
+            g_ = np.arccos(np.clip(cg_, -1.0, 1.0))
+            return (1.0 + A * np.exp(B / (ct_ + 0.01))) \
+                * (1.0 + C * np.exp(D * g_) + E * cg_ * cg_)
+        Y = perez(cos_theta, cos_gamma) / max(perez(1.0, cts), 0.01)
+        sun_angle = np.arccos(np.clip(cts, -1, 1))
+        sunset = np.clip((sun_angle - 1.4) / 0.4, 0.0, 1.0)
+        sunset = sunset * sunset * (3 - 2 * sunset)
+        if cts > 0.1:
+            base = np.array([0.3, 0.5, 1.0], np.float32)
+            color = base * Y[..., None]
+        else:
+            hz = np.array([1.0, 0.6, 0.3], np.float32)
+            zc = np.array([0.4, 0.5, 0.8], np.float32)
+            color = (zc + (hz - zc) * sunset) * Y[..., None]
+        haze = np.float32(t - 2.0) / 8.0
+        color = color + (haze - color) * min(t / 10.0, 0.5)
+        color = color * (1.0 + albedo * 0.2)
+    color = np.maximum(color, 0.0)
+
+    # night fade (no-op for daytime suns) + sun disc + solar scattering
+    solar_alt = np.degrees(np.arcsin(np.clip(sun_dir[1], -1.0, 1.0)))
+    daylight = np.clip((solar_alt + 18.0) / 14.0, 0.0, 1.0)
+    daylight = daylight * daylight * (3.0 - 2.0 * daylight)
+    horizon = 1.0 - np.clip(wdir[..., 1], 0.0, 1.0)
+    night = (np.array([0.002, 0.003, 0.009], np.float32)
+             + (np.array([0.008, 0.012, 0.024], np.float32)
+                - np.array([0.002, 0.003, 0.009], np.float32))
+             * (horizon * horizon)[..., None])
+    color = night + (color - night) * daylight
+
+    inten = max(sky_cfg["sun_intensity"], 0.0)
+    ssize = max(sky_cfg["sun_size"], 0.0)
+    sun_radius = 0.0093 * max(ssize, 0.01)
+    scr = np.cos(sun_radius)
+    disc = np.zeros_like(color)
+    inside = cos_gamma >= scr
+    if inside.any():
+        limb = np.clip((cos_gamma - scr) / max(1.0 - scr, 1e-9), 0, 1)
+        limb = limb * limb * (3 - 2 * limb)
+        disc[inside] = (np.array([1.0, 0.95, 0.9], np.float32)
+                        * (inten * 50.0)
+                        * limb[inside][..., None])
+    glow_angle = max(0.05 * max(ssize, 0.25), sun_radius * 2.0)
+    gcos = np.cos(glow_angle)
+    ring = (cos_gamma >= gcos) & ~inside
+    if ring.any():
+        gf = np.clip((cos_gamma - gcos) / max(scr - gcos, 1e-9), 0, 1)
+        gf = gf * gf * (3 - 2 * gf)
+        disc[ring] = (np.array([1.0, 0.8, 0.6], np.float32)
+                      * (inten * 2.0) * gf[ring][..., None])
+    color = color + disc
+
+    # render_solar_scattering
+    sun_align = np.maximum(cos_gamma, 0.0)
+    sun_elev = max(sun_dir[1], 0.0)
+    low_sun = 1.0 - _smoothstep(0.18, 0.72, sun_elev)
+    haze = np.clip((turbidity - 1.0) / 9.0, 0.0, 1.0)
+    size_norm = np.clip(ssize / 4.0, 0.0, 1.0)
+    hz = 1.0 - np.clip(wdir[..., 1], 0.0, 1.0)
+    fwd = sun_align ** (22.0 + (4.0 - 22.0) * size_norm)
+    broad = sun_align ** (10.0 + (2.5 - 10.0) * size_norm)
+    hglow = hz ** 2 * low_sun * (0.35 + haze * 0.35 + size_norm * 0.2)
+    amb = inten * (0.02 + haze * 0.03)
+    sunset_c = np.array([1.0, 0.95, 0.9], np.float32) \
+        + (np.array([1.0, 0.72, 0.42], np.float32)
+           - np.array([1.0, 0.95, 0.9], np.float32)) \
+        * (low_sun * (0.75 + haze * 0.2))
+    day_c = np.array([1.0, 0.97, 0.92], np.float32) \
+        + (np.array([1.0, 0.9, 0.78], np.float32)
+           - np.array([1.0, 0.97, 0.92], np.float32)) * (haze * 0.6)
+    scat_c = day_c + (sunset_c - day_c) * low_sun
+    color = color + scat_c * (
+        fwd[..., None] * inten * 0.35
+        + broad[..., None] * inten * (0.06 + size_norm * 0.08)
+        + hglow[..., None] * inten * 0.22 + amb)
+
+    color = color * max(sky_cfg["sky_exposure"], 0.0)
+    color = color / (color + 1.0)
+    # Rgba8Unorm storage texture quantization
+    q = np.round(np.clip(color, 0.0, 1.0) * 255.0) / 255.0
+    return q.astype(np.float32)
+
+
+def _smoothstep(e0, e1, x):
+    t = np.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+# ---------------------------------------------------------------------------
+# Tonemap / encode (includes/tonemap_common.wgsl)
+# ---------------------------------------------------------------------------
+
+def tonemap_filmic_terrain(c):
+    A, B, C, D, E, F, W = 0.22, 0.30, 0.10, 0.20, 0.01, 0.30, 11.2
+    x = np.maximum(c, 0.0)
+    curve = ((x * (A * x + C * B) + D * E) / (x * (A * x + B) + D * F)) \
+        - E / F
+    wc = ((W * (A * W + C * B) + D * E) / (W * (A * W + B) + D * F)) - E / F
+    return np.clip(curve / max(wc, 1e-6), 0.0, 1.0)
+
+
+def gamma_correct(c, gamma=2.2):
+    return np.clip(c, 0.0, 1.0) ** (1.0 / max(gamma, 0.1))
+
+
+# ---------------------------------------------------------------------------
+# Main shading (shade_main beauty path)
+# ---------------------------------------------------------------------------
+
+def _coarse_ddx(a):
+    """dpdxCoarse: per 2x2 quad, v(top-right) - v(top-left), broadcast."""
+    out = np.empty_like(a)
+    d = a[0::2, 1::2] - a[0::2, 0::2]
+    out[0::2, 0::2] = d
+    out[0::2, 1::2] = d
+    out[1::2, 0::2] = d
+    out[1::2, 1::2] = d
+    return out
+
+
+def _coarse_ddy(a):
+    out = np.empty_like(a)
+    d = a[1::2, 0::2] - a[0::2, 0::2]
+    out[0::2, 0::2] = d
+    out[0::2, 1::2] = d
+    out[1::2, 0::2] = d
+    out[1::2, 1::2] = d
+    return out
+
+
+def _normalize(v):
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+def render_screen_scene(
+    heightmap, lut_rgb, *, size_px, terrain_span=2.8, z_scale=1.45,
+    exposure=1.0, light_azimuth_deg=135.0, light_elevation_deg=24.0,
+    sun_intensity=2.4, sun_color=(1.0, 1.0, 1.0), ibl_intensity=1.0,
+    cam_radius=5.0, cam_phi_deg=138.0, cam_theta_deg=63.0, fov_y_deg=54.0,
+    clip=(0.1, 6000.0), albedo_mode="colormap", colormap_strength=1.0,
+    hue_variation_strength=0.08, water_mask=None, sky=None,
+    hdr_rgb=None, material_albedo_rgb=None,
+):
+    """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
+    the feature subset the terrain goldens enable (POM off, detail off,
+    material layers off, ao off).  Returns (H, W, 4) u8.
+    """
+    W, H = int(size_px[0]), int(size_px[1])
+    hm = np.asarray(heightmap, np.float32)
+    if hdr_rgb is None:
+        hdr_rgb = decode_test_hdr()
+    ibl = build_ibl(hdr_rgb)
+
+    # ---- per-pixel coordinates -------------------------------------------
+    px = np.arange(W, dtype=np.float32)
+    py = np.arange(H, dtype=np.float32)
+    sx = (px[None, :] + 0.5) / W * np.ones((H, 1), np.float32)
+    sy = (1.0 - (py[:, None] + 0.5) / H) * np.ones((1, W), np.float32)
+    uv = np.stack([sx * 0.5, sy * 0.5], -1)  # tex_coord = screen_uv / 2
+
+    # interpolated world_position: xy full-range, z planar from 3 corners
+    h00 = _nearest(hm, np.float32(0.0), np.float32(0.0))
+    h10 = _nearest(hm, np.float32(1.0), np.float32(0.0))
+    h01 = _nearest(hm, np.float32(0.0), np.float32(1.0))
+    z0 = np.clip(h00, 0.0, 1.0) * z_scale
+    z1 = np.clip(h10, 0.0, 1.0) * z_scale
+    z2 = np.clip(h01, 0.0, 1.0) * z_scale
+    wp_z = z0 * (1.0 - sx * 0.5 - sy * 0.5) + z1 * (sx * 0.5) \
+        + z2 * (sy * 0.5)
+    world_pos = np.stack([sx - 0.5, sy - 0.5, wp_z], -1)
+
+    # ---- camera ----------------------------------------------------------
+    eye = orbit_eye(cam_radius, cam_phi_deg, cam_theta_deg)
+    view = look_at_rh(eye, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    aspect = W / H
+    fov = np.deg2rad(fov_y_deg)
+    f = 1.0 / np.tan(fov * 0.5)
+    proj = np.zeros((4, 4), np.float32)
+    proj[0, 0] = f / aspect
+    proj[1, 1] = f
+    proj[2, 2] = clip[1] / (clip[0] - clip[1])
+    proj[2, 3] = clip[0] * clip[1] / (clip[0] - clip[1])
+    proj[3, 2] = -1.0
+    camera_pos = eye
+    view_dir = _normalize(camera_pos - world_pos)
+
+    # ---- heights, normals -------------------------------------------------
+    u = uv[..., 0]
+    v = uv[..., 1]
+    hsz = hm.shape
+    texel = np.array([1.0 / hsz[1], 1.0 / hsz[0]], np.float32)
+    spacing = 1.0  # screen mode (upload.rs:318-323)
+
+    def geom(uu, vv):
+        return np.clip(_nearest(hm, np.clip(uu, 0, 1), np.clip(vv, 0, 1)),
+                       0.0, 1.0)
+
+    tl = geom(u - texel[0], v - texel[1])
+    tc = geom(u, v - texel[1])
+    tr = geom(u + texel[0], v - texel[1])
+    lc = geom(u - texel[0], v)
+    rc = geom(u + texel[0], v)
+    bl = geom(u - texel[0], v + texel[1])
+    bc = geom(u, v + texel[1])
+    br = geom(u + texel[0], v + texel[1])
+    dx = (tr + 2.0 * rc + br) - (tl + 2.0 * lc + bl)
+    dy = (bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)
+    wtex = texel * spacing
+    vert = max(z_scale * 0.5, 1e-3)
+    height_normal = _normalize(np.stack(
+        [-dx / wtex[0], np.full_like(dx, vert), -dy / wtex[1]], -1))
+    base_normal = np.array([0.0, 0.0, 1.0], np.float32)
+    # normal_strength=1, lod_fade=1 -> blended = height_normal
+    blended_normal = height_normal
+
+    # ---- water / heights / overlay ---------------------------------------
+    if water_mask is not None:
+        wm = _nearest(np.asarray(water_mask, np.float32),
+                      np.clip(u, 0, 1), np.clip(v, 0, 1))
+    else:
+        wm = np.zeros_like(u)
+    is_water = wm > 0.001
+    height_sample = _nearest(hm, np.clip(u, 0, 1), np.clip(v, 0, 1))
+    height_clamped = np.clip(height_sample, 0.0, 1.0)
+    occlusion = np.ones_like(u)  # POM off
+    height_norm = np.clip(height_clamped, 0.0, 1.0)  # domain (0,1), offset 0
+
+    slope_factor = np.float32(1.0)  # slope_raw = 1-|base_normal.y| = 1
+
+    # material layer weights (gaussian, sigma = blend_half*1.5)
+    centers = np.array([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0], np.float32)
+    rough_tab = np.array([0.50, 0.85, 0.50, 0.25], np.float32)
+    sigma = 0.125 * 1.5
+    wgt = np.exp(-(height_norm[..., None] - centers) ** 2
+                 / (2.0 * sigma * sigma))
+    slope_mod = np.array([1.0 + 0.5 * slope_factor, 1.0 - 0.5 * slope_factor,
+                          1.0, 1.0], np.float32)
+    wgt = wgt * slope_mod
+    wgt = wgt / np.maximum(wgt.sum(-1, keepdims=True), 1e-5)
+    roughness = (wgt * rough_tab).sum(-1)
+    metallic = np.zeros_like(roughness)
+    if material_albedo_rgb is not None:
+        material_albedo = material_albedo_rgb
+    else:
+        material_albedo = np.zeros(u.shape + (3,), np.float32)
+
+    shading_normal = blended_normal.copy()
+    water_scatter = np.zeros(u.shape + (3,), np.float32)
+    water_depth_value = np.zeros_like(u)
+    if is_water.any():
+        enc = (wm > 0.01) & (wm < 0.99)
+        shore = np.where(enc, wm,
+                         1.0 - np.clip(height_norm / 0.20, 0.0, 1.0))
+        water_depth_value = np.where(is_water, shore, 0.0)
+        absorption = np.array([0.8, 0.15, 0.02], np.float32)
+        deep = np.array([0.05, 0.45, 0.95], np.float32)
+        shallow = np.array([0.1, 0.5, 0.85], np.float32)
+        under = shallow + (deep - shallow) * water_depth_value[..., None]
+        water_scatter = np.where(
+            is_water[..., None],
+            under * (1.0 - water_depth_value[..., None] * 0.3) * 1.2, 0.0)
+        wx = world_pos[..., 0]
+        wy = world_pos[..., 1]
+        wc, ws = np.cos(0.7), np.sin(0.7)
+        c1 = wx * wc + wy * ws
+        cp = -wx * ws + wy * wc
+        wscale = 0.3 + 0.7 * water_depth_value
+        w1 = np.sin(c1 * 0.05) * 0.07 * wscale
+        w2 = np.sin(c1 * 0.15 + cp * 0.03) * 0.035 * wscale
+        w3 = np.sin(c1 * 0.4 + 1.7) * 0.018
+        cw = np.sin(cp * 0.12 + 0.5) * 0.02 * wscale
+        wdx = (w1 + w2 + w3) * wc + cw * (-ws)
+        wdy = (w1 + w2 + w3) * ws + cw * wc
+        wave_n = _normalize(np.stack([wdx, np.ones_like(wdx), wdy], -1))
+        shading_normal = np.where(is_water[..., None], wave_n,
+                                  shading_normal)
+        roughness = np.where(is_water, 0.02, roughness)
+        # water albedo = underwater color (stored for scatter path)
+        material_albedo = np.where(is_water[..., None], under,
+                                   material_albedo)
+        _ = absorption  # transmittance computed but unused downstream
+
+    # ---- colormap overlay --------------------------------------------------
+    overlay_rgb = _lut_sample(lut_rgb, height_norm)
+    cms = float(np.clip(colormap_strength, 0.0, 1.0))
+    if albedo_mode == "colormap":
+        final_albedo = overlay_rgb
+    elif albedo_mode == "material":
+        final_albedo = material_albedo
+    else:  # mix
+        final_albedo = material_albedo \
+            + (overlay_rgb - material_albedo) * cms
+    # water keeps its underwater color
+    if is_water.any():
+        wsrc = material_albedo if material_albedo_rgb is None else \
+            np.where(is_water[..., None],
+                     material_albedo, final_albedo)
+        final_albedo = np.where(is_water[..., None],
+                                material_albedo, final_albedo)
+        _ = wsrc
+    albedo = np.clip(final_albedo, 0.0, 1.0)
+
+    # hue variation (terrain only)
+    hv = float(np.clip(hue_variation_strength, 0.0, 0.2))
+    if hv > 0.0:
+        shifted = _apply_slope_hue_variation(albedo, slope_factor,
+                                             height_norm, hv)
+        albedo = np.where(is_water[..., None], albedo, shifted)
+
+    # roughness floors
+    roughness = np.where(is_water, np.clip(roughness, 0.02, 1.0),
+                         np.clip(roughness, 0.25, 1.0))
+    f0 = np.full(u.shape + (3,), 0.04, np.float32)
+    ior_f0 = ((1.33 - 1.0) / (1.33 + 1.0)) ** 2
+    f0 = np.where(is_water[..., None], np.float32(ior_f0), f0)
+
+    ldir = light_direction(light_azimuth_deg, light_elevation_deg)
+    lcol = np.asarray(sun_color, np.float32) * float(sun_intensity)
+
+    # ---- CSM / PCSS shadows ------------------------------------------------
+    depth_map, lvp, texel_sz = build_shadow_map(
+        hm, terrain_span=terrain_span, z_scale=z_scale, sun_dir=-ldir)
+    shadow_pos = np.stack([(u - 0.5) * spacing, (v - 0.5) * spacing,
+                           np.clip(height_sample, 0.0, 1.0) * z_scale], -1)
+    shadow_vis = pcss_visibility(depth_map, lvp, texel_sz, shadow_pos,
+                                 blended_normal, -ldir)
+    direct_shadow = SHADOW_MIN + (1.0 - SHADOW_MIN) * shadow_vis
+    shadow_factor = (1.0 - SHADOW_IBL_FACTOR) \
+        + SHADOW_IBL_FACTOR * shadow_vis
+
+    # ---- IBL (eval_ibl_split) ---------------------------------------------
+    n = shading_normal
+    ndv = np.clip((n * view_dir).sum(-1), 0.0, 1.0)
+    rc = np.clip(roughness, 0.0, 1.0)
+    refl = _normalize(2.0 * ((n * view_dir).sum(-1))[..., None] * n
+                      - view_dir)
+    omc = np.clip(1.0 - ndv, 0.0, 1.0)
+    pow5 = omc ** 5
+    F_ibl = f0 + (np.maximum(1.0 - rc[..., None], f0) - f0) * pow5[..., None]
+    kD = (1.0 - F_ibl) * (1.0 - metallic[..., None])
+    irr = _cube_sample(ibl["irradiance"], n)
+    ibl_albedo = np.where(is_water[..., None], 0.0, albedo)
+    ibl_diffuse = kD * ibl_albedo * irr
+    mip = rc * rc * 9.0
+    pref = _cube_sample_mips(ibl["spec_mips"], refl, mip)
+    brdf = _bilinear(ibl["brdf"], ndv, rc)
+    spec_brdf = F_ibl * brdf[..., 0:1] + brdf[..., 1:2]
+    ibl_spec = pref * spec_brdf
+    blended_diffuse = ibl_diffuse  # no probes
+    blended_specular = ibl_spec
+    ibl_occl = np.where(is_water, 1.0, np.clip(occlusion, 0.65, 1.0))
+    ibl_with_shadow = blended_diffuse * shadow_factor[..., None] \
+        + blended_specular
+    ibl_contrib = ibl_with_shadow * ibl_intensity * ibl_occl[..., None]
+
+    # ---- beauty composition -------------------------------------------------
+    shaded = np.zeros(u.shape + (3,), np.float32)
+
+    # water branch
+    if is_water.any():
+        ndv_w = np.maximum((n * view_dir).sum(-1), 0.001)
+        ndl_w = np.maximum((n * ldir).sum(-1), 0.0)
+        hv_ = _normalize(view_dir + ldir)
+        ndh = np.maximum((n * hv_).sum(-1), 0.0)
+        vdh = np.maximum((view_dir * hv_).sum(-1), 0.001)
+        alpha = roughness * roughness
+        a2 = np.maximum(alpha * alpha, 1e-8)
+        den = ndh * ndh * (a2 - 1.0) + 1.0
+        Dt = a2 / (np.pi * den * den)
+        fres = f0 + (1.0 - f0) * ((1.0 - vdh) ** 5)[..., None]
+        k = alpha / 2.0
+        gv = ndv_w / (ndv_w * (1.0 - k) + k)
+        gl = ndl_w / (ndl_w * (1.0 - k) + k)
+        G = gv * gl
+        dspec = (Dt * G / (4.0 * ndv_w * ndl_w + 1e-4))[..., None] * fres
+        sun_c = np.array([1.0, 0.98, 0.95], np.float32)
+        sun_spec = dspec * sun_c * lcol[2] * ndl_w[..., None]
+        depth_atten = 1.0 + (WATER_DEPTH_ATTEN_DEEP - 1.0) \
+            * water_depth_value
+        reflective = (ibl_contrib * WATER_COMBINED_REFLECTION_SCALE
+                      + sun_spec * WATER_SUN_SPECULAR_SCALE) \
+            * depth_atten[..., None]
+        water_shaded = reflective + WATER_BASE_TINT * WATER_BASE_TINT_SCALE \
+            + water_scatter * WATER_SCATTER_SCALE
+        shaded = np.where(is_water[..., None], water_shaded, shaded)
+
+    # terrain branch (P2-S4 composition)
+    ndl = np.maximum((shading_normal * ldir).sum(-1), 0.0)
+    sun_int = np.linalg.norm(lcol)
+    ambient_interp = 0.32 + (0.10 - 0.32) * ndl
+    sun_contrib = (0.36 - 0.10) * ndl * sun_int
+    base_diffuse = ambient_interp + sun_contrib
+    slope_steep = 1.0 - np.abs(shading_normal[..., 1])
+    dndx = _coarse_ddx(shading_normal)
+    dndy = _coarse_ddy(shading_normal)
+    ngrad = np.linalg.norm(dndx, axis=-1) + np.linalg.norm(dndy, axis=-1)
+    edge_sig = slope_steep * 0.3 + ngrad * 15.0
+    edge_bright = np.clip(edge_sig * (ndl + 0.3), 0.0, 0.25)
+    edge_dark = np.clip(edge_sig * (1.0 - ndl) * 0.5, 0.0, 0.15)
+    diffuse_raw = base_diffuse + edge_bright - edge_dark
+    ao_clamped = np.maximum(occlusion, 0.65)  # ao_weight 0, height_ao off
+    shadow_clamped = np.maximum(shadow_factor, 0.30)
+    combined_shadow = shadow_clamped  # sun_vis texture 1x1 white
+    ao_shadow = ao_clamped * combined_shadow
+    diffuse_lit = diffuse_raw * ao_shadow
+    ibl_dfac = np.linalg.norm(blended_diffuse, axis=-1) * ibl_intensity
+    ibl_term = ibl_dfac * AMBIENT_FLOOR * 0.35
+    lighting_factor = diffuse_lit + ibl_term
+    lit_albedo = albedo * lighting_factor[..., None]
+    spec_contrib = blended_specular * ibl_intensity * 0.12
+    spec_capped = np.minimum(spec_contrib, albedo * 0.20)
+    terrain_shaded = lit_albedo + spec_capped  # terrain_sss = 0
+    shaded = np.where(is_water[..., None], shaded, terrain_shaded)
+
+    shaded = shaded * max(exposure, 0.0)
+
+    # ---- atmospheric fog / aerial perspective ------------------------------
+    if sky is not None and sky.get("enabled", False) \
+            and sky.get("aerial_perspective", True):
+        sky_tex = render_sky_texture(W, H, view=view, proj=proj,
+                                     sky_cfg=sky, light_dir=ldir)
+        to_cam = camera_pos - world_pos
+        vdist = np.linalg.norm(to_cam, axis=-1)
+        aerial_density = max(sky.get("aerial_density", 1.0), 0.0)
+        sun_i = max(sky.get("sun_intensity", 1.0), 0.0)
+        sun_sz = max(sky.get("sun_size", 1.0), 0.0)
+        sun_el = max(ldir[2], 0.0)
+        turb = float(np.clip(sky.get("turbidity", 2.0), 1.0, 10.0))
+        sky_exp = max(sky.get("sky_exposure", 1.0), 0.0)
+        low_sun = 1.0 - _smoothstep(0.18, 0.72, sun_el)
+        haze = np.clip((turb - 1.0) / 9.0, 0.0, 1.0)
+        sun_energy = np.clip(sun_i * (0.5 + sun_sz * 0.35), 0.0, 8.0)
+        a_fac = 1.0 - np.exp(-aerial_density * vdist * (0.08 + haze * 0.04))
+        a_amt = np.clip(a_fac * (0.8 + haze * 0.25 + sun_energy * 0.05),
+                        0.0, 1.0)
+        luma = (shaded * np.array([0.2126, 0.7152, 0.0722],
+                                  np.float32)).sum(-1)
+        desat = shaded + (luma[..., None] - shaded) \
+            * (a_amt * (0.4 + haze * 0.15))[..., None]
+        warm = np.array([1.0, 1.0, 1.0], np.float32) \
+            + (np.array([1.16, 0.98, 0.82], np.float32) - 1.0) \
+            * (low_sun * (0.55 + haze * 0.25))
+        tint = 1.0 + (warm - 1.0) * low_sun
+        target = sky_tex * (1.0 + sun_energy * 0.04) * tint \
+            + np.array([0.14, 0.07, 0.025], np.float32) \
+            * (low_sun * sun_energy * 0.18 * sky_exp)
+        blend = (a_amt * (0.34 + low_sun * 0.18 + haze * 0.12))[..., None]
+        shaded = desat + (target - desat) * blend
+
+    final_color = tonemap_filmic_terrain(shaded)
+    encoded = gamma_correct(final_color, 2.2)
+    out = np.empty((H, W, 4), np.uint8)
+    out[..., :3] = np.round(np.clip(encoded, 0.0, 1.0) * 255.0)
+    out[..., 3] = 255
+    return out
+
+
+def _apply_slope_hue_variation(albedo, slope_factor, height_norm, strength):
+    """terrain_pbr_pom.wgsl:2482-2546 HSV hue shift."""
+    r, g, b = albedo[..., 0], albedo[..., 1], albedo[..., 2]
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
+    delta = maxc - minc
+    gray = delta < 0.001
+    safe_delta = np.where(gray, 1.0, delta)
+    hue = np.where(
+        maxc == r, ((g - b) / safe_delta) / 6.0,
+        np.where(maxc == g, (2.0 + (b - r) / safe_delta) / 6.0,
+                 (4.0 + (r - g) / safe_delta) / 6.0))
+    hue = np.where(hue < 0.0, hue + 1.0, hue)
+    sat = delta / np.maximum(maxc, 1e-20)
+    val = maxc
+    slope_shift = (slope_factor - 0.5) * strength
+    elev_shift = (height_norm - 0.5) * strength * 0.4
+    noise_shift = (sat - 0.5) * strength * 0.5
+    new_hue = np.mod(hue + slope_shift + elev_shift + noise_shift, 1.0)
+    c = sat * val
+    x = c * (1.0 - np.abs(np.mod(new_hue * 6.0, 2.0) - 1.0))
+    m = val - c
+    h6 = new_hue * 6.0
+    z = np.zeros_like(c)
+    rgb = np.where(
+        (h6 < 1.0)[..., None], np.stack([c, x, z], -1),
+        np.where((h6 < 2.0)[..., None], np.stack([x, c, z], -1),
+                 np.where((h6 < 3.0)[..., None], np.stack([z, c, x], -1),
+                          np.where((h6 < 4.0)[..., None],
+                                   np.stack([z, x, c], -1),
+                                   np.where((h6 < 5.0)[..., None],
+                                            np.stack([x, z, c], -1),
+                                            np.stack([c, z, x], -1))))))
+    out = rgb + m[..., None]
+    return np.where(gray[..., None], albedo, out)
+
+
+FAMILY_STOPS = [(0.0, "#18391f"), (0.38, "#4e7c35"), (0.65, "#8f7a4a"),
+                (0.82, "#b8ac88"), (1.0, "#f2f4f7")]
+
+#: scene kwargs mirroring test_terrain_visual_goldens.py:225-312 (reference)
+FAMILY_SCENES = {
+    "terrain_pbr": dict(),
+    "terrain_water": dict(water_mask=True, light_elevation_deg=18.0),
+    "terrain_atmosphere": dict(
+        sky=dict(enabled=True, model="hosek-wilkie", turbidity=5.5,
+                 ground_albedo=0.35, sun_intensity=1.8, sun_size=1.6,
+                 aerial_density=2.8, sky_exposure=1.1,
+                 aerial_perspective=True),
+        light_elevation_deg=12.0),
+    "terrain_low_sun_sky": dict(
+        sky=dict(enabled=True, model="hosek-wilkie", turbidity=7.0,
+                 ground_albedo=0.42, sun_intensity=2.2, sun_size=1.8,
+                 aerial_density=3.2, sky_exposure=1.15,
+                 aerial_perspective=True),
+        light_elevation_deg=5.0, light_azimuth_deg=118.0,
+        cam_radius=5.1, cam_phi_deg=138.0, cam_theta_deg=68.0),
+}
+
+
+def family_heightmap(size=96):
+    """test_terrain_visual_goldens._build_heightmap (reference)."""
+    x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    ridge = 0.52 * np.exp(-((xx + 0.25) ** 2 * 6.5
+                            + (yy - 0.12) ** 2 * 10.0))
+    basin = -0.18 * np.exp(-((xx - 0.05) ** 2 * 20.0
+                             + (yy + 0.05) ** 2 * 24.0))
+    spur = 0.22 * np.exp(-((xx - 0.42) ** 2 * 28.0
+                           + (yy + 0.22) ** 2 * 18.0))
+    slope = 0.25 * (1.0 - yy) + 0.10 * xx
+    hm = ridge + basin + spur + slope
+    hm -= hm.min()
+    hm /= max(float(hm.max()), 1e-6)
+    return hm.astype(np.float32)
+
+
+def family_water_mask(size=96):
+    """test_terrain_visual_goldens._build_water_mask (reference)."""
+    x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    lake = ((xx + 0.02) / 0.55) ** 2 + ((yy + 0.18) / 0.28) ** 2 <= 1.0
+    inlet = ((xx - 0.34) / 0.22) ** 2 + ((yy + 0.10) / 0.18) ** 2 <= 1.0
+    return np.where(lake | inlet, 1.0, 0.0).astype(np.float32)
+
+
+def render_family_scene(name, *, size_px=(192, 128)):
+    """Render one terrain-golden-family scene with the replica pipeline."""
+    kw = dict(FAMILY_SCENES[name])
+    wm = family_water_mask() if kw.pop("water_mask", False) else None
+    kw.setdefault("size_px", size_px)
+    lut = build_lut_from_stops(FAMILY_STOPS)
+    return render_screen_scene(family_heightmap(), lut, water_mask=wm, **kw)
+
+
+def build_lut_from_stops(stops):
+    """Colormap1D.from_stops: 256-wide u8 LUT, per-stop linear interp
+    (colormap1d.rs:131-175), returned as float [0,1] rgb."""
+    pos = np.array([s[0] for s in stops], np.float32)
+    cols = np.array([[int(s[1][i:i + 2], 16) for i in (1, 3, 5)]
+                     for s in stops], np.float32)
+    t = np.linspace(0.0, 1.0, 256, dtype=np.float32)
+    out = np.zeros((256, 3), np.float32)
+    for i, v in enumerate(t):
+        if v <= pos[0]:
+            out[i] = cols[0]
+        elif v >= pos[-1]:
+            out[i] = cols[-1]
+        else:
+            j = np.searchsorted(pos, v, side="right") - 1
+            j = min(j, len(pos) - 2)
+            f = (v - pos[j]) / max(pos[j + 1] - pos[j], 1e-20)
+            out[i] = np.round(cols[j] + (cols[j + 1] - cols[j]) * f)
+    return out / 255.0

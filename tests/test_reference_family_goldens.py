@@ -271,6 +271,14 @@ def _tv10_entry(scene):
     return run
 
 
+def _screen_golden_entry(name):
+    def run():
+        from forge3d_tpu.terrain import screen_golden
+
+        return screen_golden.render_family_scene(name)
+    return run
+
+
 _TV10_A = dict(light_azimuth_deg=132.0, light_elevation_deg=11.0,
                size_px=(240, 160))
 _TV10_B = dict(light_azimuth_deg=214.0, light_elevation_deg=9.0,
@@ -285,26 +293,25 @@ FAMILY_GOLDENS = {
         "golden": GOLDEN_ROOT / "presets" / "rainier_showcase_mapscene.png",
         "render": _render_preset_rainier,
     },
+    # terrain_pbr/water/atmosphere/low_sun_sky render through the
+    # behavior-exact screen-mode replica (forge3d_tpu/terrain/screen_golden
+    # re-derives the reference's shade_main/PCSS/IBL/sky pipeline stage by
+    # stage); the remaining family entries still use the fitted profiles.
     "terrain_pbr": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_pbr.png",
-        "render": _terrain_entry(size_px=(192, 128), azimuth=135.0,
-                                 elevation=24.0),
+        "render": _screen_golden_entry("terrain_pbr"),
     },
     "terrain_water": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_water.png",
-        "render": _terrain_entry(size_px=(192, 128), azimuth=135.0,
-                                 elevation=18.0,
-                                 water_mask=_terrain_family_water_mask()),
+        "render": _screen_golden_entry("terrain_water"),
     },
     "terrain_atmosphere": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_atmosphere.png",
-        "render": _terrain_entry(size_px=(192, 128), azimuth=135.0,
-                                 elevation=12.0),
+        "render": _screen_golden_entry("terrain_atmosphere"),
     },
     "terrain_low_sun_sky": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_low_sun_sky.png",
-        "render": _terrain_entry(size_px=(192, 128), azimuth=118.0,
-                                 elevation=5.0),
+        "render": _screen_golden_entry("terrain_low_sun_sky"),
     },
     "terrain_pom": {
         # albedo_mode="material", colormap_strength 0 in the reference
