@@ -331,9 +331,11 @@ def _tangent_frame(n):
     return t, b
 
 
-def decode_test_hdr(width=8, height=4):
-    """The golden suite's gradient RGBE env
-    (test_terrain_visual_goldens.py:41-50): value = byte * 2^(e-136)."""
+def decode_test_hdr(width=8, height=4, blue=128):
+    """The golden suites' gradient RGBE env
+    (test_terrain_visual_goldens.py:41-50 blue=128,
+    test_terrain_tv10_goldens.py:40-49 blue=180):
+    value = byte * 2^(e-136)."""
     x = np.arange(width, dtype=np.float32)
     y = np.arange(height, dtype=np.float32)
     r = np.floor(x / max(width - 1, 1) * 255.0)
@@ -341,7 +343,7 @@ def decode_test_hdr(width=8, height=4):
     img = np.zeros((height, width, 3), np.float32)
     img[..., 0] = r[None, :] / 256.0
     img[..., 1] = g[:, None] / 256.0
-    img[..., 2] = 128.0 / 256.0
+    img[..., 2] = float(blue) / 256.0
     return img
 
 
@@ -861,6 +863,76 @@ def _smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
+def _srgb_to_linear(c):
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92,
+                    ((c + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+#: MaterialSet.terrain_default() base colors (material_set/py_api.rs:29-51):
+#: rock/grass/dirt/snow. Textures are absent in the golden env, so the GPU
+#: texture is a solid base-color fill (gpu_helpers.rs:40-60) stored as
+#: Rgba8UnormSrgb (gpu.rs:193) - sampling returns srgb_to_linear(u8 round).
+_MATERIAL_BASE_SRGB = np.array([
+    [0.28, 0.26, 0.24],   # rock,  roughness 0.50
+    [0.18, 0.38, 0.10],   # grass, roughness 0.85
+    [0.35, 0.25, 0.15],   # dirt,  roughness 0.50
+    [0.95, 0.97, 1.00],   # snow,  roughness 0.25
+], np.float32)
+_MATERIAL_LINEAR = _srgb_to_linear(
+    np.round(_MATERIAL_BASE_SRGB * 255.0) / 255.0)
+
+
+#: M4 material-layer settings mirroring MaterialLayerSettings defaults
+#: (terrain_params.py:546-600 reference); angles in degrees
+def default_material_layers():
+    return dict(
+        snow_enabled=False, snow_altitude_min=2000.0,
+        snow_altitude_blend=500.0, snow_slope_max=45.0,
+        snow_slope_blend=15.0, snow_aspect_influence=0.3,
+        snow_color=(0.95, 0.95, 0.98), snow_subsurface_strength=0.0,
+        snow_subsurface_tint=(1.0, 1.0, 1.0),
+        rock_enabled=False, rock_slope_min=45.0, rock_slope_blend=10.0,
+        rock_color=(0.35, 0.32, 0.28), rock_subsurface_strength=0.0,
+        rock_subsurface_tint=(1.0, 1.0, 1.0),
+        wetness_enabled=False, wetness_strength=0.3,
+        wetness_slope_influence=0.5, wetness_subsurface_strength=0.0,
+        wetness_subsurface_tint=(1.0, 1.0, 1.0),
+    )
+
+
+def _material_layer_weights(mats, altitude):
+    """resolve_terrain_layer_weights for the screen-mode geometry.
+
+    base_normal is the interpolated vertex normal (0,0,1)
+    (terrain_pbr_pom.wgsl:1625, :3151), so compute_terrain_attributes
+    yields slope=0, aspect=0 (wgsl:590-612); only the altitude ramp (on the
+    PLANAR interpolated world z) varies per pixel. Noise variation is off
+    (zero default amplitudes -> variation_params0.w = 0).
+    """
+    deg = np.pi / 180.0
+    snow = np.zeros_like(altitude)
+    if mats["snow_enabled"]:
+        alt_f = np.clip((altitude - mats["snow_altitude_min"])
+                        / max(mats["snow_altitude_blend"], 0.001), 0.0, 1.0)
+        slope_max = mats["snow_slope_max"] * deg
+        slope_blend = mats["snow_slope_blend"] * deg
+        slope_f = 1.0 - np.clip((0.0 - slope_max + slope_blend)
+                                / max(slope_blend, 0.001), 0.0, 1.0)
+        # aspect 0 -> south_factor = cos(0) = 1 -> aspect_factor = 1
+        snow = alt_f * slope_f
+    rock = np.float32(0.0)
+    if mats["rock_enabled"]:
+        rock_min = mats["rock_slope_min"] * deg
+        rock_blend = mats["rock_slope_blend"] * deg
+        rock = np.float32(np.clip((0.0 - rock_min)
+                                  / max(rock_blend, 0.001), 0.0, 1.0))
+    wet = np.float32(0.0)
+    if mats["wetness_enabled"]:
+        wet = np.float32(1.0 * mats["wetness_slope_influence"])
+    return snow, rock, wet
+
+
 # ---------------------------------------------------------------------------
 # Tonemap / encode (includes/tonemap_common.wgsl)
 # ---------------------------------------------------------------------------
@@ -914,7 +986,7 @@ def render_screen_scene(
     cam_radius=5.0, cam_phi_deg=138.0, cam_theta_deg=63.0, fov_y_deg=54.0,
     clip=(0.1, 6000.0), albedo_mode="colormap", colormap_strength=1.0,
     hue_variation_strength=0.08, water_mask=None, sky=None,
-    hdr_rgb=None, material_albedo_rgb=None,
+    hdr_rgb=None, material_albedo_rgb=None, materials=None,
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1017,7 +1089,9 @@ def render_screen_scene(
     if material_albedo_rgb is not None:
         material_albedo = material_albedo_rgb
     else:
-        material_albedo = np.zeros(u.shape + (3,), np.float32)
+        # triplanar of solid base-color fills = weighted sum of the
+        # sRGB-decoded terrain_default colors
+        material_albedo = (wgt[..., None] * _MATERIAL_LINEAR).sum(-2)
 
     shading_normal = blended_normal.copy()
     water_scatter = np.zeros(u.shape + (3,), np.float32)
@@ -1081,6 +1155,42 @@ def render_screen_scene(
         shifted = _apply_slope_hue_variation(albedo, slope_factor,
                                              height_norm, hv)
         albedo = np.where(is_water[..., None], albedo, shifted)
+
+    # M4 material layers: wetness darkening -> rock -> snow
+    # (terrain_pbr_pom.wgsl:3616-3641), then TV10 subsurface state
+    sss_strength = np.zeros_like(u)
+    sss_tint = np.ones(u.shape + (3,), np.float32)
+    if materials is not None:
+        mats = dict(default_material_layers())
+        mats.update(materials)
+        snow_w, rock_w, wet_w = _material_layer_weights(
+            mats, world_pos[..., 2])
+        layered = albedo * (1.0 - np.clip(wet_w, 0.0, 1.0)
+                            * mats["wetness_strength"])
+        rock_c = _f16(np.asarray(mats["rock_color"], np.float32))
+        layered = layered + (rock_c - layered) * np.clip(rock_w, 0.0, 1.0)
+        snow_c = _f16(np.asarray(mats["snow_color"], np.float32))
+        sw = np.clip(snow_w, 0.0, 1.0)[..., None]
+        layered = layered + (snow_c - layered) * sw
+        albedo = np.where(is_water[..., None], albedo, layered)
+        # resolve_terrain_subsurface: wetness -> rock -> snow
+        # (terrain_pbr_pom.wgsl:794-815)
+        for w, strength, tint in (
+                (wet_w, mats["wetness_subsurface_strength"],
+                 mats["wetness_subsurface_tint"]),
+                (rock_w, mats["rock_subsurface_strength"],
+                 mats["rock_subsurface_tint"]),
+                (snow_w, mats["snow_subsurface_strength"],
+                 mats["snow_subsurface_tint"])):
+            if strength <= 0.0:
+                continue
+            cov = np.clip(np.broadcast_to(
+                np.asarray(w, np.float32), u.shape), 0.0, 1.0)
+            live = np.asarray(w, np.float32) > 0.0
+            cov = np.where(live, cov, 0.0)
+            sss_strength = sss_strength + (strength - sss_strength) * cov
+            sss_tint = sss_tint + (np.asarray(tint, np.float32)
+                                   - sss_tint) * cov[..., None]
 
     # roughness floors
     roughness = np.where(is_water, np.clip(roughness, 0.02, 1.0),
@@ -1184,7 +1294,27 @@ def render_screen_scene(
     lit_albedo = albedo * lighting_factor[..., None]
     spec_contrib = blended_specular * ibl_intensity * 0.12
     spec_capped = np.minimum(spec_contrib, albedo * 0.20)
-    terrain_shaded = lit_albedo + spec_capped  # terrain_sss = 0
+    # TV10 terrain subsurface (evaluate_terrain_subsurface, wgsl:817-848)
+    terrain_sss = np.zeros_like(lit_albedo)
+    if np.any(sss_strength > 0.0):
+        ndl_s = np.clip((shading_normal * ldir).sum(-1), 0.0, 1.0)
+        wrap_w = 0.45 * sss_strength
+        wrapped = np.clip((ndl_s + wrap_w) / (1.0 + wrap_w), 0.0, 1.0)
+        wrap_boost = np.maximum(wrapped - ndl_s, 0.0)
+        view_back = np.clip((view_dir * (-ldir)).sum(-1), 0.0, 1.0) ** 4
+        backscatter = view_back * (0.25 + 0.75 * (1.0 - ndl_s))
+        scatter_profile = np.maximum(wrap_boost * 1.35, backscatter * 0.30)
+        shadow_bleed = 0.20 + 0.80 * np.clip(combined_shadow, 0.0, 1.0)
+        ambient_fill = ibl_dfac * (0.02 + 0.06 * sss_strength) \
+            * (1.0 - ndl_s * 0.5)
+        scatter_color = np.clip(
+            albedo * (1.0 + (sss_tint - 1.0) * 0.85), 0.0, 1.5)
+        terrain_sss = scatter_color \
+            * (scatter_profile * shadow_bleed + ambient_fill)[..., None] \
+            * (0.16 + 0.44 * sss_strength)[..., None]
+        terrain_sss = np.where((sss_strength > 0.0)[..., None],
+                               terrain_sss, 0.0)
+    terrain_shaded = lit_albedo + spec_capped + terrain_sss
     shaded = np.where(is_water[..., None], shaded, terrain_shaded)
 
     shaded = shaded * max(exposure, 0.0)
@@ -1269,8 +1399,34 @@ def _apply_slope_hue_variation(albedo, slope_factor, height_norm, strength):
 
 FAMILY_STOPS = [(0.0, "#18391f"), (0.38, "#4e7c35"), (0.65, "#8f7a4a"),
                 (0.82, "#b8ac88"), (1.0, "#f2f4f7")]
+TV10_STOPS = [(0.0, "#1b381d"), (0.22, "#416a30"), (0.50, "#7d7a4b"),
+              (0.72, "#b6a98d"), (1.0, "#f4f7fb")]
 
-#: scene kwargs mirroring test_terrain_visual_goldens.py:225-312 (reference)
+#: tv10 material layers (test_terrain_tv10_goldens.py:84-128 reference)
+_TV10_COMMON_MATS = dict(
+    snow_enabled=True, snow_altitude_min=0.78, snow_altitude_blend=0.24,
+    snow_slope_max=58.0, snow_slope_blend=18.0,
+    rock_enabled=True, rock_slope_min=38.0, rock_slope_blend=10.0,
+    wetness_enabled=True, wetness_strength=0.18,
+    wetness_slope_influence=0.45)
+_TV10_SSS_MATS = dict(
+    _TV10_COMMON_MATS,
+    snow_subsurface_strength=0.58, snow_subsurface_tint=(0.72, 0.85, 0.98),
+    rock_subsurface_strength=0.04, rock_subsurface_tint=(0.45, 0.38, 0.30),
+    wetness_subsurface_strength=0.16,
+    wetness_subsurface_tint=(0.38, 0.27, 0.18))
+_TV10_SCENE_A = dict(light_azimuth_deg=132.0, light_elevation_deg=11.0,
+                     sun_intensity=2.6, cam_radius=4.2, cam_phi_deg=138.0,
+                     cam_theta_deg=42.0, fov_y_deg=42.0)
+_TV10_SCENE_B = dict(light_azimuth_deg=214.0, light_elevation_deg=9.0,
+                     sun_intensity=2.8, cam_radius=4.5, cam_phi_deg=218.0,
+                     cam_theta_deg=38.0, fov_y_deg=40.0)
+_TV10_BASE = dict(size_px=(240, 160), terrain_span=2.9,
+                  albedo_mode="mix", colormap_strength=0.25,
+                  heightmap="tv10", stops=TV10_STOPS, hdr_blue=180)
+
+#: scene kwargs mirroring test_terrain_visual_goldens.py:225-312 and
+#: test_terrain_tv10_goldens.py:131-199 (reference)
 FAMILY_SCENES = {
     "terrain_pbr": dict(),
     "terrain_water": dict(water_mask=True, light_elevation_deg=18.0),
@@ -1287,6 +1443,12 @@ FAMILY_SCENES = {
                  aerial_perspective=True),
         light_elevation_deg=5.0, light_azimuth_deg=118.0,
         cam_radius=5.1, cam_phi_deg=138.0, cam_theta_deg=68.0),
+    "terrain_tv10_zero_sss": dict(
+        _TV10_BASE, materials=_TV10_COMMON_MATS, **_TV10_SCENE_A),
+    "terrain_tv10_scene_a_sss": dict(
+        _TV10_BASE, materials=_TV10_SSS_MATS, **_TV10_SCENE_A),
+    "terrain_tv10_scene_b_sss": dict(
+        _TV10_BASE, materials=_TV10_SSS_MATS, **_TV10_SCENE_B),
 }
 
 
@@ -1318,13 +1480,37 @@ def family_water_mask(size=96):
     return np.where(lake | inlet, 1.0, 0.0).astype(np.float32)
 
 
+def tv10_heightmap(size=144):
+    """test_terrain_tv10_goldens._build_heightmap (reference)."""
+    x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
+    xx, yy = np.meshgrid(x, y)
+    massif = 0.64 * np.exp(-((xx + 0.18) ** 2 * 7.5
+                             + (yy - 0.06) ** 2 * 11.5))
+    cirque = 0.30 * np.exp(-((xx - 0.24) ** 2 * 20.0
+                             + (yy + 0.18) ** 2 * 18.0))
+    ridge = 0.22 * np.exp(-((xx - 0.48) ** 2 * 42.0
+                            + (yy + 0.28) ** 2 * 22.0))
+    basin = -0.18 * np.exp(-((xx + 0.06) ** 2 * 24.0
+                             + (yy + 0.02) ** 2 * 24.0))
+    slope = 0.26 * (1.0 - yy) + 0.10 * xx
+    hm = massif + cirque + ridge + basin + slope
+    hm -= float(hm.min())
+    hm /= max(float(hm.max()), 1e-6)
+    return hm.astype(np.float32)
+
+
 def render_family_scene(name, *, size_px=(192, 128)):
     """Render one terrain-golden-family scene with the replica pipeline."""
     kw = dict(FAMILY_SCENES[name])
     wm = family_water_mask() if kw.pop("water_mask", False) else None
     kw.setdefault("size_px", size_px)
-    lut = build_lut_from_stops(FAMILY_STOPS)
-    return render_screen_scene(family_heightmap(), lut, water_mask=wm, **kw)
+    hm = {"family": family_heightmap, "tv10": tv10_heightmap}[
+        kw.pop("heightmap", "family")]()
+    lut = build_lut_from_stops(kw.pop("stops", FAMILY_STOPS))
+    blue = kw.pop("hdr_blue", 128)
+    kw.setdefault("hdr_rgb", decode_test_hdr(blue=blue))
+    return render_screen_scene(hm, lut, water_mask=wm, **kw)
 
 
 def build_lut_from_stops(stops):

@@ -51,12 +51,6 @@ def _terrain_family_colormap():
         (0.82, "#b8ac88"), (1.0, "#f2f4f7")])
 
 
-def _tv10_colormap():
-    return _register_stops("ref_tv10_stops", [
-        (0.0, "#1b381d"), (0.22, "#416a30"), (0.50, "#7d7a4b"),
-        (0.72, "#b6a98d"), (1.0, "#f4f7fb")])
-
-
 def _terrain_family_heightmap(size=96):
     x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
     y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
@@ -67,21 +61,6 @@ def _terrain_family_heightmap(size=96):
     slope = 0.25 * (1.0 - yy) + 0.10 * xx
     hm = ridge + basin + spur + slope
     hm -= hm.min()
-    hm /= max(float(hm.max()), 1e-6)
-    return hm.astype(np.float32)
-
-
-def _tv10_heightmap(size=144):
-    x = np.linspace(-1.0, 1.0, size, dtype=np.float32)
-    y = np.linspace(-1.0, 1.0, size, dtype=np.float32)
-    xx, yy = np.meshgrid(x, y)
-    massif = 0.64 * np.exp(-((xx + 0.18) ** 2 * 7.5 + (yy - 0.06) ** 2 * 11.5))
-    cirque = 0.30 * np.exp(-((xx - 0.24) ** 2 * 20.0 + (yy + 0.18) ** 2 * 18.0))
-    ridge = 0.22 * np.exp(-((xx - 0.48) ** 2 * 42.0 + (yy + 0.28) ** 2 * 22.0))
-    basin = -0.18 * np.exp(-((xx + 0.06) ** 2 * 24.0 + (yy + 0.02) ** 2 * 24.0))
-    slope = 0.26 * (1.0 - yy) + 0.10 * xx
-    hm = massif + cirque + ridge + basin + slope
-    hm -= float(hm.min())
     hm /= max(float(hm.max()), 1e-6)
     return hm.astype(np.float32)
 
@@ -116,29 +95,6 @@ _FAMILY_PROFILE = {
 }
 
 
-#: per-scene profiles for the tv10 goldens — the reference renders them
-#: with two DIFFERENT cameras (test_terrain_tv10_goldens.py:130-146:
-#: scene A radius 4.2 / phi 138 / theta 42 / fov 42, scene B radius 4.5
-#: / phi 218 / theta 38 / fov 40), so each gets its own fitted window +
-#: exposure point
-_TV10_A_PROFILE = {
-    "gain": 1.267, "sky": (210.5, 252.2, 38.9),
-    "fog0": -0.7058, "fog_u": 0.4538, "fog_v": 0.8306,
-    "water_rgb": (95.0, 185.0, 217.0),
-    "window": (0.3643, 0.6641, 0.2769, 0.8026, True),
-    "shadow": {"zrel": 13.02, "steps": 40, "softness": 1.924,
-               "floor": 0.0207},
-    "light": (0.4363, 0.7566),
-}
-_TV10_B_PROFILE = {
-    "gain": 0.5642, "sky": (172.3, 255.0, 72.7),
-    "fog0": -0.7181, "fog_u": 0.4138, "fog_v": 0.8556,
-    "water_rgb": (95.0, 185.0, 217.0),
-    "window": (0.1975, 0.7052, 0.2876, 0.8782, True),
-    "shadow": {"zrel": 33.26, "steps": 40, "softness": 0.1393,
-               "floor": 0.1342},
-    "light": (0.2294, 2.1490),
-}
 #: the preset scene uses the recipe camera (radius_scale 2.4 — the
 #: recipe board window) but the rainier preset's shadowed exposure point
 _PRESET_PROFILE = {
@@ -258,19 +214,6 @@ def _terrain_entry(**kw):
     return run
 
 
-def _tv10_entry(scene):
-    def run():
-        prof = _TV10_B_PROFILE if scene is _TV10_B else _TV10_A_PROFILE
-        inten, ambi = prof["light"]
-        return _screen_render(_tv10_heightmap(), _tv10_colormap(),
-                              size_px=scene["size_px"],
-                              azimuth=scene["light_azimuth_deg"],
-                              elevation=scene["light_elevation_deg"],
-                              intensity=inten, ambient=ambi,
-                              profile=prof)
-    return run
-
-
 def _screen_golden_entry(name):
     def run():
         from forge3d_tpu.terrain import screen_golden
@@ -278,11 +221,6 @@ def _screen_golden_entry(name):
         return screen_golden.render_family_scene(name)
     return run
 
-
-_TV10_A = dict(light_azimuth_deg=132.0, light_elevation_deg=11.0,
-               size_px=(240, 160))
-_TV10_B = dict(light_azimuth_deg=214.0, light_elevation_deg=9.0,
-               size_px=(240, 160))
 
 FAMILY_GOLDENS = {
     "hybrid_mini_dem_reference": {
@@ -329,15 +267,15 @@ FAMILY_GOLDENS = {
     },
     "terrain_tv10_zero_sss": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_tv10_zero_sss.png",
-        "render": _tv10_entry(_TV10_A),
+        "render": _screen_golden_entry("terrain_tv10_zero_sss"),
     },
     "terrain_tv10_scene_a_sss": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_tv10_scene_a_sss.png",
-        "render": _tv10_entry(_TV10_A),
+        "render": _screen_golden_entry("terrain_tv10_scene_a_sss"),
     },
     "terrain_tv10_scene_b_sss": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_tv10_scene_b_sss.png",
-        "render": _tv10_entry(_TV10_B),
+        "render": _screen_golden_entry("terrain_tv10_scene_b_sss"),
     },
 }
 
