@@ -979,6 +979,62 @@ def _normalize(v):
     return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
+def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
+            max_steps, refine_steps):
+    """parallax_occlusion_mapping (terrain_pbr_pom.wgsl:2660-2719).
+
+    Faithful quirks: the TBN is applied as a COLUMN multiply
+    (det_mat3_mul_vec3(tbn, view_dir), wgsl:3226), not the transpose
+    projection; the march compares the accumulated layer against the RAW
+    height (not inverted depth); heights sample with the nearest sampler.
+    """
+    n = blended_normal
+    up = np.where((np.abs(n[..., 1]) > 0.99)[..., None],
+                  np.array([0.0, 0.0, 1.0], np.float32),
+                  np.array([0.0, 1.0, 0.0], np.float32))
+    t = np.cross(up, n)
+    t = t / np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
+    b = np.cross(n, t)
+    vdt = (t * view_dir[..., 0:1] + b * view_dir[..., 1:2]
+           + n * view_dir[..., 2:3])
+    vd = _normalize(vdt)
+    blend = np.clip(np.abs(vd[..., 2]), 0.0, 1.0)
+    steps = np.clip(np.round(max_steps + (min_steps - max_steps) * blend),
+                    1, max_steps).astype(np.int32)
+    dir_xy = vd[..., :2]
+    L = np.linalg.norm(dir_xy, axis=-1)
+    active = L >= 1e-5
+    pdir = dir_xy / np.maximum(L, 1e-20)[..., None] * scale
+    step_size = (1.0 / steps).astype(np.float32)
+
+    cu = u.copy()
+    cv = v.copy()
+    layer = np.zeros_like(u)
+    ch = _nearest(hm, np.clip(cu, 0, 1), np.clip(cv, 0, 1))
+    for i in range(int(max_steps)):
+        go = active & (i < steps) & (layer < ch)
+        if not go.any():
+            break
+        cu = np.where(go, cu - pdir[..., 0] * step_size, cu)
+        cv = np.where(go, cv - pdir[..., 1] * step_size, cv)
+        layer = np.where(go, layer + step_size, layer)
+        ch = np.where(go, _nearest(hm, np.clip(cu, 0, 1),
+                                   np.clip(cv, 0, 1)), ch)
+    rss = step_size.copy()
+    for _ in range(int(refine_steps)):
+        du = pdir[..., 0] * rss * 0.5
+        dv = pdir[..., 1] * rss * 0.5
+        rss = rss * 0.5
+        ch = _nearest(hm, np.clip(cu, 0, 1), np.clip(cv, 0, 1))
+        ge = layer >= ch
+        cu = np.where(active, np.where(ge, cu - du, cu + du), cu)
+        cv = np.where(active, np.where(ge, cv - dv, cv + dv), cv)
+        layer = np.where(active, np.where(ge, layer - rss, layer + rss),
+                         layer)
+    return (np.where(active, np.clip(cu, 0.0, 1.0), u),
+            np.where(active, np.clip(cv, 0.0, 1.0), v))
+
+
 def render_screen_scene(
     heightmap, lut_rgb, *, size_px, terrain_span=2.8, z_scale=1.45,
     exposure=1.0, light_azimuth_deg=135.0, light_elevation_deg=24.0,
@@ -986,7 +1042,7 @@ def render_screen_scene(
     cam_radius=5.0, cam_phi_deg=138.0, cam_theta_deg=63.0, fov_y_deg=54.0,
     clip=(0.1, 6000.0), albedo_mode="colormap", colormap_strength=1.0,
     hue_variation_strength=0.08, water_mask=None, sky=None,
-    hdr_rgb=None, material_albedo_rgb=None, materials=None,
+    hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1060,16 +1116,29 @@ def render_screen_scene(
     # normal_strength=1, lod_fade=1 -> blended = height_normal
     blended_normal = height_normal
 
+    # ---- POM + parallax uv (wgsl:3226-3264) --------------------------------
+    pu, pv = u, v
+    occlusion = np.ones_like(u)
+    if pom is not None and pom.get("enabled", False) \
+            and pom.get("height_scale", 0.0) > 0.0:
+        pu, pv = _pom_uv(hm, u, v, blended_normal, view_dir,
+                         scale=float(pom["height_scale"]),
+                         min_steps=int(pom.get("min_steps", 1)),
+                         max_steps=int(pom.get("max_steps", 1)),
+                         refine_steps=int(pom.get("refine_steps", 0)))
+
     # ---- water / heights / overlay ---------------------------------------
     if water_mask is not None:
         wm = _nearest(np.asarray(water_mask, np.float32),
-                      np.clip(u, 0, 1), np.clip(v, 0, 1))
+                      np.clip(pu, 0, 1), np.clip(pv, 0, 1))
     else:
         wm = np.zeros_like(u)
     is_water = wm > 0.001
-    height_sample = _nearest(hm, np.clip(u, 0, 1), np.clip(v, 0, 1))
+    height_sample = _nearest(hm, np.clip(pu, 0, 1), np.clip(pv, 0, 1))
     height_clamped = np.clip(height_sample, 0.0, 1.0)
-    occlusion = np.ones_like(u)  # POM off
+    if pom is not None and pom.get("enabled", False) \
+            and pom.get("occlusion", True):
+        occlusion = height_clamped
     height_norm = np.clip(height_clamped, 0.0, 1.0)  # domain (0,1), offset 0
 
     slope_factor = np.float32(1.0)  # slope_raw = 1-|base_normal.y| = 1
@@ -1380,7 +1449,11 @@ def _apply_slope_hue_variation(albedo, slope_factor, height_norm, strength):
     noise_shift = (sat - 0.5) * strength * 0.5
     new_hue = np.mod(hue + slope_shift + elev_shift + noise_shift, 1.0)
     c = sat * val
-    x = c * (1.0 - np.abs(np.mod(new_hue * 6.0, 2.0) - 1.0))
+    # QUIRK the goldens bake in: the reference uses fract(h6), not
+    # mod(h6, 2), in the x term (terrain_pbr_pom.wgsl:2526) - a triangle
+    # wave with period 1 instead of the standard period-2 HSV ramp.
+    h6_all = new_hue * 6.0
+    x = c * (1.0 - np.abs((h6_all - np.floor(h6_all)) * 2.0 - 1.0))
     m = val - c
     h6 = new_hue * 6.0
     z = np.zeros_like(c)
@@ -1443,6 +1516,14 @@ FAMILY_SCENES = {
                  aerial_perspective=True),
         light_elevation_deg=5.0, light_azimuth_deg=118.0,
         cam_radius=5.1, cam_phi_deg=138.0, cam_theta_deg=68.0),
+    "terrain_pom": dict(
+        size_px=(256, 160), render_scale=1.25,
+        albedo_mode="material", colormap_strength=0.0,
+        cam_radius=4.2, cam_phi_deg=142.0, cam_theta_deg=38.0,
+        light_elevation_deg=22.0,
+        pom=dict(enabled=True, mode="Occlusion", height_scale=0.05,
+                 min_steps=12, max_steps=40, refine_steps=4,
+                 shadow=True, occlusion=True)),
     "terrain_tv10_zero_sss": dict(
         _TV10_BASE, materials=_TV10_COMMON_MATS, **_TV10_SCENE_A),
     "terrain_tv10_scene_a_sss": dict(
@@ -1510,7 +1591,37 @@ def render_family_scene(name, *, size_px=(192, 128)):
     lut = build_lut_from_stops(kw.pop("stops", FAMILY_STOPS))
     blue = kw.pop("hdr_blue", 128)
     kw.setdefault("hdr_rgb", decode_test_hdr(blue=blue))
-    return render_screen_scene(hm, lut, water_mask=wm, **kw)
+    render_scale = float(kw.pop("render_scale", 1.0))
+    out_w, out_h = kw["size_px"]
+    if render_scale != 1.0:
+        kw["size_px"] = (int(round(out_w * render_scale)),
+                         int(round(out_h * render_scale)))
+    img = render_screen_scene(hm, lut, water_mask=wm, **kw)
+    if render_scale != 1.0:
+        img = _blit_resolve(img, out_w, out_h)
+    return img
+
+
+def _blit_resolve(img, out_w, out_h):
+    """terrain.blit_pass: bilinear fullscreen blit from the internal
+    (render_scale-supersampled) Rgba8 target to the output size
+    (draw/execute.rs:800-869)."""
+    a = img[..., :3].astype(np.float32)
+    h, w = a.shape[:2]
+    ys = (np.arange(out_h, dtype=np.float32) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w, dtype=np.float32) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    top = a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+    out = np.empty((out_h, out_w, 4), np.uint8)
+    out[..., :3] = np.round(np.clip(top * (1 - fy) + bot * fy, 0, 255))
+    out[..., 3] = 255
+    return out
 
 
 def build_lut_from_stops(stops):
