@@ -1043,6 +1043,7 @@ def render_screen_scene(
     clip=(0.1, 6000.0), albedo_mode="colormap", colormap_strength=1.0,
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
+    reflection=None, _camera_pos=None,
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1084,7 +1085,10 @@ def render_screen_scene(
     proj[2, 2] = clip[1] / (clip[0] - clip[1])
     proj[2, 3] = clip[0] * clip[1] / (clip[0] - clip[1])
     proj[3, 2] = -1.0
-    camera_pos = eye
+    # the fragment shader re-derives camera_pos from u_terrain.view
+    # (wgsl:3203-3224); the reflection pass swaps in the mirrored view
+    camera_pos = eye if _camera_pos is None else \
+        np.asarray(_camera_pos, np.float32)
     view_dir = _normalize(camera_pos - world_pos)
 
     # ---- heights, normals -------------------------------------------------
@@ -1331,7 +1335,29 @@ def render_screen_scene(
         sun_spec = dspec * sun_c * lcol[2] * ndl_w[..., None]
         depth_atten = 1.0 + (WATER_DEPTH_ATTEN_DEEP - 1.0) \
             * water_depth_value
-        reflective = (ibl_contrib * WATER_COMBINED_REFLECTION_SCALE
+        combined_reflection = ibl_contrib
+        if reflection is not None and reflection.get("enabled", False) \
+                and _camera_pos is None:
+            combined_reflection = _planar_reflection_blend(
+                ibl_contrib, reflection, view=view, proj=proj,
+                world_pos=world_pos, shading_normal=shading_normal,
+                view_dir=view_dir, water_depth_value=water_depth_value,
+                size_px=(W, H), render_kwargs=dict(
+                    heightmap=heightmap, lut_rgb=lut_rgb,
+                    terrain_span=terrain_span, z_scale=z_scale,
+                    exposure=exposure, light_azimuth_deg=light_azimuth_deg,
+                    light_elevation_deg=light_elevation_deg,
+                    sun_intensity=sun_intensity, sun_color=sun_color,
+                    ibl_intensity=ibl_intensity, cam_radius=cam_radius,
+                    cam_phi_deg=cam_phi_deg, cam_theta_deg=cam_theta_deg,
+                    fov_y_deg=fov_y_deg, clip=clip,
+                    albedo_mode=albedo_mode,
+                    colormap_strength=colormap_strength,
+                    hue_variation_strength=hue_variation_strength,
+                    water_mask=water_mask, sky=sky, hdr_rgb=hdr_rgb,
+                    material_albedo_rgb=material_albedo_rgb,
+                    materials=materials, pom=pom))
+        reflective = (combined_reflection * WATER_COMBINED_REFLECTION_SCALE
                       + sun_spec * WATER_SUN_SPECULAR_SCALE) \
             * depth_atten[..., None]
         water_shaded = reflective + WATER_BASE_TINT * WATER_BASE_TINT_SCALE \
@@ -1429,6 +1455,74 @@ def render_screen_scene(
     return out
 
 
+def _planar_reflection_blend(ibl_contrib, reflection, *, view, proj,
+                             world_pos, shading_normal, view_dir,
+                             water_depth_value, size_px, render_kwargs):
+    """P4 planar water reflection (terrain_pbr_pom.wgsl:852-933,
+    water_reflection/{bind_group,uniforms}.rs).
+
+    The reflection pass re-renders the scene with the same fullscreen
+    triangle but a mirrored view matrix, at half the internal resolution,
+    into an Rgba8Unorm target - so the sampled reflection is the
+    tonemapped/encoded color, blended into linear water shading (a quirk
+    the goldens bake in). The mirrored-view and view-proj composition use
+    the reference's literal column-major array arithmetic.
+    """
+    W, H = size_px
+    plane_h = float(reflection.get("water_plane_height", 0.0))
+    # glam to_cols_array_2d: arr[i][k] = M[k][i]
+    view_arr = np.asarray(view, np.float32).T
+    proj_arr = np.asarray(proj, np.float32).T
+    reflect_arr = np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                            [0, 0, -1, 2.0 * plane_h], [0, 0, 0, 1]],
+                           np.float32)
+    mirrored = view_arr @ reflect_arr          # mul_mat4(view, reflect)
+    rvp = proj_arr @ mirrored                  # mul_mat4(proj, mirrored)
+    # shader camera extraction from the mirrored view (wgsl:3203-3224)
+    m = mirrored
+    cam2 = -np.array([
+        m[0, 0] * m[3, 0] + m[0, 1] * m[3, 1] + m[0, 2] * m[3, 2],
+        m[1, 0] * m[3, 0] + m[1, 1] * m[3, 1] + m[1, 2] * m[3, 2],
+        m[2, 0] * m[3, 0] + m[2, 1] * m[3, 1] + m[2, 2] * m[3, 2],
+    ], np.float32)
+    rw, rh = max(W // 2, 1), max(H // 2, 1)
+    refl_img = render_screen_scene(
+        render_kwargs.pop("heightmap"), render_kwargs.pop("lut_rgb"),
+        size_px=(rw, rh), reflection=None, _camera_pos=cam2,
+        **render_kwargs)
+    refl_tex = refl_img[..., :3].astype(np.float32) / 255.0  # Rgba8Unorm
+
+    # det_mat4_mul_vec4(rvp, (world_pos, 1)): clip[j] = sum_i arr[i][j]*v[i]
+    wp = world_pos.reshape(-1, 3)
+    clip4 = wp @ rvp[:3, :4] + rvp[3, :4]
+    w_ok = np.abs(clip4[:, 3]) >= 0.001
+    wdiv = np.where(w_ok, clip4[:, 3], 1.0)
+    ndc = clip4[:, :3] / wdiv[:, None]
+    ru = ndc[:, 0] * 0.5 + 0.5
+    rv = 1.0 - (ndc[:, 1] * 0.5 + 0.5)
+    wave_strength = float(reflection.get("wave_strength", 0.0))
+    shore_w = max(float(reflection.get("shore_atten_width", 0.0)), 1e-6)
+    shore = water_depth_value.reshape(-1)
+    shore_f = _smoothstep(0.0, shore_w, shore)
+    n = shading_normal.reshape(-1, 3)
+    ru = ru + n[:, 0] * wave_strength * shore_f
+    rv = rv + n[:, 2] * wave_strength * shore_f
+    ru = np.clip(ru, 0.001, 0.999)
+    rv = np.clip(rv, 0.001, 0.999)
+    valid = w_ok  # after clamping, uv is always in bounds
+    refl_rgb = _bilinear(refl_tex, ru, rv)
+
+    fres_p = float(reflection.get("fresnel_power", 5.0))
+    ndv = np.maximum((shading_normal * view_dir).sum(-1), 0.0).reshape(-1)
+    fres = np.clip((1.0 - ndv) ** fres_p, 0.0, 1.0)
+    intensity = float(reflection.get("intensity", 1.0))
+    blend = fres * intensity * shore_f
+    base = ibl_contrib.reshape(-1, 3)
+    out = np.where(valid[:, None],
+                   base + (refl_rgb - base) * blend[:, None], base)
+    return out.reshape(ibl_contrib.shape).astype(np.float32)
+
+
 def _apply_slope_hue_variation(albedo, slope_factor, height_norm, strength):
     """terrain_pbr_pom.wgsl:2482-2546 HSV hue shift."""
     r, g, b = albedo[..., 0], albedo[..., 1], albedo[..., 2]
@@ -1524,6 +1618,13 @@ FAMILY_SCENES = {
         pom=dict(enabled=True, mode="Occlusion", height_scale=0.05,
                  min_steps=12, max_steps=40, refine_steps=4,
                  shadow=True, occlusion=True)),
+    "terrain_water_reflection": dict(
+        size_px=(256, 160), albedo_mode="mix", colormap_strength=0.35,
+        water_mask=True, light_elevation_deg=15.0, sun_intensity=2.8,
+        cam_radius=4.3, cam_phi_deg=142.0, cam_theta_deg=42.0,
+        reflection=dict(enabled=True, intensity=1.0, fresnel_power=3.0,
+                        wave_strength=0.05, shore_atten_width=0.12,
+                        water_plane_height=0.0)),
     "terrain_tv10_zero_sss": dict(
         _TV10_BASE, materials=_TV10_COMMON_MATS, **_TV10_SCENE_A),
     "terrain_tv10_scene_a_sss": dict(

@@ -261,9 +261,7 @@ FAMILY_GOLDENS = {
     },
     "terrain_water_reflection": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_water_reflection.png",
-        "render": _terrain_entry(size_px=(256, 160), azimuth=135.0,
-                                 elevation=15.0,
-                                 water_mask=_terrain_family_water_mask()),
+        "render": _screen_golden_entry("terrain_water_reflection"),
     },
     "terrain_tv10_zero_sss": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_tv10_zero_sss.png",
