@@ -481,14 +481,14 @@ def _build_brdf_lut(size=512, samples=1024):
 # ---------------------------------------------------------------------------
 
 def build_shadow_map(heightmap, *, terrain_span, z_scale, sun_dir,
-                     resolution=4096, grid_res=1024):
+                     resolution=4096, grid_res=1024, domain=(0.0, 1.0)):
     """Rasterize the DEM grid into the light's ortho depth map.
 
     Returns (depth (R,R) f32, light_view_proj 4x4, texel_size).
     sun_dir is the NEGATED light direction (shadows/setup.rs:150-153).
     """
     key = _hash(heightmap, terrain_span, z_scale, sun_dir, resolution,
-                grid_res, "shadow-v2")
+                grid_res, domain, "shadow-v2")
     path = CACHE_DIR / f"shadow_{key}.npz"
     if path.exists():
         d = np.load(path)
@@ -499,6 +499,8 @@ def build_shadow_map(heightmap, *, terrain_span, z_scale, sun_dir,
     light_up = np.array([0.0, 1.0, 0.0], np.float32) \
         if abs(light_dir[2]) > 0.99 else np.array([0.0, 0.0, 1.0], np.float32)
 
+    lo_d, hi_d = float(domain[0]), float(domain[1])
+    rng_d = max(hi_d - lo_d, 1e-6)
     half = terrain_span * 0.5
     tmin = np.array([-half, -half, 0.0], np.float32)
     tmax = np.array([half, half, z_scale], np.float32)
@@ -526,7 +528,7 @@ def build_shadow_map(heightmap, *, terrain_span, z_scale, sun_dir,
     ty = np.clip((g * hdim[0]).astype(np.int64), 0, hdim[0] - 1)
     hgrid = heightmap[np.ix_(ty, tx)]  # (gy, gx)
     wx = (g - 0.5) * terrain_span
-    wz = np.clip(hgrid, 0.0, 1.0) * z_scale
+    wz = (np.clip(hgrid, lo_d, hi_d) - lo_d) / rng_d * z_scale
 
     # project all grid vertices to light NDC -> framebuffer texel coords
     # clip = lvp @ [wx, wy, wz, 1]; ortho w=1
@@ -1043,7 +1045,7 @@ def render_screen_scene(
     clip=(0.1, 6000.0), albedo_mode="colormap", colormap_strength=1.0,
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
-    reflection=None, _camera_pos=None,
+    reflection=None, domain=(0.0, 1.0), _camera_pos=None,
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1066,9 +1068,11 @@ def render_screen_scene(
     h00 = _nearest(hm, np.float32(0.0), np.float32(0.0))
     h10 = _nearest(hm, np.float32(1.0), np.float32(0.0))
     h01 = _nearest(hm, np.float32(0.0), np.float32(1.0))
-    z0 = np.clip(h00, 0.0, 1.0) * z_scale
-    z1 = np.clip(h10, 0.0, 1.0) * z_scale
-    z2 = np.clip(h01, 0.0, 1.0) * z_scale
+    dom_lo, dom_hi = float(domain[0]), float(domain[1])
+    dom_rng = max(dom_hi - dom_lo, 1e-6)
+    z0 = np.clip(h00, dom_lo, dom_hi) * z_scale
+    z1 = np.clip(h10, dom_lo, dom_hi) * z_scale
+    z2 = np.clip(h01, dom_lo, dom_hi) * z_scale
     wp_z = z0 * (1.0 - sx * 0.5 - sy * 0.5) + z1 * (sx * 0.5) \
         + z2 * (sy * 0.5)
     world_pos = np.stack([sx - 0.5, sy - 0.5, wp_z], -1)
@@ -1100,7 +1104,7 @@ def render_screen_scene(
 
     def geom(uu, vv):
         return np.clip(_nearest(hm, np.clip(uu, 0, 1), np.clip(vv, 0, 1)),
-                       0.0, 1.0)
+                       dom_lo, dom_hi)
 
     tl = geom(u - texel[0], v - texel[1])
     tc = geom(u, v - texel[1])
@@ -1139,11 +1143,11 @@ def render_screen_scene(
         wm = np.zeros_like(u)
     is_water = wm > 0.001
     height_sample = _nearest(hm, np.clip(pu, 0, 1), np.clip(pv, 0, 1))
-    height_clamped = np.clip(height_sample, 0.0, 1.0)
+    height_clamped = np.clip(height_sample, dom_lo, dom_hi)
     if pom is not None and pom.get("enabled", False) \
             and pom.get("occlusion", True):
         occlusion = height_clamped
-    height_norm = np.clip(height_clamped, 0.0, 1.0)  # domain (0,1), offset 0
+    height_norm = np.clip((height_clamped - dom_lo) / dom_rng, 0.0, 1.0)
 
     slope_factor = np.float32(1.0)  # slope_raw = 1-|base_normal.y| = 1
 
@@ -1277,9 +1281,13 @@ def render_screen_scene(
 
     # ---- CSM / PCSS shadows ------------------------------------------------
     depth_map, lvp, texel_sz = build_shadow_map(
-        hm, terrain_span=terrain_span, z_scale=z_scale, sun_dir=-ldir)
+        hm, terrain_span=terrain_span, z_scale=z_scale, sun_dir=-ldir,
+        domain=(dom_lo, dom_hi))
+    shadow_h = np.clip((np.clip(_nearest(hm, np.clip(u, 0, 1),
+                                          np.clip(v, 0, 1)), dom_lo, dom_hi)
+                        - dom_lo) / dom_rng, 0.0, 1.0)
     shadow_pos = np.stack([(u - 0.5) * spacing, (v - 0.5) * spacing,
-                           np.clip(height_sample, 0.0, 1.0) * z_scale], -1)
+                           shadow_h * z_scale], -1)
     shadow_vis = pcss_visibility(depth_map, lvp, texel_sz, shadow_pos,
                                  blended_normal, -ldir)
     direct_shadow = SHADOW_MIN + (1.0 - SHADOW_MIN) * shadow_vis
@@ -1356,7 +1364,7 @@ def render_screen_scene(
                     hue_variation_strength=hue_variation_strength,
                     water_mask=water_mask, sky=sky, hdr_rgb=hdr_rgb,
                     material_albedo_rgb=material_albedo_rgb,
-                    materials=materials, pom=pom))
+                    materials=materials, pom=pom, domain=domain))
         reflective = (combined_reflection * WATER_COMBINED_REFLECTION_SCALE
                       + sun_spec * WATER_SUN_SPECULAR_SCALE) \
             * depth_atten[..., None]
