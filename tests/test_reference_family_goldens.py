@@ -95,19 +95,6 @@ _FAMILY_PROFILE = {
 }
 
 
-#: the preset scene uses the recipe camera (radius_scale 2.4 — the
-#: recipe board window) but the rainier preset's shadowed exposure point
-_PRESET_PROFILE = {
-    "gain": 0.6889, "sky": (1.5, 0.0, 3.8),
-    "fog0": 0.1382, "fog_u": -0.2685, "fog_v": 0.2317,
-    "water_rgb": (95.0, 185.0, 217.0),
-    "window": (0.0, 0.0, 0.5, 0.5, True),
-    "shadow": {"zrel": 35.36, "steps": 40, "softness": 2.0,
-               "floor": 0.1193},
-    "light": (1.0738, 0.9822),
-}
-
-
 def _screen_render(dem, colormap, *, size_px, azimuth, elevation,
                    intensity=0.3, ambient=0.3, water_level=None,
                    water_mask=None, profile=None):
@@ -166,26 +153,29 @@ def _render_hybrid_mini_dem():
 
 
 def _render_preset_rainier():
-    # preset-specific colormap: the rainier preset's "terrain" colormap
-    # tops out near-white at the summit (unlike the recipe-board fit,
-    # whose 8x8 ramp never exposes the top of the ramp); 5 stops fitted
-    # against the preset golden (scripts/fit_preset_cmap.py, 0.85->0.88)
-    from forge3d_tpu import colormaps
+    """Behavior-exact replica render of the rainier_showcase preset scene
+    (test_preset_visual_parity.py:31-56,129-156 reference): synthetic
+    128^2 peak+ridges DEM, preset camera radius_scale 2.4 / az 135 /
+    el 45 / fov 55, preset sun az 135 / el 25 @ 4.0 (1,0.95,0.9),
+    IBL 0.3 on the deterministic 2x2 clear-sky env
+    (map_scene._write_minimal_hdr), terrain colormap stops rescaled to
+    the DEM domain, albedo mix 0.5, exaggeration 1.35."""
+    from forge3d_tpu.terrain import screen_golden as sg
 
-    pos = np.array([0.0, 0.33, 0.66, 0.85, 1.0])
-    stops = np.array([[0.0752, 0.569, 0.0], [0.0, 0.6744, 0.1795],
-                      [0.0846, 0.7372, 0.2861], [0.3531, 0.8137, 0.1995],
-                      [1.0593, 1.0622, 0.8957]])
-    t = np.linspace(0, 1, 256)
-    lut = np.stack([np.interp(t, pos, stops[:, c]) for c in range(3)], -1)
-    colormaps.register("preset_rainier_fit",
-                       np.clip(lut, 0, 4).astype(np.float32))
-    inten, ambi = _PRESET_PROFILE["light"]
-    return _screen_render(_preset_heightmap(), "preset_rainier_fit",
-                          size_px=(128, 128),
-                          azimuth=135.0, elevation=25.0,
-                          intensity=inten, ambient=ambi,
-                          profile=_PRESET_PROFILE)
+    dem = _preset_heightmap()
+    lo, hi = float(dem.min()), float(dem.max())
+    stops = [(0.0, "#00aa00"), (0.3, "#80ff00"), (0.5, "#ffff00"),
+             (0.7, "#ff8000"), (0.9, "#ff0000"), (1.0, "#800000")]
+    lut = sg.build_lut_from_stops(stops)
+    env = np.full((2, 2, 3), 0.0, np.float32)
+    env[:] = np.array([180.0, 190.0, 205.0], np.float32) / 256.0
+    return sg.render_screen_scene(
+        dem, lut, size_px=(128, 128), terrain_span=128.0, z_scale=1.35,
+        exposure=1.0, light_azimuth_deg=135.0, light_elevation_deg=25.0,
+        sun_intensity=4.0, sun_color=(1.0, 0.95, 0.9), ibl_intensity=0.3,
+        cam_radius=128 * 2.4, cam_phi_deg=135.0, cam_theta_deg=45.0,
+        fov_y_deg=55.0, albedo_mode="mix", colormap_strength=0.5,
+        domain=(lo, hi), hdr_rgb=env)
 
 
 def _terrain_family_water_mask(size=96):
