@@ -130,26 +130,39 @@ def _screen_render(dem, colormap, *, size_px, azimuth, elevation,
 
 
 def _render_hybrid_mini_dem():
-    import forge3d_tpu as f3d
+    """North-star PT entry: the reference renders this golden with its
+    ReSTIR-reuse sun estimator (hybrid_terrain_traversal.wgsl:455-462
+    reuse_w through the temporal+spatial chain), which brightens penumbra
+    and grazing regions by up to ~2x vs plain sun NEE. The sweep engine
+    matches the restir=False estimator bit-for-bit in the mean (0.1751 vs
+    0.1750 on this scene), so this entry drives the per-ray DDA engine
+    with restir=True to match the golden's estimator. Scene per
+    test_hybrid_terrain_pt.py:30-80 (mini_dem[::2,::2], SPAN 100,
+    RELIEF 20, sun 225/35 @ 2.5 warm-white, env 0.35)."""
+    from forge3d_tpu.pt.terrain_ref import (TerrainRefDesc,
+                                            render_terrain_reference)
 
     dem = np.load(
-        "/root/reference/python/forge3d/data/mini_dem.npy")
+        "/root/reference/python/forge3d/data/mini_dem.npy")[::2, ::2]
     dem = dem.astype(np.float32)
     dem -= dem.min()
     dem /= max(float(dem.max()), 1e-6)
     half = 50.0
-    # the reference centers the DEM at the origin (SPAN 100); our terrain
-    # world starts at 0, so the locked camera translates by +half
-    cam = {"origin": (half + 0.0, 35.0, half + 90.0),
-           "look_at": (half, 5.0, half),
-           "up": (0.0, 1.0, 0.0), "fov_y": 45.0, "exposure": 1.0}
     spacing = 100.0 / (dem.shape[1] - 1)
-    out = f3d.hybrid_render_terrain_reference(
-        dem, 256, 256, cam, spacing=(spacing, spacing), exaggeration=20.0,
+    desc = TerrainRefDesc(
+        heights=dem, width=256, height=256,
+        # the reference centers the DEM at the origin; our terrain world
+        # starts at 0, so the locked camera translates by +half
+        cam_origin=(half, 35.0, half + 90.0),
+        cam_look_at=(half, 5.0, half),
+        cam_up=(0.0, 1.0, 0.0), fov_y_deg=45.0, exposure=1.0,
+        spacing=(spacing, spacing), exaggeration=20.0,
         albedo=(0.55, 0.52, 0.48), sun_azimuth_deg=225.0,
-        sun_elevation_deg=35.0, sun_intensity=2.5, env_intensity=0.35,
-        seed=7, traversal="sweep", spp=2)
-    return out["rgba"]
+        sun_elevation_deg=35.0, sun_intensity=2.5,
+        sun_color=(1.0, 0.97, 0.92), env_map=None, env_intensity=0.35,
+        spp=8, max_frames=24, min_frames=8, variance_threshold=1.0,
+        seed=7, restir=True, shadows_enabled=True, traversal="dda")
+    return render_terrain_reference(desc)["rgba"]
 
 
 def _render_preset_rainier():
