@@ -120,6 +120,17 @@ def _validate(desc: TerrainRefDesc) -> None:
         raise RenderError("exaggeration must be finite and > 0")
     if not (math.isfinite(desc.sun_azimuth_deg) and math.isfinite(desc.sun_elevation_deg)):
         raise RenderError("sun azimuth/elevation must be finite")
+    for name, vec in (("cam_origin", desc.cam_origin),
+                      ("cam_look_at", desc.cam_look_at),
+                      ("cam_up", desc.cam_up)):
+        if len(vec) != 3 or not all(math.isfinite(float(c)) for c in vec):
+            raise RenderError(f"{name} must be a finite 3-vector")
+    fwd = tuple(float(b) - float(a)
+                for a, b in zip(desc.cam_origin, desc.cam_look_at))
+    if sum(c * c for c in fwd) <= 1e-20:
+        raise RenderError("camera origin and look_at coincide")
+    if not (math.isfinite(desc.fov_y_deg) and 0.0 < desc.fov_y_deg < 180.0):
+        raise RenderError("fov_y must be finite and in (0, 180)")
     if not (math.isfinite(desc.variance_threshold) and desc.variance_threshold > 0):
         raise RenderError("variance threshold must be finite and > 0")
     if desc.env_map is not None:
