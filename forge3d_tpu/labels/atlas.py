@@ -123,10 +123,22 @@ class GlyphAtlas:
 
 def bake_msdf_atlas(charset: str = _ASCII, *, font_path: Optional[str] = None,
                     px: int = 48, padding: int = 6, sdf_range: float = 8.0,
-                    atlas_width: int = 1024) -> GlyphAtlas:
+                    atlas_width: int = 1024, channels: int = 1) -> GlyphAtlas:
     """Bake a signed-distance glyph atlas (reference seam:
-    bake_msdf_atlas_py). Shelf-packed, deterministic row-major order."""
+    bake_msdf_atlas_py). Shelf-packed, deterministic row-major order.
+
+    channels=1 bakes the raster-derived single-channel SDF; channels=3
+    bakes a TRUE multi-channel MSDF from the font outlines
+    (labels/msdf.py — corner-preserving under bilinear sampling, decoded
+    with median3 like the reference's text_overlay shader)."""
     from PIL import Image, ImageDraw, ImageFont
+
+    if channels == 3:
+        return _bake_msdf3_atlas(charset, font_path=font_path, px=px,
+                                 padding=padding, sdf_range=sdf_range,
+                                 atlas_width=atlas_width)
+    if channels != 1:
+        raise ValueError("channels must be 1 (SDF) or 3 (MSDF)")
 
     font_path = font_path or default_font_path()
     font = ImageFont.truetype(font_path, px)
@@ -180,6 +192,62 @@ def bake_msdf_atlas(charset: str = _ASCII, *, font_path: Optional[str] = None,
     kerning = _kerning_table(font_path, px, chars)
     return GlyphAtlas(image=atlas, glyphs=glyphs, px=px, ascent=float(ascent),
                       descent=float(descent),
+                      line_height=float(ascent + descent),
+                      font_path=font_path, sdf_range=sdf_range,
+                      kerning=kerning)
+
+
+def _bake_msdf3_atlas(charset: str, *, font_path: Optional[str], px: int,
+                      padding: int, sdf_range: float,
+                      atlas_width: int) -> GlyphAtlas:
+    """True 3-channel MSDF bake (outline-derived; labels/msdf.py)."""
+    from .msdf import msdf_glyph
+
+    font_path = font_path or default_font_path()
+    chars = sorted(set(charset) | {"?"})
+    rasters = []
+    ascent = descent = 0.0
+    for ch in chars:
+        g = msdf_glyph(font_path, ch, px, padding=padding,
+                       sdf_range=sdf_range)
+        if g is None:
+            from PIL import ImageFont
+
+            adv = ImageFont.truetype(font_path, px).getlength(ch)
+            rasters.append((ch, None, (0.0, 0.0), float(adv)))
+            continue
+        ascent = max(ascent, g["ascent"])
+        descent = max(descent, g["descent"])
+        rasters.append((ch, g["image"], g["bearing"], g["advance"]))
+
+    x = y = shelf_h = 0
+    placements = {}
+    for ch, img, _, _ in rasters:
+        if img is None:
+            continue
+        h, w = img.shape[:2]
+        if x + w > atlas_width:
+            y += shelf_h
+            x = shelf_h = 0
+        placements[ch] = (x, y)
+        x += w
+        shelf_h = max(shelf_h, h)
+    height = y + shelf_h
+    atlas = np.full((max(height, 1), atlas_width, 3), -sdf_range,
+                    np.float32)
+    glyphs: Dict[str, GlyphEntry] = {}
+    for ch, img, (bx, by), adv in rasters:
+        if img is None:
+            glyphs[ch] = GlyphEntry(ch, 0, 0, 0, 0, 0.0, 0.0, adv)
+            continue
+        gx, gy = placements[ch]
+        h, w = img.shape[:2]
+        atlas[gy:gy + h, gx:gx + w] = img
+        glyphs[ch] = GlyphEntry(ch, gx, gy, w, h, float(bx), float(by), adv)
+
+    kerning = _kerning_table(font_path, px, chars)
+    return GlyphAtlas(image=atlas, glyphs=glyphs, px=px,
+                      ascent=float(ascent), descent=float(descent),
                       line_height=float(ascent + descent),
                       font_path=font_path, sdf_range=sdf_range,
                       kerning=kerning)

@@ -128,7 +128,16 @@ def draw_text_rgba(target: np.ndarray, text_or_run, x: float, y: float, *,
         py = -dx * sin_r + dy * cos_r
         u = (px - lx) / scale + entry.x
         v = entry.y - (py - ly) / scale
-        sdf = _sample_sdf(atlas.image, u, v, -atlas.sdf_range)
+        if atlas.image.ndim == 3:
+            # true MSDF: per-channel bilinear sample, median3 decode
+            # (reference text_overlay.wgsl: sdf = median3(sample.rgb))
+            from .msdf import median3
+
+            sdf = median3(*(
+                _sample_sdf(atlas.image[..., c], u, v, -atlas.sdf_range)
+                for c in range(3)))
+        else:
+            sdf = _sample_sdf(atlas.image, u, v, -atlas.sdf_range)
         sdf_px = sdf * scale  # distances scale with the glyph
         aa = AA_RAMP
         fill_cov = _smoothstep(-aa, aa, sdf_px - FILL_BIAS) * opacity
