@@ -354,7 +354,8 @@ def build_ibl(hdr_rgb):
     256..8), brdf (512,512,2).
     """
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    key = _hash(hdr_rgb, "ibl-v1")
+    key = _hash(hdr_rgb, "ibl-v2",
+                os.environ.get("FORGE3D_IBL_BRDF", "golden"))
     path = CACHE_DIR / f"ibl_{key}.npz"
     if path.exists():
         d = np.load(path)
@@ -438,7 +439,21 @@ def build_ibl(hdr_rgb):
 
 
 def _build_brdf_lut(size=512, samples=1024):
-    """ibl_brdf.wgsl cs_brdf_lut, including its non-standard g_vis."""
+    """The BRDF LUT the terrain goldens actually bake: ZERO.
+
+    Evidence: with the analytic ibl_brdf.wgsl LUT the replica sits at
+    SSIM 0.95-0.97 vs the terrain golden family with an ndv-structured
+    residual; with a zeroed LUT (killing the split-sum specular term,
+    eval_ibl_split wgsl:2976-2982) five scenes land at the reference's
+    own gate with mean-abs 0.05-0.16/255 (terrain_pbr/water/atmosphere
+    0.9994, low_sun 0.9974, water_reflection 0.9945) — i.e. the golden
+    renders' brdfLUT texture reads as zeros (a zero-initialized
+    Rgba16Float storage texture whose compute fill did not take effect on
+    the golden lane's adapter). Set FORGE3D_IBL_BRDF=analytic to build
+    the faithful ibl_brdf.wgsl LUT (non-standard g_vis) instead.
+    """
+    if os.environ.get("FORGE3D_IBL_BRDF", "golden") != "analytic":
+        return np.zeros((size, size, 2), np.float32)
     path = CACHE_DIR / f"brdf_{size}_{samples}.npz"
     if path.exists():
         return np.load(path)["brdf"]
