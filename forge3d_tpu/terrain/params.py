@@ -76,6 +76,40 @@ class WaterSettings:
 class ReflectionSettings:
     enabled: bool = False
     intensity: float = 0.5
+    # planar water reflection controls (reference water_reflection/
+    # uniforms.rs; consumed by the screen-mode pass)
+    fresnel_power: float = 5.0
+    wave_strength: float = 0.0
+    shore_atten_width: float = 0.0
+    water_plane_height: float = 0.0
+
+
+@dataclass
+class SkySettings:
+    """Analytic sky + aerial perspective (sky.wgsl, renderer/atmosphere.rs).
+
+    Consumed by the screen-mode pass; the perspective ray path keeps its
+    own Hosek environment binding (IblSettings.sky_model)."""
+
+    enabled: bool = False
+    model: str = "hosek-wilkie"  # hosek-wilkie | preetham
+    turbidity: float = 2.0
+    ground_albedo: float = 0.3
+    sun_intensity: float = 1.0
+    sun_size: float = 1.0
+    aerial_density: float = 1.0
+    sky_exposure: float = 1.0
+    aerial_perspective: bool = True
+
+    def to_dict_cfg(self) -> dict:
+        return dict(enabled=self.enabled, model=self.model,
+                    turbidity=self.turbidity,
+                    ground_albedo=self.ground_albedo,
+                    sun_intensity=self.sun_intensity,
+                    sun_size=self.sun_size,
+                    aerial_density=self.aerial_density,
+                    sky_exposure=self.sky_exposure,
+                    aerial_perspective=self.aerial_perspective)
 
 
 @dataclass
@@ -115,6 +149,21 @@ class PomSettings:
     enabled: bool = False
     scale: float = 0.0
     steps: int = 16
+    # reference POM march controls (terrain_pbr_pom.wgsl:2660-2719);
+    # when min/max are left at 0 the legacy `steps` drives both
+    min_steps: int = 0
+    max_steps: int = 0
+    refine_steps: int = 0
+    occlusion: bool = True
+    shadow: bool = False
+
+    def to_screen_cfg(self) -> dict:
+        mx = self.max_steps if self.max_steps > 0 else self.steps
+        mn = self.min_steps if self.min_steps > 0 else max(mx // 4, 1)
+        return dict(enabled=self.enabled, height_scale=float(self.scale),
+                    min_steps=int(mn), max_steps=int(mx),
+                    refine_steps=int(self.refine_steps),
+                    occlusion=bool(self.occlusion))
 
 
 @dataclass
@@ -152,7 +201,12 @@ class DetailSettings:
 
 @dataclass
 class MaterialLayerSettings:
-    """Height/slope material layers (snow/rock/wetness)."""
+    """Height/slope material layers (snow/rock/wetness).
+
+    Carries both the TPU perspective-path knobs (snow_height/snow_blend/
+    rock_slope_deg) and the full reference M4 schema
+    (/root/reference/python/forge3d/terrain_params.py:546-600) consumed by
+    the screen-mode pass, including TV10 subsurface scattering."""
 
     enabled: bool = False
     snow_height: float = 0.75     # normalized height above which snow blends
@@ -161,6 +215,50 @@ class MaterialLayerSettings:
     rock_slope_deg: float = 50.0  # slope beyond which rock replaces albedo
     rock_blend_deg: float 	= 10.0
     rock_color: Tuple[float, float, float] = (0.45, 0.4, 0.38)
+    # reference M4 schema (screen-mode pass)
+    snow_enabled: bool = False
+    snow_altitude_min: float = 2000.0
+    snow_altitude_blend: float = 500.0
+    snow_slope_max: float = 45.0
+    snow_slope_blend: float = 15.0
+    snow_aspect_influence: float = 0.3
+    snow_subsurface_strength: float = 0.0
+    snow_subsurface_tint: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    rock_enabled: bool = False
+    rock_slope_min: float = 45.0
+    rock_slope_blend: float = 10.0
+    rock_subsurface_strength: float = 0.0
+    rock_subsurface_tint: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    wetness_enabled: bool = False
+    wetness_strength: float = 0.3
+    wetness_slope_influence: float = 0.5
+    wetness_subsurface_strength: float = 0.0
+    wetness_subsurface_tint: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    def to_layer_dict(self) -> dict:
+        """The reference layer dict consumed by the screen-mode pass."""
+        return dict(
+            snow_enabled=self.snow_enabled,
+            snow_altitude_min=self.snow_altitude_min,
+            snow_altitude_blend=self.snow_altitude_blend,
+            snow_slope_max=self.snow_slope_max,
+            snow_slope_blend=self.snow_slope_blend,
+            snow_aspect_influence=self.snow_aspect_influence,
+            snow_color=tuple(self.snow_color),
+            snow_subsurface_strength=self.snow_subsurface_strength,
+            snow_subsurface_tint=tuple(self.snow_subsurface_tint),
+            rock_enabled=self.rock_enabled,
+            rock_slope_min=self.rock_slope_min,
+            rock_slope_blend=self.rock_slope_blend,
+            rock_color=tuple(self.rock_color),
+            rock_subsurface_strength=self.rock_subsurface_strength,
+            rock_subsurface_tint=tuple(self.rock_subsurface_tint),
+            wetness_enabled=self.wetness_enabled,
+            wetness_strength=self.wetness_strength,
+            wetness_slope_influence=self.wetness_slope_influence,
+            wetness_subsurface_strength=self.wetness_subsurface_strength,
+            wetness_subsurface_tint=tuple(self.wetness_subsurface_tint),
+        )
 
 
 @dataclass
@@ -212,7 +310,18 @@ class TerrainRenderParams:
     tonemap: TonemapSettings = field(default_factory=TonemapSettings)
     colormap_srgb: bool = False
     output_srgb_eotf: bool = False
-    camera_mode: str = "screen"
+    #: additional screen-mode inputs: sky/atmosphere config, explicit
+    #: height domain (reference: decode domain, core.rs:38-97), and hue
+    #: variation strength (core.rs hue_variation_strength)
+    sky: Optional[SkySettings] = None
+    domain: Optional[Tuple[float, float]] = None
+    hue_variation_strength: float = 0.0
+    #: "screen" = the reference's default fullscreen-triangle forward
+    #: pass (terrain_pbr_pom.wgsl shade_main), evaluated by the jitted
+    #: screen pipeline (terrain/screen.py); "perspective" = the
+    #: TPU-native orbit ray render (the default here: it is this
+    #: engine's production path and what every perf harness drives)
+    camera_mode: str = "perspective"
     culling: str = "frustum"
     shading: str = "forward"
     debug_mode: str = "off"
@@ -233,8 +342,10 @@ class TerrainRenderParams:
             raise ValueError("fov_y_deg must be in (0, 180)")
         if self.clip[0] <= 0 or self.clip[1] <= self.clip[0]:
             raise ValueError("clip must satisfy 0 < znear < zfar")
-        if self.albedo_mode not in ("colormap", "constant"):
-            raise ValueError("albedo_mode must be 'colormap' or 'constant'")
+        if self.albedo_mode not in ("colormap", "constant", "material",
+                                    "mix"):
+            raise ValueError(
+                "albedo_mode must be one of colormap/constant/material/mix")
         if self.tonemap.mode not in (
             "reinhard", "reinhard_extended", "filmic", "aces", "off"
         ):
@@ -262,6 +373,7 @@ def make_terrain_params(**overrides) -> TerrainRenderParams:
         "reflection": ReflectionSettings, "height_ao": HeightAoSettings,
         "sun_visibility": SunVisibilitySettings, "detail": DetailSettings,
         "material_layers": MaterialLayerSettings, "tonemap": TonemapSettings,
+        "sky": SkySettings,
     }
     kw = {}
     for k, v in overrides.items():

@@ -268,6 +268,13 @@ class TerrainRenderer:
         if not np.isfinite(hm).all():
             raise UploadError("heightmap contains non-finite values")
 
+        if p.camera_mode == "screen":
+            # The reference's default camera mode: the fullscreen-triangle
+            # forward pass (terrain_pbr_pom.wgsl shade_main via
+            # py_api.rs:247), evaluated by the jitted screen pipeline.
+            return self._render_screen(p, hm, env_maps, water_mask,
+                                       want_aov)
+
         W = max(1, int(round(p.size_px[0] * p.render_scale)))
         H = max(1, int(round(p.size_px[1] * p.render_scale)))
         span = p.terrain_span if p.terrain_span > 0 else float(hm.shape[1] - 1)
@@ -383,6 +390,108 @@ class TerrainRenderer:
                 },
                 metadata=meta,
             )
+        return frame, aov_frame
+
+    def _render_screen(self, p: TerrainRenderParams, hm, env_maps,
+                       water_mask, want_aov: bool):
+        """camera_mode="screen": dispatch to the jitted screen pipeline
+        (terrain/screen.py), mapping TerrainRenderParams onto the
+        reference shade_main contract (py_api.rs:247, A.4)."""
+        import time as _time
+
+        from .. import colormaps
+        from . import screen as scr
+
+        t0 = _time.perf_counter()
+        env: IBL = env_maps if env_maps is not None else IBL.default()
+        env_rgb = p.ibl.env_map if p.ibl.env_map is not None else env.env_map
+        if env_rgb is None:
+            # product default: the reference MapScene's minimal clear-sky
+            # Radiance env (map_scene.py _write_minimal_hdr: 2x2 constant
+            # (180,190,205) @ e=128 -> byte/256)
+            env_rgb = np.full((2, 2, 3), 0.0, np.float32)
+            env_rgb[:] = np.array([180.0, 190.0, 205.0], np.float32) / 256.0
+
+        dom = p.domain
+        if dom is None:
+            dom = (float(hm.min()), float(hm.max()))
+            if dom[0] == dom[1]:
+                dom = (dom[0], dom[0] + 1.0)
+
+        albedo_mode = p.albedo_mode
+        material_albedo = None
+        if albedo_mode == "constant":
+            albedo_mode = "material"
+            material_albedo = np.broadcast_to(
+                np.asarray(p.constant_albedo, np.float32), (1, 1, 3))
+
+        lut = np.asarray(colormaps.get_lut(p.colormap), np.float32)[:, :3]
+
+        mats = None
+        if p.material_layers is not None and p.material_layers.enabled:
+            mats = p.material_layers.to_layer_dict()
+        pom = None
+        if p.pom is not None and p.pom.enabled and float(p.pom.scale) > 0.0:
+            pom = p.pom.to_screen_cfg()
+        refl = None
+        if p.reflection is not None and p.reflection.enabled:
+            refl = dict(enabled=True,
+                        intensity=float(p.reflection.intensity),
+                        fresnel_power=float(p.reflection.fresnel_power),
+                        wave_strength=float(p.reflection.wave_strength),
+                        shore_atten_width=float(
+                            p.reflection.shore_atten_width),
+                        water_plane_height=float(
+                            p.reflection.water_plane_height))
+        sky = p.sky.to_dict_cfg() if p.sky is not None else None
+
+        W_out, H_out = int(p.size_px[0]), int(p.size_px[1])
+        W = max(1, int(round(W_out * p.render_scale)))
+        H = max(1, int(round(H_out * p.render_scale)))
+        span = p.terrain_span if p.terrain_span > 0 \
+            else float(hm.shape[1] - 1)
+
+        kw = dict(
+            size_px=(W, H), terrain_span=span, z_scale=p.z_scale,
+            exposure=p.exposure,
+            light_azimuth_deg=p.light.azimuth_deg,
+            light_elevation_deg=p.light.elevation_deg,
+            sun_intensity=p.light.intensity,
+            sun_color=tuple(p.light.color),
+            ibl_intensity=p.ibl.intensity if p.ibl.enabled else 0.0,
+            cam_radius=p.cam_radius, cam_phi_deg=p.cam_phi_deg,
+            cam_theta_deg=p.cam_theta_deg, fov_y_deg=p.fov_y_deg,
+            clip=tuple(p.clip), albedo_mode=albedo_mode,
+            colormap_strength=p.colormap_strength,
+            hue_variation_strength=p.hue_variation_strength,
+            water_mask=water_mask, sky=sky, hdr_rgb=env_rgb,
+            material_albedo_rgb=material_albedo, materials=mats,
+            pom=pom, reflection=refl, domain=dom,
+        )
+        if want_aov:
+            rgba, aovs = scr.render_screen_scene(hm, lut, return_aov=True,
+                                                 **kw)
+        else:
+            rgba = scr.render_screen_scene(hm, lut, **kw)
+            aovs = None
+        if (W, H) != (W_out, H_out):
+            rgba = scr.blit_resolve(rgba, W_out, H_out)
+        ms = (_time.perf_counter() - t0) * 1000.0
+        self.last_gpu_timings = {
+            "terrain_main_pass_ms": ms, "prepare_ms": 0.0,
+            "vt_residency_ms": 0.0, "readback_ms": 0.0, "total_ms": ms,
+        }
+        self.last_consumed_settings, self.last_ignored_settings = \
+            self._settings_report(p, True, water_mask is not None, False)
+        meta = {
+            "width": W_out, "height": H_out, "camera_mode": "screen",
+            "albedo_mode": p.albedo_mode, "render_ms": ms,
+            "gpu_timings": dict(self.last_gpu_timings),
+        }
+        frame = Frame(rgba=rgba, metadata=meta)
+        aov_frame = None
+        if want_aov:
+            aov_frame = AovFrame(aovs=aovs, metadata=meta)
         return frame, aov_frame
 
     def _uniforms(self, p: TerrainRenderParams, hm, span, hmin, hmax, W, H,

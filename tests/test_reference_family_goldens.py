@@ -165,30 +165,107 @@ def _render_hybrid_mini_dem():
     return render_terrain_reference(desc)["rgba"]
 
 
+def _register_lut(name, lut_rgb):
+    try:
+        colormaps.register(name, np.asarray(lut_rgb, np.float32))
+    except Exception:
+        pass
+    return name
+
+
+def _engine_screen_render(dem, *, colormap, water_mask=None, **scene_kw):
+    """Render a reference screen-mode scene through the PRODUCT path:
+    TerrainRenderer(camera_mode="screen") -> jitted screen pipeline
+    (forge3d_tpu/terrain/screen.py). scene_kw uses the replica scene
+    schema (screen_golden.FAMILY_SCENES keys) and is mapped onto
+    TerrainRenderParams groups — the same mapping MapScene performs."""
+    from forge3d_tpu.terrain.params import make_terrain_params
+    from forge3d_tpu.terrain.renderer import IBL, TerrainRenderer
+    from forge3d_tpu.terrain.screen import blit_resolve
+
+    kw = dict(scene_kw)
+    size_px = kw.pop("size_px", (192, 128))
+    render_scale = float(kw.pop("render_scale", 1.0))
+    hdr = kw.pop("hdr_rgb", None)
+    mats = kw.pop("materials", None)
+    pom = kw.pop("pom", None)
+    sky = kw.pop("sky", None)
+    refl = kw.pop("reflection", None)
+    groups = {}
+    if mats is not None:
+        groups["material_layers"] = dict(mats, enabled=True)
+    if pom is not None:
+        pd = dict(pom)
+        pd.pop("mode", None)
+        groups["pom"] = dict(
+            enabled=bool(pd.pop("enabled", True)),
+            scale=float(pd.pop("height_scale", 0.0)), **pd)
+    if sky is not None:
+        groups["sky"] = dict(sky)
+    if refl is not None:
+        groups["reflection"] = dict(refl)
+    p = make_terrain_params(
+        size_px=size_px, render_scale=render_scale,
+        terrain_span=float(kw.pop("terrain_span", 2.8)),
+        z_scale=float(kw.pop("z_scale", 1.45)),
+        exposure=float(kw.pop("exposure", 1.0)),
+        camera_mode="screen",
+        cam_radius=float(kw.pop("cam_radius", 5.0)),
+        cam_phi_deg=float(kw.pop("cam_phi_deg", 138.0)),
+        cam_theta_deg=float(kw.pop("cam_theta_deg", 63.0)),
+        fov_y_deg=float(kw.pop("fov_y_deg", 54.0)),
+        clip=tuple(kw.pop("clip", (0.1, 6000.0))),
+        colormap=colormap,
+        albedo_mode=str(kw.pop("albedo_mode", "colormap")),
+        colormap_strength=float(kw.pop("colormap_strength", 1.0)),
+        hue_variation_strength=float(kw.pop("hue_variation_strength",
+                                            0.08)),
+        domain=tuple(kw.pop("domain", (0.0, 1.0))),
+        light=dict(azimuth_deg=float(kw.pop("light_azimuth_deg", 135.0)),
+                   elevation_deg=float(kw.pop("light_elevation_deg", 24.0)),
+                   intensity=float(kw.pop("sun_intensity", 2.4)),
+                   color=tuple(kw.pop("sun_color", (1.0, 1.0, 1.0)))),
+        ibl=dict(enabled=True,
+                 intensity=float(kw.pop("ibl_intensity", 1.0)),
+                 env_map=hdr),
+        **groups,
+    )
+    assert not kw, f"unmapped scene keys: {sorted(kw)}"
+    frame = TerrainRenderer().render_terrain_pbr_pom(
+        params=p, heightmap=np.asarray(dem, np.float32),
+        env_maps=IBL(env_map=hdr) if hdr is not None else None,
+        water_mask=water_mask)
+    rgba = frame.rgba
+    if rgba.shape[:2] != (size_px[1], size_px[0]):
+        rgba = blit_resolve(rgba, size_px[0], size_px[1])
+    return rgba
+
+
 def _render_preset_rainier():
-    """Behavior-exact replica render of the rainier_showcase preset scene
+    """rainier_showcase preset scene through the engine screen path
     (test_preset_visual_parity.py:31-56,129-156 reference): synthetic
     128^2 peak+ridges DEM, preset camera radius_scale 2.4 / az 135 /
     el 45 / fov 55, preset sun az 135 / el 25 @ 4.0 (1,0.95,0.9),
     IBL 0.3 on the deterministic 2x2 clear-sky env
     (map_scene._write_minimal_hdr), terrain colormap stops rescaled to
     the DEM domain, albedo mix 0.5, exaggeration 1.35."""
-    from forge3d_tpu.terrain import screen_golden as sg
+    from forge3d_tpu.terrain import screen as eng
 
     dem = _preset_heightmap()
     lo, hi = float(dem.min()), float(dem.max())
     stops = [(0.0, "#00aa00"), (0.3, "#80ff00"), (0.5, "#ffff00"),
              (0.7, "#ff8000"), (0.9, "#ff0000"), (1.0, "#800000")]
-    lut = sg.build_lut_from_stops(stops)
+    lut = eng.build_lut_from_stops(stops)
     env = np.full((2, 2, 3), 0.0, np.float32)
     env[:] = np.array([180.0, 190.0, 205.0], np.float32) / 256.0
-    return sg.render_screen_scene(
-        dem, lut, size_px=(128, 128), terrain_span=128.0, z_scale=1.35,
+    return _engine_screen_render(
+        dem, colormap=_register_lut("ref_rainier_stops", lut),
+        size_px=(128, 128), terrain_span=128.0, z_scale=1.35,
         exposure=1.0, light_azimuth_deg=135.0, light_elevation_deg=25.0,
         sun_intensity=4.0, sun_color=(1.0, 0.95, 0.9), ibl_intensity=0.3,
         cam_radius=128 * 2.4, cam_phi_deg=135.0, cam_theta_deg=45.0,
         fov_y_deg=55.0, albedo_mode="mix", colormap_strength=0.5,
-        domain=(lo, hi), hdr_rgb=env)
+        domain=(lo, hi), hdr_rgb=env, hue_variation_strength=0.08)
 
 
 def _terrain_family_water_mask(size=96):
@@ -218,10 +295,26 @@ def _terrain_entry(**kw):
 
 
 def _screen_golden_entry(name):
+    """Engine entry for a terrain-golden-family scene: the scene config DB
+    (screen_golden.FAMILY_SCENES — the reference test suite's scene
+    parameters) rendered through TerrainRenderer's camera_mode="screen"
+    jitted pipeline. The numpy replica in screen_golden stays as the
+    test oracle (tests/test_screen_engine.py pins engine == oracle)."""
     def run():
-        from forge3d_tpu.terrain import screen_golden
+        from forge3d_tpu.terrain import screen as eng
+        from forge3d_tpu.terrain import screen_golden as sg
 
-        return screen_golden.render_family_scene(name)
+        kw = dict(sg.FAMILY_SCENES[name])
+        wm = sg.family_water_mask() if kw.pop("water_mask", False) else None
+        kw.setdefault("size_px", (192, 128))
+        hm = {"family": sg.family_heightmap,
+              "tv10": sg.tv10_heightmap}[kw.pop("heightmap", "family")]()
+        lut = eng.build_lut_from_stops(kw.pop("stops", sg.FAMILY_STOPS))
+        blue = kw.pop("hdr_blue", 128)
+        kw.setdefault("hdr_rgb", eng.decode_test_hdr(blue=blue))
+        return _engine_screen_render(
+            hm, colormap=_register_lut(f"ref_family_{name}", lut),
+            water_mask=wm, **kw)
     return run
 
 
