@@ -963,10 +963,12 @@ def build_lut_from_stops(stops):
 
 
 def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
-            max_steps, refine_steps):
+            max_steps, refine_steps, samp=_nearest):
     """parallax_occlusion_mapping (terrain_pbr_pom.wgsl:2660-2719), with
-    the oracle's faithful quirks (column TBN multiply, raw-height march,
-    nearest sampling). Loop bounds static; lane progress masked."""
+    the oracle's faithful quirks (column TBN multiply, raw-height march).
+    ``samp`` is the height sampler — nearest on non-FLOAT32_FILTERABLE
+    devices, bilinear otherwise (spike/constructor.rs:122-131,259-270).
+    Loop bounds static; lane progress masked."""
     n = blended_normal
     up = jnp.where((jnp.abs(n[..., 1]) > 0.99)[..., None],
                    jnp.array([0.0, 0.0, 1.0], _F32),
@@ -986,7 +988,7 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
     pdir = dir_xy / jnp.maximum(L, 1e-20)[..., None] * scale
     step_size = (1.0 / steps).astype(_F32)
 
-    ch0 = _nearest(hm, jnp.clip(u, 0, 1), jnp.clip(v, 0, 1))
+    ch0 = samp(hm, jnp.clip(u, 0, 1), jnp.clip(v, 0, 1))
 
     def march(i, st):
         cu, cv, layer, ch = st
@@ -994,7 +996,7 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
         cu = jnp.where(go, cu - pdir[..., 0] * step_size, cu)
         cv = jnp.where(go, cv - pdir[..., 1] * step_size, cv)
         layer = jnp.where(go, layer + step_size, layer)
-        ch = jnp.where(go, _nearest(hm, jnp.clip(cu, 0, 1),
+        ch = jnp.where(go, samp(hm, jnp.clip(cu, 0, 1),
                                     jnp.clip(cv, 0, 1)), ch)
         return cu, cv, layer, ch
 
@@ -1006,7 +1008,7 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
         du = pdir[..., 0] * rss * 0.5
         dv = pdir[..., 1] * rss * 0.5
         rss = rss * 0.5
-        ch = _nearest(hm, jnp.clip(cu, 0, 1), jnp.clip(cv, 0, 1))
+        ch = samp(hm, jnp.clip(cu, 0, 1), jnp.clip(cv, 0, 1))
         ge = layer >= ch
         cu = jnp.where(active, jnp.where(ge, cu - du, cu + du), cu)
         cv = jnp.where(active, jnp.where(ge, cv - dv, cv + dv), cv)
@@ -1068,10 +1070,13 @@ def _build_shade_fn(cfg):
     sky, has_mat_albedo, has_refl). mats/pom/sky are frozen tuples of
     the (static) feature configs; scalars travel in the uniforms dict."""
     (W, H, hm_shape, has_wm, albedo_mode, hue_on, mats_t, pom_t, sky_t,
-     has_mat_albedo, has_refl) = cfg
+     has_mat_albedo, has_refl, filterable) = cfg
     mats = dict(mats_t) if mats_t is not None else None
     pom = dict(pom_t) if pom_t is not None else None
     sky_static = dict(sky_t) if sky_t is not None else None
+    # height sampler: bilinear when the device exposes FLOAT32_FILTERABLE
+    # for R32F (spike/constructor.rs:122-131), nearest otherwise
+    hm_samp = _bilinear if filterable else _nearest
 
     def shade(u):
         hm = u["hm"]
@@ -1113,8 +1118,8 @@ def _build_shade_fn(cfg):
         spacing = 1.0  # screen mode (upload.rs:318-323)
 
         def geom(a, b):
-            return jnp.clip(_nearest(hm, jnp.clip(a, 0, 1),
-                                     jnp.clip(b, 0, 1)), dom_lo, dom_hi)
+            return jnp.clip(hm_samp(hm, jnp.clip(a, 0, 1),
+                                    jnp.clip(b, 0, 1)), dom_lo, dom_hi)
 
         tl = geom(uu - texel[0], vv - texel[1])
         tc = geom(uu, vv - texel[1])
@@ -1141,7 +1146,8 @@ def _build_shade_fn(cfg):
                              scale=float(pom["height_scale"]),
                              min_steps=int(pom.get("min_steps", 1)),
                              max_steps=int(pom.get("max_steps", 1)),
-                             refine_steps=int(pom.get("refine_steps", 0)))
+                             refine_steps=int(pom.get("refine_steps", 0)),
+                             samp=hm_samp)
 
         # ---- water / heights --------------------------------------------
         if has_wm:
@@ -1150,7 +1156,7 @@ def _build_shade_fn(cfg):
         else:
             wm = jnp.zeros_like(uu)
         is_water = wm > 0.001
-        height_sample = _nearest(hm, jnp.clip(pu, 0, 1), jnp.clip(pv, 0, 1))
+        height_sample = hm_samp(hm, jnp.clip(pu, 0, 1), jnp.clip(pv, 0, 1))
         height_clamped = jnp.clip(height_sample, dom_lo, dom_hi)
         if pom is not None and pom["enabled"] and pom.get("occlusion", True):
             occlusion = height_clamped
@@ -1298,7 +1304,7 @@ def _build_shade_fn(cfg):
 
         # ---- CSM / PCSS shadows -------------------------------------------
         shadow_h = jnp.clip(
-            (jnp.clip(_nearest(hm, jnp.clip(uu, 0, 1), jnp.clip(vv, 0, 1)),
+            (jnp.clip(hm_samp(hm, jnp.clip(uu, 0, 1), jnp.clip(vv, 0, 1)),
                       dom_lo, dom_hi) - dom_lo) / dom_rng, 0.0, 1.0)
         shadow_pos = jnp.stack([(uu - 0.5) * spacing, (vv - 0.5) * spacing,
                                 shadow_h * z_scale], -1)
@@ -1545,7 +1551,7 @@ def render_screen_scene(
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
-    return_aov=False,
+    return_aov=False, height_filterable=False,
 ):
     """TerrainRenderer.render_terrain_pbr_pom in screen mode — the TPU
     engine path. Same contract as the numpy oracle
@@ -1602,7 +1608,8 @@ def render_screen_scene(
     hv_host = float(np.clip(hue_variation_strength, 0.0, 0.2))
     cfg = (W, H, hm.shape, water_mask is not None, albedo_mode,
            hv_host > 0.0, _freeze(mats), _freeze(pom_cfg),
-           _freeze(sky_cfg), material_albedo_rgb is not None, has_refl)
+           _freeze(sky_cfg), material_albedo_rgb is not None, has_refl,
+           bool(height_filterable))
     if cfg not in _SHADE_CACHE:
         _SHADE_CACHE[cfg] = _build_shade_fn(cfg)
     fn = _SHADE_CACHE[cfg]

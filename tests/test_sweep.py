@@ -253,8 +253,8 @@ def test_sweep_render_matches_reference_converged():
     # the true DEM-rect crossing, so front-edge hits position and shade
     # exactly (this removed the bottom-frame residual stripe). Gate holds
     # a margin below the measurement so backend noise can't flake it.
-    assert s > 0.985, f"SSIM {s}"
-    assert mad < 0.9, f"mean abs diff {mad}/255"
+    assert s > 0.99, f"SSIM {s}"
+    assert mad < 0.8, f"mean abs diff {mad}/255"
 
 
 def test_sweep_sequence_bitwise_matches_single_calls():
