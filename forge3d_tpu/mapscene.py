@@ -23,6 +23,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from .camera import camera_basis, orbit_camera_origin
+from .mapscene_screen import LightingPreset  # noqa: F401 (public API)
 from .diagnostics import Severity, ValidationReport
 from .errors import RenderError, UploadError
 from .frame import Frame
@@ -372,10 +373,6 @@ class SceneRecipe:
     #: explicit lighting settings: MaterialSet.terrain_default(), no
     #: atmosphere — calibrated on mapscene_auto_water)
     albedo_mode: str = "colormap"
-    #: optional post filter over the base terrain: "ssao_gray" applies
-    #: the outdoor_sun+SSAO desaturated look (luma-driven gray fit on
-    #: mapscene_screen_space_contact)
-    base_filter: Optional[str] = None
     material_color: Tuple[float, float, float] = (121.0, 108.0, 97.0)
     #: camera override dict for camera_mode "mesh" (phi_deg/theta_deg/
     #: radius/target/fov_y_deg/z_scale)
@@ -436,10 +433,12 @@ class MapScene:
         if w * h > 64_000_000:
             rep.warning("output.large", f"{w}x{h} exceeds 64 MP; expect slow render")
         if isinstance(r.lighting, str):
-            try:
-                lighting_preset(r.lighting)
-            except ValueError as exc:
-                rep.error("lighting.preset", str(exc), "lighting")
+            from .mapscene_screen import _PRESETS as _ref_presets
+            if r.lighting.replace("-", "_") not in _ref_presets:
+                try:
+                    lighting_preset(r.lighting)
+                except ValueError as exc:
+                    rep.error("lighting.preset", str(exc), "lighting")
         for i, layer in enumerate(r.layers):
             if isinstance(layer, VectorOverlayLayer):
                 if layer.kind not in ("points", "lines", "polygons"):
@@ -504,8 +503,22 @@ class MapScene:
         dem, spacing, crs = r.terrain.resolve()
         h, w = dem.shape
         span = (w - 1) * spacing[0]
-        lighting = (r.lighting if isinstance(r.lighting, LightSettings)
-                    else lighting_preset(r.lighting))
+        from .mapscene_screen import (LightingPreset as _RefPreset,
+                                      resolve_recipe_lighting)
+        if isinstance(r.lighting, _RefPreset) or (
+                isinstance(r.lighting, str)
+                and r.lighting.replace("-", "_") in (
+                    "rainier_showcase", "outdoor_sun", "studio_pbr")):
+            lit = resolve_recipe_lighting(r.lighting, dem, spacing, {},
+                                          r.camera)
+            lighting = LightSettings(
+                azimuth_deg=lit["sun_azimuth_deg"],
+                elevation_deg=lit["sun_elevation_deg"],
+                intensity=lit["sun_intensity"],
+                color=lit["sun_color"])
+        else:
+            lighting = (r.lighting if isinstance(r.lighting, LightSettings)
+                        else lighting_preset(r.lighting))
         target = r.camera.target
         zs = r.terrain.z_scale
         if target is None:
@@ -539,327 +552,20 @@ class MapScene:
         return plan
 
     # -- screen-mode terrain (reference default framing) --------------------
-    #
-    # Calibrated against the reference's committed recipe goldens
-    # (/root/reference/tests/golden/recipes/*.png, all rendered through the
-    # native TerrainRenderer on an RTX 3070 per the committed certificates).
-    # Measured properties of those renders, reproduced here:
-    #   * the fullscreen-triangle pass (terrain_pbr_pom.wgsl:1589-1656)
-    #     resolves the bottom-left QUADRANT of the height texture at 2x
-    #     zoom, nearest-sampled at texel resolution (flat color blocks
-    #     with texel-boundary steps in every golden);
-    #   * shading = colormap albedo * (sun N.L + ambient) with per-texel
-    #     normals (cliff texels darken — mapscene_auto_water);
-    #   * a screen-space aerial-perspective blend toward a sky color,
-    #     increasing toward the image bottom and slightly toward the left
-    #     (fit on mapscene_png16_color: rms 5.1/255, SSIM 0.91+).
-    # NOTE the sun convention: the reference's light vector points FROM
-    # azimuth (light direction (sin az, ., cos az) is where the light
-    # travels toward), so surfaces facing azimuth+180 are lit — verified
-    # on mapscene_auto_water's cliff column (shade ratio 0.73 matches
-    # the flipped convention's 0.77, the unflipped one predicts 1.55)
-    # constants from a joint least-squares fit over the three clean base
-    # goldens (png16_color, offline_aovs, copc_points): rms 5.85/255
-    _SCREEN_PROFILE = {
-        # round-3 joint refit over the five clean base-scene goldens
-        # (scripts/fit_base.py: png16/offline_aovs/copc/terrain_raster/
-        # material_maps, mean SSIM 0.935 -> 0.953)
-        "gain": 0.6545,        # global radiance gain at the golden exposure
-        "sky": (28.58, 41.20, 33.44),  # aerial-perspective target (0-255)
-        "fog0": 0.0904, "fog_u": -0.0315, "fog_v": 0.6895,
-        "water_rgb": (95.0, 185.0, 217.0),  # flat water fill (measured)
-    }
-
-    def _screen_window(self, plan):
-        """Per-pixel DEM texel indices + screen fractions for the screen
-        camera mode. The visible DEM window is a profile property
-        (u0, v0, wu, wv, v_up): the recipe-board camera (radius
-        2.4*span) exposes the bottom-left quadrant at 2x with v up; the
-        terrain-family camera (radius 5, theta 63) exposes a narrower
-        band — both fitted against their goldens."""
-        p = plan["params"]
-        dem = np.asarray(plan["dem"], np.float32)
-        W, H = p.size_px
-        h, w = dem.shape
-        ys, xs = np.mgrid[0:H, 0:W]
-        u = (xs + 0.5) / W
-        v = 1.0 - (ys + 0.5) / H             # tex v: row 0 at screen bottom
-        u0, v0, wu, wv, v_up = self._SCREEN_PROFILE.get(
-            "window", (0.0, 0.0, 0.5, 0.5, True))
-        uu = u0 + u * wu
-        vv = v0 + (v if v_up else 1.0 - v) * wv
-        j = np.clip((uu * w).astype(np.int32), 0, w - 1)
-        i = np.clip((vv * h).astype(np.int32), 0, h - 1)
-        return dem, u, v, i, j
-
     def _render_screen_terrain(self, plan):
-        """Reference-parity screen-mode terrain pass (see block comment
-        above for the calibration evidence)."""
-        from .colormaps import get_lut
+        """Screen-mode terrain base through the TPU engine with
+        reference-DERIVED parameters (forge3d_tpu.mapscene_screen):
+        preset resolution, POM defaults, minimal IBL, spacing-consistent
+        shadow world, terrain colormap — no fitted profile constants.
+        Cloud shadows and SSAO/SSGI/SSR postfx follow as the reference's
+        own numpy post passes (map_scene.py:815-845, 884-951)."""
+        from . import mapscene_screen as mss
 
-        p = plan["params"]
-        spacing = plan["spacing"]
-        dem, u, v, i, j = self._screen_window(plan)
-        W, H = p.size_px
-        h, w = dem.shape
-        lo, hi = float(dem.min()), float(dem.max())
-        t01 = (dem - lo) / max(hi - lo, 1e-9)
-        t = t01[i, j]
-
-        lut = get_lut(p.colormap)
-        idx = np.clip(t * (len(lut) - 1), 0, len(lut) - 1)
-        i0 = idx.astype(np.int32)
-        fr = (idx - i0)[..., None]
-        i1 = np.minimum(i0 + 1, len(lut) - 1)
-        albedo = (lut[i0][..., :3] * (1 - fr)
-                  + lut[i1][..., :3] * fr).astype(np.float32)
-
-        # per-texel normals from central differences of the raw DEM
-        zs = p.z_scale
-        jm = np.maximum(j - 1, 0)
-        jp = np.minimum(j + 1, w - 1)
-        im = np.maximum(i - 1, 0)
-        ip = np.minimum(i + 1, h - 1)
-        gx = (dem[i, jp] - dem[i, jm]) * (zs / ((jp - jm).clip(1)
-                                                * spacing[0]))
-        gz = (dem[ip, j] - dem[im, j]) * (zs / ((ip - im).clip(1)
-                                                * spacing[1]))
-        invn = 1.0 / np.sqrt(1.0 + gx ** 2 + gz ** 2)
-        light = p.light
-        az_r = math.radians(light.azimuth_deg + 180.0)   # see _SCREEN_PROFILE
-        el_r = math.radians(light.elevation_deg)
-        lx = math.cos(el_r) * math.sin(az_r)
-        ly = math.sin(el_r)
-        lz = math.cos(el_r) * math.cos(az_r)
-        ndotl = np.maximum((-gx * lx + ly - gz * lz) * invn, 0.0)
-        sun = np.asarray(light.color, np.float32) * light.intensity
-        amb = np.asarray(light.ambient_color, np.float32) * light.ambient
-        prof = self._SCREEN_PROFILE
-        shadow_cfg = prof.get("shadow")
-        if shadow_cfg:
-            # heightfield cast shadows: horizon march toward the sun in
-            # texel space (the reference's PCSS cast shadows are the
-            # dominant feature at low sun elevations; shadow factor
-            # clamps at the reference's shadow_range floor 0.30 —
-            # terrain_params.py ClampSettings)
-            zrel = float(shadow_cfg.get("zrel", 45.0))   # height in texels
-            hw = t01 * zrel
-            tan_el = max(math.tan(el_r), 1e-3)
-            # march direction: toward the sun in texel space. Screen v is
-            # up; DEM row index grows downward, so +sun-y = -rows.
-            az0 = math.radians(light.azimuth_deg + 180.0)
-            dj = math.sin(az0)
-            di = -math.cos(az0)
-            occ = np.zeros_like(hw)
-            steps = int(shadow_cfg.get("steps", 40))
-            ii0, jj0 = np.mgrid[0:h, 0:w].astype(np.float32)
-            for s in range(1, steps + 1):
-                si = np.clip(ii0 + di * s, 0, h - 1).astype(np.int32)
-                sj = np.clip(jj0 + dj * s, 0, w - 1).astype(np.int32)
-                occ = np.maximum(occ, hw[si, sj] - hw - s * tan_el)
-            softness = float(shadow_cfg.get("softness", 1.0))
-            shad_full = 1.0 - np.clip(occ / max(softness, 1e-3), 0.0, 1.0)
-            floor = float(shadow_cfg.get("floor", 0.30))
-            shad = floor + (1.0 - floor) * shad_full
-            ndotl = ndotl * shad[i, j]
-        env_cfg = prof.get("env_amb")
-        if env_cfg is not None:
-            # IBL ambient: per-pixel equirect sample of the scene's
-            # environment map by the surface normal. The terrain-family
-            # goldens are lit by the test suite's tiny 8x4 gradient HDR
-            # (test_terrain_visual_goldens._create_test_hdr) whose
-            # red-azimuth / green-elevation axes tint slopes by facing —
-            # the source of the goldens' banded, maroon-tinted look.
-            env = np.asarray(env_cfg["map"], np.float32)
-            es = float(env_cfg.get("zscale", 1.0))
-            egx, egz = gx * es, gz * es
-            einv = 1.0 / np.sqrt(1.0 + egx ** 2 + egz ** 2)
-            nx2, ny2, nz2 = -egx * einv, einv, -egz * einv
-            n_az = np.arctan2(nx2, nz2)
-            n_el = np.arcsin(np.clip(ny2, -1.0, 1.0))
-            eh, ew = env.shape[:2]
-            eu = (n_az / (2.0 * np.pi) + 0.5
-                  + float(env_cfg.get("rot", 0.0))) % 1.0
-            ev = np.clip(0.5 - n_el / np.pi
-                         + float(env_cfg.get("ev_off", 0.0)), 0.0, 1.0)
-            if env_cfg.get("nearest", True):
-                ex = np.clip((eu * ew).astype(np.int32), 0, ew - 1)
-                ey = np.clip((ev * eh).astype(np.int32), 0, eh - 1)
-                esamp = env[ey, ex]
-            else:
-                fx = np.clip(eu * ew - 0.5, 0, ew - 1)
-                fy = np.clip(ev * eh - 0.5, 0, eh - 1)
-                x0 = np.floor(fx).astype(int); y0 = np.floor(fy).astype(int)
-                x1 = np.minimum(x0 + 1, ew - 1)
-                y1 = np.minimum(y0 + 1, eh - 1)
-                ax = (fx - x0)[..., None]; ay = (fy - y0)[..., None]
-                esamp = (env[y0, x0] * (1 - ax) * (1 - ay)
-                         + env[y0, x1] * ax * (1 - ay)
-                         + env[y1, x0] * (1 - ax) * ay
-                         + env[y1, x1] * ax * ay)
-            amb_px = amb[None, None] * esamp
-            # flat-ground normalizer: env sample straight up
-            up = env[0, min(int((0.5 + float(env_cfg.get("rot", 0.0)))
-                                % 1.0 * ew), ew - 1)]
-            amb_flat = amb * up
-        else:
-            amb_px = np.broadcast_to(
-                amb[None, None], ndotl.shape + (3,))
-            amb_flat = amb
-        r = self.recipe
-        if getattr(r, "albedo_mode", "colormap") == "material":
-            # flat material albedo in display space, normalized so level
-            # ground shows the material color exactly; no atmosphere
-            lit = sun[None, None] * ndotl[..., None] + amb_px
-            flat = sun * ly + amb_flat
-            mat = np.asarray(r.material_color, np.float32)
-            rgb = mat[None, None] * lit / np.maximum(flat[None, None],
-                                                     1e-6)
-        else:
-            shade = prof["gain"] * (sun[None, None] * ndotl[..., None]
-                                    + amb_px)
-            rgb = albedo * 255.0 * shade
-
-        # flat water fill below the recipe water level (reference renders
-        # water as an opaque sky-lit sheet in these goldens). The native
-        # auto-mask samples the height texture at texel centers, which
-        # widens the mask by half a DEM cell toward the rim (measured on
-        # the auto_water golden: waterline at screen x 56 vs the texel
-        # edge at 72), so the under-water test uses a half-cell-shifted
-        # height field.
-        wmask_shifted = None
-        wm = getattr(r, "water_mask", None)
-        if wm is not None:
-            wm = np.asarray(wm, np.float32)
-            wmask_shifted = wm[i, j] > 0.5
-            rgb = np.where(wmask_shifted[..., None],
-                           np.asarray(prof["water_rgb"],
-                                      np.float32)[None, None], rgb)
-        elif r.water_level is not None and hi > lo:
-            wl = (float(r.water_level) - lo) / (hi - lo)
-            # the native auto-mask widens the water by a quarter of a
-            # visible DEM cell toward the rim (waterline measured at
-            # screen x 56 on the auto_water golden vs the texel-2
-            # boundary at 64; one visible cell = 32 px there)
-            wu_vis = float(prof.get("window", (0, 0, 1, 1, True))[2])
-            cell_px = W / max(w * wu_vis, 1e-6)
-            shift = max(int(round(cell_px * 0.25)), 0)
-            def _mask_at(s):
-                ts = np.empty_like(t)
-                if s > 0:
-                    ts[:, :-s] = t[:, s:]
-                    ts[:, -s:] = t[:, -1:]
-                else:
-                    ts[:] = t
-                return np.minimum(t, ts) <= wl
-            base_mask = _mask_at(shift)
-            wmask_shifted = base_mask
-            if base_mask.any() and shift > 0:
-                # near the bottom shoreline the widening tapers back to
-                # the texel boundary (the golden's waterline recedes
-                # 57 -> 64 over its last ~5 rows: the 3D shoreline wraps
-                # the near basin corner)
-                wb0 = int(np.nonzero(base_mask.any(axis=1))[0].max())
-                row_shift = np.minimum(
-                    shift,
-                    np.round(shift * (wb0 - np.arange(H)) / 4.5)
-                ).astype(np.int32).clip(0, shift)
-                masks = {s: _mask_at(s) for s in np.unique(row_shift)}
-                wmask_shifted = np.stack(
-                    [masks[int(row_shift[r])][r] for r in range(H)], axis=0)
-            rgb = np.where(wmask_shifted[..., None],
-                           np.asarray(prof["water_rgb"],
-                                      np.float32)[None, None], rgb)
-
-        if getattr(r, "albedo_mode", "colormap") != "material":
-            # screen-space aerial perspective toward the sky color. The
-            # reference evaluates its atmosphere per TEXEL (flat within a
-            # height texel, visible as the blocky base of the offline
-            # golden); quantize the fog coordinates to texel centers
-            # when the profile asks for it.
-            if prof.get("fog_texel"):
-                uq = (j + 0.5) / w
-                vq = 1.0 - (i + 0.5) / h
-                u0_, v0_, wu_, wv_, vup_ = prof.get(
-                    "window", (0.0, 0.0, 0.5, 0.5, True))
-                fu = np.clip((uq - u0_) / max(wu_, 1e-6), 0.0, 1.0)
-                fv = np.clip((vq - v0_) / max(wv_, 1e-6), 0.0, 1.0)
-                if not vup_:
-                    fv = 1.0 - fv
-            else:
-                fu, fv = u, v
-            f = np.clip(prof["fog0"] + prof["fog_u"] * fu
-                        + prof["fog_v"] * (1.0 - fv), 0.0, 1.0)[..., None]
-            sky = np.asarray(prof["sky"], np.float32)[None, None]
-            rgb = rgb * (1.0 - f) + sky * f
-
-        # basin-wall band + screen-space water reflection below the
-        # waterline (structure and colors measured on the auto_water and
-        # screen_space_reflection goldens: a left-dark horizontal ramp
-        # wall block one quarter-frame tall under the water, and for SSR
-        # a two-tone gray reflection block over its lower half)
-        if wmask_shifted is not None and wmask_shifted.any() \
-                and getattr(r, "albedo_mode", "colormap") == "material":
-            rows = np.nonzero(wmask_shifted.any(axis=1))[0]
-            wb = int(rows.max())
-            cols_water = wmask_shifted.any(axis=0)
-            xl = int(np.argmax(cols_water))
-            xr = int(W - np.argmax(cols_water[::-1]))
-            # the basin-wall band spans the FULL rim texel under the
-            # near shore (golden: dark band [32..63] below the waterline
-            # = all of texel 1): snap xl to its texel's left boundary
-            row0 = int(rows.max())
-            j_first = int(j[min(row0, H - 1), min(xl, W - 1)])
-            same = np.nonzero(j[min(row0, H - 1)] == j_first)[0]
-            if len(same):
-                xl = int(same.min())
-            block_h = max(int(round(H * 0.25)), 1)
-            xs_r = np.arange(W, dtype=np.float32)
-            # the reference band is DEM-texel-quantized (per-texel flat
-            # normals in the wall shading; measured 2-texel blocks on the
-            # auto_water golden) — evaluate the ramp at block centers
-            bw = max(int(round(W / max(w, 1))) * 2, 1)
-            xs_q = np.floor(xs_r / bw) * bw + bw * 0.5
-            ramp = np.clip((xs_q - xl) / max(0.46 * W, 1.0), 0.0, 1.0)
-            c0 = np.array([88, 77, 69], np.float32)
-            c1 = np.array([125, 111, 101], np.float32)
-            wall = c0[None, :] + (c1 - c0)[None, :] * ramp[:, None]
-            sel = (xs_r >= xl) & (xs_r < xr)
-            for dy in range(1, block_h + 1):
-                yr = wb + dy
-                if yr >= H:
-                    break
-                rgb[yr] = np.where(sel[:, None], wall, rgb[yr])
-
-        # deterministic cloud shadows (reference formula,
-        # map_scene.py:823-837)
-        cl = getattr(r, "clouds", None)
-        if cl and cl.get("enabled") and cl.get("shadows_enabled", True):
-            scale = {"low": 2.0, "medium": 3.0, "high": 4.5,
-                     "ultra": 6.0}.get(str(cl.get("quality", "medium")),
-                                       3.0)
-            ox = float(cl.get("shadow_offset_x", 0.0))
-            oy = float(cl.get("shadow_offset_y", 0.0))
-            ys2, xs2 = np.mgrid[0:H, 0:W].astype(np.float32)
-            cu = xs2 / max(1.0, W - 1.0) + ox
-            cv = ys2 / max(1.0, H - 1.0) + oy
-            field = (0.55 * np.sin((cu * scale + cv * 0.7) * 2 * np.pi)
-                     + 0.30 * np.sin((cu * 1.7 - cv * scale) * 2 * np.pi
-                                     + 0.6)
-                     + 0.15 * np.sin((cu * 5.1 + cv * 4.3) * 2 * np.pi
-                                     + 1.7))
-            field = (field - field.min()) / max(
-                float(field.max() - field.min()), 1e-6)
-            cutoff = 1.0 - float(cl.get("coverage", 0.5))
-            cloud = np.clip((field - cutoff)
-                            / max(0.05, float(cl.get("density", 0.5))),
-                            0.0, 1.0)
-            rgb = rgb * (1.0 - cloud
-                         * float(cl.get("shadow_strength", 0.35)))[..., None]
-        rgba = np.concatenate(
-            [(np.clip(rgb, 0, 255) + 0.5).astype(np.uint8),
-             np.full((H, W, 1), 255, np.uint8)], axis=-1)
-        return rgba
+        dem = plan["dem"]
+        rgba = mss.render_screen_base(self.recipe, dem)
+        rgba = mss.apply_cloud_shadow(rgba, self.recipe)
+        rgba = mss.apply_screen_space_postfx(rgba, self.recipe, dem)
+        return np.ascontiguousarray(rgba)
 
     # -- clipmap-mode terrain raster (reference camera_mode "clipmap:...") --
     #
@@ -1994,28 +1700,15 @@ class MapScene:
             frame = Frame(rgba=rgba, metadata={"camera_mode": "mesh"})
         elif plan.get("camera_mode") == "screen":
             rgba = self._render_screen_terrain(plan)
-            bf = getattr(self.recipe, "base_filter", None)
-            if bf == "ssao_gray":
-                rgbf = rgba[..., :3].astype(np.float32)
-                luma = (0.3 * rgbf[..., 0] + 0.6 * rgbf[..., 1]
-                        + 0.1 * rgbf[..., 2])
-                g = 25.0 + 0.3 * luma
-                rgba[..., :3] = np.clip(
-                    np.stack([g, g * 1.12, g * 0.95], -1), 0,
-                    255).astype(np.uint8)
-            elif bf == "material_dim":
-                # textured-material pass exposure (calibrated on
-                # mapscene_material_maps: colormap_strength 0 leaves the
-                # dark detail-material response)
-                rgbf = rgba[..., :3].astype(np.float32)
-                rgba[..., :3] = np.clip(
-                    0.45 * rgbf + np.array([3.0, 2.0, 10.0]), 0,
-                    255).astype(np.uint8)
             if any(isinstance(l, LabelLayer) for l in layers):
-                # the reference's label-focused render path exposes the
-                # terrain ~5x darker than the plain beauty pass (measured
-                # k=0.195 on the label recipe goldens; labels/vectors
-                # composite at full brightness on top)
+                # Label/vector recipes render their terrain base through
+                # the reference's native OFFSCREEN scene renderer
+                # (map_scene.py:3200 _render_native_offscreen_result),
+                # not the terrain renderer — its base sits ~0.195x the
+                # beauty pass (label goldens' corner texel [7,15,1] vs
+                # the plain base's [47,69,11]).  TODO(derive): replace
+                # this measured exposure with the offscreen path's
+                # actual lighting once that renderer is ported.
                 rgba[..., :3] = (rgba[..., :3].astype(np.float32)
                                  * 0.195 + 0.5).astype(np.uint8)
             depth = (np.full(rgba.shape[:2], np.inf)

@@ -48,6 +48,20 @@ CACHE_DIR = Path(
     )
 )
 
+# Persistent XLA compilation cache: the screen pipeline compiles one
+# program per (size, feature-set) config; across processes the cache
+# turns the multi-minute first compile into a disk load.
+if not os.environ.get("FORGE3D_NO_JIT_CACHE"):
+    try:
+        _jit_cache = Path(
+            os.environ.get("FORGE3D_JIT_CACHE",
+                           Path.home() / ".cache" / "forge3d_tpu" / "jit"))
+        _jit_cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(_jit_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 # Composition constants derived from the reference beauty pass
 # (terrain_pbr_pom.wgsl:4443-4570; see screen_golden.py for the evidence).
 SHADOW_MIN = 0.20
@@ -1306,7 +1320,10 @@ def _build_shade_fn(cfg):
         shadow_h = jnp.clip(
             (jnp.clip(hm_samp(hm, jnp.clip(uu, 0, 1), jnp.clip(vv, 0, 1)),
                       dom_lo, dom_hi) - dom_lo) / dom_rng, 0.0, 1.0)
-        shadow_pos = jnp.stack([(uu - 0.5) * spacing, (vv - 0.5) * spacing,
+        # Shadow receivers share the shadow-depth raster's world frame
+        # (spacing-consistent; see the build_shadow_map call site).
+        shadow_pos = jnp.stack([(uu - 0.5) * u["shadow_rspan"],
+                                (vv - 0.5) * u["shadow_rspan"],
                                 shadow_h * z_scale], -1)
         shadow_vis = pcss_visibility(u["shadow_depth"], u["shadow_lvp"],
                                      None, shadow_pos, blended_normal,
@@ -1551,7 +1568,7 @@ def render_screen_scene(
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
-    return_aov=False, height_filterable=False,
+    return_aov=False, height_filterable=False, shadow_mode="legacy",
 ):
     """TerrainRenderer.render_terrain_pbr_pom in screen mode — the TPU
     engine path. Same contract as the numpy oracle
@@ -1575,8 +1592,19 @@ def render_screen_scene(
     dom_lo, dom_hi = float(domain[0]), float(domain[1])
 
     # ---- prepasses ----------------------------------------------------------
+    # Shadow depth-pass world span. The reference's two golden
+    # generations pin two behaviors:
+    #  * "legacy"     — the committed code path: the depth raster spans
+    #    terrain_span while screen-mode receivers live at spacing = 1
+    #    (setup.rs:154 / terrain_shadow_depth.wgsl:126 vs
+    #    normalize_for_shadow) — the terrain-family goldens bake this.
+    #  * "consistent" — depth raster and receivers both at spacing = 1;
+    #    the recipe goldens bake this (each DEM step blankets ~2.5
+    #    texels of shadow with a bias-lit strip; see
+    #    screen_golden.render_screen_scene for the derivation).
+    shadow_world = terrain_span if shadow_mode == "legacy" else 1.0
     depth_map, lvp, _texel = build_shadow_map(
-        hm, terrain_span=terrain_span, z_scale=z_scale, sun_dir=-ldir,
+        hm, terrain_span=shadow_world, z_scale=z_scale, sun_dir=-ldir,
         domain=(dom_lo, dom_hi))
 
     mats = None
@@ -1619,6 +1647,7 @@ def render_screen_scene(
         "lut": jnp.asarray(lut_rgb, _F32),
         "dom_lo": jnp.float32(dom_lo),
         "dom_hi": jnp.float32(dom_hi),
+        "shadow_rspan": jnp.float32(1.0),
         "z_scale": jnp.float32(z_scale),
         "ldir": jnp.asarray(ldir),
         "lcol": jnp.asarray(lcol),

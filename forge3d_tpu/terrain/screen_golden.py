@@ -1061,6 +1061,7 @@ def render_screen_scene(
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
+    shadow_mode="legacy",
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1295,8 +1296,15 @@ def render_screen_scene(
     lcol = np.asarray(sun_color, np.float32) * float(sun_intensity)
 
     # ---- CSM / PCSS shadows ------------------------------------------------
+    # Shadow depth-pass world span (see screen.py for the two-generation
+    # derivation): "legacy" = depth raster at terrain_span vs receivers
+    # at spacing (the terrain-family goldens); "consistent" = both at
+    # spacing = 1 (the recipe goldens: each DEM step blankets ~2.5
+    # texels of shadow with a thin bias-lit strip adjacent to the step
+    # — mapscene_png16_color row profiles pin it).
+    shadow_world = terrain_span if shadow_mode == "legacy" else spacing
     depth_map, lvp, texel_sz = build_shadow_map(
-        hm, terrain_span=terrain_span, z_scale=z_scale, sun_dir=-ldir,
+        hm, terrain_span=shadow_world, z_scale=z_scale, sun_dir=-ldir,
         domain=(dom_lo, dom_hi))
     shadow_h = np.clip((np.clip(_nearest(hm, np.clip(u, 0, 1),
                                           np.clip(v, 0, 1)), dom_lo, dom_hi)

@@ -61,24 +61,21 @@ def test_ssr_band_paints_below_waterline():
     assert lo_half[-len(lo_half) // 3:].mean() >= lo_half[:len(lo_half) // 3].mean()
 
 
-def test_material_mode_flat_ground_shows_material_color():
-    dem = np.ones((8, 8), np.float32)
-    dem[0, 0] = 0.0     # give the DEM some range
-    rec = _recipe(dem=dem, albedo_mode="material",
-                  material_color=(121.0, 108.0, 97.0))
-    rgba = MapScene(rec).render().rgba
-    # interior flat texels show the material color exactly
-    assert abs(int(rgba[5, 40, 0]) - 121) <= 1
-    assert abs(int(rgba[5, 40, 1]) - 108) <= 1
-    assert abs(int(rgba[5, 40, 2]) - 97) <= 1
+def test_material_albedo_mode_changes_base():
+    """albedo_mode "material" flows through the preset settings
+    (reference lighting_settings["albedo_mode"]; map_scene.py:1225)."""
+    from forge3d_tpu.mapscene import LightingPreset
 
-
-def test_base_filters_change_exposure():
-    plain = MapScene(_recipe()).render().rgba
-    gray = MapScene(_recipe(base_filter="ssao_gray")).render().rgba
-    dim = MapScene(_recipe(base_filter="material_dim")).render().rgba
-    assert not np.array_equal(plain, gray)
-    assert dim[..., :3].mean() < plain[..., :3].mean()
+    mix = MapScene(_recipe(
+        lighting=LightingPreset("rainier_showcase", intensity=1.15),
+    )).render().rgba
+    mat = MapScene(_recipe(
+        lighting=LightingPreset("rainier_showcase", intensity=1.15,
+                                settings={"albedo_mode": "material"}),
+    )).render().rgba
+    assert not np.array_equal(mix, mat)
+    # material albedo drops the colormap's green dominance
+    assert mat[..., 1].astype(int).mean() < mix[..., 1].astype(int).mean()
 
 
 def test_raster_placeholder_matches_reference_hash_semantics():

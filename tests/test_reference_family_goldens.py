@@ -74,61 +74,6 @@ def _preset_heightmap(size=128):
     return (1200.0 + peak + ridges).astype(np.float32)
 
 
-#: screen profile calibrated for THIS family's goldens (the terrain
-#: visual set uses the test camera radius 5 / theta 63 — a narrower DEM
-#: window than the recipe camera — plus PCSS cast shadows that dominate
-#: at the family's low sun elevations; window/shadow/exposure jointly
-#: fitted against terrain_pbr/atmosphere/low_sun_sky)
-_FAMILY_PROFILE = {
-    "gain": 1.0149,
-    "sky": (144.0, 121.0, 48.8),
-    "fog0": -0.5996, "fog_u": -0.229, "fog_v": -0.1068,
-    "water_rgb": (95.0, 185.0, 217.0),
-    # the window is pinned EXACTLY by the water_reflection golden: the
-    # lake-mask ellipse reprojects onto the golden's blue region with
-    # IoU 1.0 at the recipe-board window (scripts/fit_water_window.py);
-    # the shading constants are the joint refit over the five terrain
-    # visual goldens under that window (scripts/fit_family_profile3.py)
-    "window": (0.0, 0.0, 0.5, 0.5, True),
-    "shadow": {"zrel": 73.12, "steps": 40, "softness": 1.2076,
-               "floor": 0.1846},
-}
-
-
-def _screen_render(dem, colormap, *, size_px, azimuth, elevation,
-                   intensity=0.3, ambient=0.3, water_level=None,
-                   water_mask=None, profile=None):
-    """Screen-mode terrain render through the calibrated mapscene path."""
-    from forge3d_tpu.mapscene import (MapScene, OrbitCamera, OutputSpec,
-                                      SceneRecipe, TerrainSource)
-    from forge3d_tpu.terrain.params import LightSettings
-
-    rec = SceneRecipe(
-        terrain=TerrainSource(dem=np.asarray(dem, np.float32),
-                              spacing=(1.0, 1.0), z_scale=1.0),
-        camera=OrbitCamera(phi_deg=35.0, theta_deg=45.0, fov_y_deg=45.0),
-        colormap=colormap,
-        lighting=LightSettings(azimuth_deg=float(azimuth),
-                               elevation_deg=float(elevation),
-                               intensity=float(intensity),
-                               color=(1.0, 0.95, 0.9),
-                               ambient=float(ambient),
-                               ambient_color=(1.0, 1.0, 1.0)),
-        output=OutputSpec(size_px=size_px),
-        camera_mode="screen",
-    )
-    if water_level is not None:
-        rec.water_level = float(water_level)
-    if water_mask is not None:
-        rec.water_mask = water_mask
-    saved = MapScene._SCREEN_PROFILE
-    MapScene._SCREEN_PROFILE = _FAMILY_PROFILE if profile is None else profile
-    try:
-        return MapScene(rec).render().rgba
-    finally:
-        MapScene._SCREEN_PROFILE = saved
-
-
 def _render_hybrid_mini_dem():
     """North-star PT entry: the reference renders this golden with its
     ReSTIR-reuse sun estimator (hybrid_terrain_traversal.wgsl:455-462
@@ -279,21 +224,6 @@ def _terrain_family_water_mask(size=96):
     return np.where(lake | inlet, 1.0, 0.0).astype(np.float32)
 
 
-def _terrain_entry(**kw):
-    # the terrain family renders with sun_intensity 2.4 + IBL fill
-    # (test_terrain_visual_goldens.py:150-110); through our screen
-    # shading (with the fitted cast-shadow term carrying the directional
-    # structure) that exposure point scored best as an ambient-dominated
-    # fill (shared across the family, no per-entry tuning)
-    kw.setdefault("intensity", 0.0)
-    kw.setdefault("ambient", 0.9967)
-
-    def run():
-        return _screen_render(_terrain_family_heightmap(),
-                              _terrain_family_colormap(), **kw)
-    return run
-
-
 def _screen_golden_entry(name):
     """Engine entry for a terrain-golden-family scene: the scene config DB
     (screen_golden.FAMILY_SCENES — the reference test suite's scene
@@ -348,12 +278,8 @@ FAMILY_GOLDENS = {
         "render": _screen_golden_entry("terrain_low_sun_sky"),
     },
     "terrain_pom": {
-        # albedo_mode="material", colormap_strength 0 in the reference
-        # scene -> the darker material exposure point
         "golden": GOLDEN_ROOT / "terrain" / "terrain_pom.png",
-        "render": _terrain_entry(size_px=(256, 160), azimuth=135.0,
-                                 elevation=22.0, intensity=0.3,
-                                 ambient=0.3),
+        "render": _screen_golden_entry("terrain_pom"),
     },
     "terrain_water_reflection": {
         "golden": GOLDEN_ROOT / "terrain" / "terrain_water_reflection.png",

@@ -49,49 +49,26 @@ def _ref_heightmap(size=8):
     return (0.25 * xx + 0.75 * yy).astype(np.float32)
 
 
-def _ref_colormap():
-    """The colormap the reference resolves for these recipes: the
-    "rainier_showcase" preset resolves colormap_name "terrain", which
-    falls through to terrain_demo.DEFAULT_COLORMAP_STOPS (green -> lime
-    -> yellow -> orange -> red -> dark red, rescaled to the DEM domain;
-    terrain_demo.py:39-46, map_scene.py:1181-1186)."""
-    # 4-stop display-space refinement of the preset stops, jointly fit
-    # through the engine against the five clean base goldens
-    # (scripts/fit_base.py round 3; mean SSIM 0.935 -> 0.953). Stops live
-    # in the shading model's display space, so negative stop components
-    # are legal intermediates; the registered LUT clamps at 0.
-    pos = np.array([0.0, 1 / 3, 2 / 3, 1.0])
-    cols = np.array([[0.0546, 1.2351, -0.1583], [0.7586, 0.9942, 0.1488],
-                     [1.166, 0.7804, -0.007], [0.8622, -0.0707, -0.2024]],
-                    np.float32)
-    t = np.linspace(0, 1, 256)
-    lut = np.empty((256, 3), np.float32)
-    for c in range(3):
-        lut[:, c] = np.clip(np.interp(t, pos, cols[:, c]), 0.0, 4.0)
-    try:
-        colormaps.register("ref_terrain_stops", lut)
-    except Exception:
-        pass
-    return "ref_terrain_stops"
+def _base_recipe(layers=(), width=96, height=64, furniture=None,
+                 lighting=None, heightmap=None, settings=None):
+    """The reference's `_base_scene` declared 1:1
+    (test_recipe_goldens.py:200-250): rainier_showcase preset at
+    LightingPreset.intensity 1.15, OrbitCamera distance 800 / azimuth 35
+    (both overridden by the preset camera during resolution), no fitted
+    lighting constants — MapScene derives everything
+    (forge3d_tpu/mapscene_screen.py)."""
+    from forge3d_tpu.mapscene import LightingPreset
 
-
-def _base_recipe(layers=(), width=96, height=64, furniture=None):
-    from forge3d_tpu.terrain.params import LightSettings
-
+    if lighting is None:
+        lighting = LightingPreset(name="rainier_showcase", intensity=1.15,
+                                  settings=settings)
     return SceneRecipe(
-        terrain=TerrainSource(dem=_ref_heightmap(), spacing=(1.0, 1.0),
-                              z_scale=1.0),
-        camera=OrbitCamera(phi_deg=35.0, theta_deg=45.0, fov_y_deg=45.0),
-        colormap=_ref_colormap(),
-        # rainier_showcase preset sun: az 135, el 25, intensity 4.0 * 1.15,
-        # color (1, 0.95, 0.9), IBL fill 0.3 (presets.py:150-199)
-        # calibrated to the goldens' overall exposure: the preset's raw
-        # sun (4.6) is attenuated in the reference by CSM shadowing, SSAO
-        # (0.35) and atmosphere; a single shared 0.3 intensity matches the
-        # goldens' mean luminance across recipes (no per-recipe tuning)
-        lighting=LightSettings(azimuth_deg=135.0, elevation_deg=25.0,
-                               intensity=0.3, color=(1.0, 0.95, 0.9),
-                               ambient=0.3, ambient_color=(1.0, 1.0, 1.0)),
+        terrain=TerrainSource(
+            dem=_ref_heightmap() if heightmap is None else heightmap,
+            spacing=(1.0, 1.0), z_scale=1.0),
+        camera=OrbitCamera(radius=800.0, phi_deg=35.0, theta_deg=45.0,
+                           fov_y_deg=45.0),
+        lighting=lighting,
         output=OutputSpec(size_px=(width, height)),
         layers=list(layers),
         furniture=furniture or MapFurniture(),
@@ -241,15 +218,14 @@ def _recipes():
             point_size=6)
     ], width=128, height=80)
     # water basin DEM (rim at 1, floor at 0), auto water at level 0.1
+    # (test_recipe_goldens.py:774-784: water settings in both terrain
+    # metadata and lighting settings; slope_threshold 1.0)
     water_dem = np.ones((8, 8), np.float32)
     water_dem[2:6, 2:6] = 0.0
-    rec = _base_recipe(width=128, height=80)
-    rec.terrain = TerrainSource(dem=water_dem, spacing=(1.0, 1.0),
-                                z_scale=1.0)
-    rec.water_level = 0.1
-    # recipes with explicit lighting settings render material albedo
-    # without atmosphere (reference behavior; see SceneRecipe.albedo_mode)
-    rec.albedo_mode = "material"
+    water_cfg = {"water": {"enabled": True, "auto_mask": True,
+                           "level": 0.1, "slope_threshold": 1.0}}
+    rec = _base_recipe(width=128, height=80, heightmap=water_dem,
+                       settings=dict(water_cfg))
     out["mapscene_auto_water"] = rec
     # 16-bit output variant (golden committed as PNG16)
     out["mapscene_png16_color"] = _base_recipe(width=80, height=48)
@@ -292,25 +268,13 @@ def _recipes():
                            color=(172 / 255, 70 / 255, 68 / 255), width=3),
     ]))
     # cloud shadows: 16x16 plateau DEM + the deterministic sinusoid field
+    # (test_recipe_goldens.py:786-809)
     cl_dem = np.zeros((16, 16), np.float32)
     cl_dem[5:11, 5:11] = 0.35
-    rec = _base_recipe(width=128, height=80)
-    rec.terrain = TerrainSource(dem=cl_dem, spacing=(1.0, 1.0), z_scale=1.0)
+    rec = _base_recipe(width=128, height=80, heightmap=cl_dem)
     rec.clouds = {"enabled": True, "shadows_enabled": True,
                   "coverage": 0.72, "density": 0.48,
                   "shadow_strength": 0.38, "quality": "high"}
-    # this recipe's reference render resolves a teal->tan colormap (the
-    # matplotlib-terrain band over the plateau distribution); stops fit
-    # through our shading model against the golden
-    t2 = np.linspace(0, 1, 256)[:, None]
-    lo2 = np.array([0.0151, 1.4703, 0.6895])
-    hi2 = np.array([0.4314, 1.7827, 0.811])
-    try:
-        colormaps.register("ref_cloud_stops",
-                           (lo2[None] * (1 - t2) + hi2[None] * t2))
-    except Exception:
-        pass
-    rec.colormap = "ref_cloud_stops"
     out["mapscene_cloud_shadows"] = rec
     # tiles3d pnts fixture points (test_recipe_goldens.py:116-171)
     pnts_pos = np.array([[0, 0, 0], [2, 1, 0], [4, 2, 0], [6, 3, 0],
@@ -324,12 +288,10 @@ def _recipes():
                      # (test_recipe_goldens.py:841)
                      camera_position=(5.0, 4.0, 25.0))])
     # screen-space reflection over the auto-water basin
-    rec = _base_recipe(width=128, height=80)
-    rec.terrain = TerrainSource(dem=water_dem, spacing=(1.0, 1.0),
-                                z_scale=1.0)
-    rec.water_level = 0.1
-    rec.albedo_mode = "material"
-    rec.ssr_intensity = 0.85
+    # (test_recipe_goldens.py:640-655)
+    rec = _base_recipe(width=128, height=80, heightmap=water_dem,
+                       settings=dict(water_cfg, screen_space={
+                           "ssr": {"enabled": True, "intensity": 0.85}}))
     out["mapscene_screen_space_reflection"] = rec
 
     # arabic joining: big shaped RTL label over the dimmed base
@@ -364,18 +326,25 @@ def _recipes():
     # preset + SSAO (desaturated gray base)
     import copy as _copy
 
+    from forge3d_tpu.mapscene import LightingPreset as _LP
+
     rec = _copy.deepcopy(out["mapscene_buildings"])
-    rec.base_filter = "ssao_gray"
-    # exact reference postfx on top (map_scene.py:884-951; recipe
-    # settings from test_recipe_goldens.py:622-636)
-    rec.screen_space = {
-        "ssao": {"enabled": True, "radius": 2.6, "intensity": 1.35},
-        "ssgi": {"enabled": True, "intensity": 0.45},
-    }
+    # the reference swaps the buildings scene to the outdoor_sun preset
+    # at intensity 1.1 with ssao/ssgi/taa postfx
+    # (test_recipe_goldens.py:622-637); the preset's downward light
+    # vector (el < 0) makes the base ambient-gray — no fitted filter
+    rec.lighting = _LP(name="outdoor_sun", intensity=1.1, settings={
+        "screen_space": {
+            "ssao": {"enabled": True, "radius": 2.6, "intensity": 1.35},
+            "ssgi": {"enabled": True, "intensity": 0.45},
+            "taa": {"enabled": True, "temporal_alpha": 0.18},
+        }})
     out["mapscene_screen_space_contact"] = rec
-    # material maps: dark detail-material exposure over the base
-    rec = _base_recipe(width=128, height=80)
-    rec.base_filter = "material_dim"
+    # material maps: albedo_mode "material" / colormap_strength 0 via
+    # the preset settings (test_recipe_goldens.py:733-748)
+    rec = _base_recipe(width=128, height=80, settings={
+        "albedo_mode": "material", "colormap_strength": 0.0,
+        "exaggeration": 1.35})
     out["mapscene_material_maps"] = rec
     # clipmap large region: 32x32 sine DEM through the clipmap camera
     # mode. The reference builds the CPU center-block + nested-ring mesh
