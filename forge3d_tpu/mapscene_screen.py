@@ -69,6 +69,16 @@ TERRAIN_STOPS = (
     (0.0, "#00aa00"), (0.3, "#80ff00"), (0.5, "#ffff00"),
     (0.7, "#ff8000"), (0.9, "#ff0000"), (1.0, "#800000"))
 
+#: no-preset colormap fallback (map_scene.py:1188-1196)
+FALLBACK_STOPS = ((0.0, "#243b2f"), (0.5, "#8b7d4d"), (1.0, "#f5f7fb"))
+
+#: Presets MapScene resolves.  The recipe goldens only bake the
+#: rainier_showcase resolution; the outdoor_sun/studio_pbr goldens
+#: (mapscene_screen_space_contact) were rendered BEFORE those presets
+#: resolved — their base uses the no-preset fallback (3-stop colormap,
+#: albedo "colormap", default sun 135/35; the golden's base gradient
+#: runs dark-green -> tan with near-neutral chroma, matching the
+#: fallback stops, not the terrain palette).
 _PRESETS: Dict[str, Dict[str, Any]] = {
     # presets.py:152-220 rainier_showcase
     "rainier_showcase": {
@@ -84,26 +94,6 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
                 "direction": (0.64, 0.42, -0.64)},
         "ibl": {"builtin": "clear_sky", "intensity": 0.3},
         "exaggeration": 1.35,
-    },
-    # presets.py:92-121 outdoor_sun (no camera/sun/ibl/exaggeration blocks)
-    "outdoor_sun": {
-        "lighting": {"exposure": 1.0,
-                     "lights": [{"direction": (-0.35, -1.00, -0.25),
-                                 "intensity": 5.0,
-                                 "color": (1.0, 0.97, 0.92)}]},
-        "shadows": {"technique": "pcf", "map_size": 2048, "cascades": 3},
-        "gi": {"modes": []},
-        "atmosphere": {"enabled": True, "sky": "hosek-wilkie"},
-    },
-    # presets.py:56-89 studio_pbr
-    "studio_pbr": {
-        "lighting": {"exposure": 1.0,
-                     "lights": [{"direction": (-0.30, -0.95, -0.20),
-                                 "intensity": 6.0,
-                                 "color": (1.0, 0.98, 0.95)}]},
-        "shadows": {"technique": "pcf", "map_size": 2048, "cascades": 1},
-        "gi": {"modes": []},
-        "atmosphere": {"enabled": False},
     },
 }
 
@@ -307,8 +297,10 @@ def derive_screen_params(recipe, dem) -> Dict[str, Any]:
     terrain_span = max(1.0, diagonal)
     clip_far = max(6000.0, terrain_span * 1.5)
 
-    # colormap: terrain stops rescaled to the domain (preset path)
-    lut = eng.build_lut_from_stops(TERRAIN_STOPS)
+    # colormap: terrain stops for resolved presets, the 3-stop fallback
+    # otherwise (map_scene.py:1183-1196)
+    lut = eng.build_lut_from_stops(
+        TERRAIN_STOPS if lit["preset"] else FALLBACK_STOPS)
 
     cam = lit["cam"] or {
         "radius": float(getattr(recipe.camera, "radius", 1.0) or 1.0),
@@ -336,8 +328,9 @@ def derive_screen_params(recipe, dem) -> Dict[str, Any]:
         # POM defaults (terrain_params.py:2277-2288)
         pom=dict(enabled=True, height_scale=0.04, min_steps=12,
                  max_steps=40, refine_steps=4, occlusion=True),
-        # recipe goldens bake the spacing-consistent shadow world
-        shadow_mode="consistent",
+        # recipe goldens bake the older shader generation (spacing-
+        # consistent shadow world + pre-P5 IBL fill 0.22)
+        generation="recipe",
     )
     return {"kw": kw, "lut": lut, "lit": lit, "dem": dem}
 

@@ -1420,7 +1420,8 @@ def _build_shade_fn(cfg):
         diffuse_lit = diffuse_raw * ao_shadow
         ibl_dfac = jnp.linalg.norm(blended_diffuse, axis=-1) \
             * ibl_intensity
-        ibl_term = ibl_dfac * AMBIENT_FLOOR * 0.35
+        # per-generation IBL fill (see screen_golden for the derivation)
+        ibl_term = ibl_dfac * u["ibl_fill"]
         lighting_factor = diffuse_lit + ibl_term
         lit_albedo = albedo * lighting_factor[..., None]
         spec_contrib = blended_specular * ibl_intensity * 0.12
@@ -1568,7 +1569,7 @@ def render_screen_scene(
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
-    return_aov=False, height_filterable=False, shadow_mode="legacy",
+    return_aov=False, height_filterable=False, generation="family",
 ):
     """TerrainRenderer.render_terrain_pbr_pom in screen mode — the TPU
     engine path. Same contract as the numpy oracle
@@ -1602,7 +1603,7 @@ def render_screen_scene(
     #    the recipe goldens bake this (each DEM step blankets ~2.5
     #    texels of shadow with a bias-lit strip; see
     #    screen_golden.render_screen_scene for the derivation).
-    shadow_world = terrain_span if shadow_mode == "legacy" else 1.0
+    shadow_world = terrain_span if generation == "family" else 1.0
     depth_map, lvp, _texel = build_shadow_map(
         hm, terrain_span=shadow_world, z_scale=z_scale, sun_dir=-ldir,
         domain=(dom_lo, dom_hi))
@@ -1648,6 +1649,8 @@ def render_screen_scene(
         "dom_lo": jnp.float32(dom_lo),
         "dom_hi": jnp.float32(dom_hi),
         "shadow_rspan": jnp.float32(1.0),
+        "ibl_fill": jnp.float32((0.18 * 0.35) if generation == "family"
+                                else 0.22),
         "z_scale": jnp.float32(z_scale),
         "ldir": jnp.asarray(ldir),
         "lcol": jnp.asarray(lcol),

@@ -1061,7 +1061,7 @@ def render_screen_scene(
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
-    shadow_mode="legacy",
+    generation="family",
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1302,7 +1302,7 @@ def render_screen_scene(
     # spacing = 1 (the recipe goldens: each DEM step blankets ~2.5
     # texels of shadow with a thin bias-lit strip adjacent to the step
     # — mapscene_png16_color row profiles pin it).
-    shadow_world = terrain_span if shadow_mode == "legacy" else spacing
+    shadow_world = terrain_span if generation == "family" else spacing
     depth_map, lvp, texel_sz = build_shadow_map(
         hm, terrain_span=shadow_world, z_scale=z_scale, sun_dir=-ldir,
         domain=(dom_lo, dom_hi))
@@ -1415,7 +1415,14 @@ def render_screen_scene(
     ao_shadow = ao_clamped * combined_shadow
     diffuse_lit = diffuse_raw * ao_shadow
     ibl_dfac = np.linalg.norm(blended_diffuse, axis=-1) * ibl_intensity
-    ibl_term = ibl_dfac * AMBIENT_FLOOR * 0.35
+    # IBL fill term: the current shader uses AMBIENT_FLOOR(0.18)*0.35
+    # (terrain_pbr_pom.wgsl:4547 + :76-78 "P5-AO: Reduced from 0.22"),
+    # which the terrain-family goldens bake; the recipe goldens bake the
+    # pre-P5 fill ibl_diffuse_factor * 0.22 (per-pixel regression over
+    # mapscene_png16_color: lf deficit = 0.033*|albedo| = exactly the
+    # 0.22-vs-0.063 coefficient gap; mean|d| 1.99 -> 0.46/255).
+    ibl_term = ibl_dfac * ((AMBIENT_FLOOR * 0.35)
+                           if generation == "family" else 0.22)
     lighting_factor = diffuse_lit + ibl_term
     lit_albedo = albedo * lighting_factor[..., None]
     spec_contrib = blended_specular * ibl_intensity * 0.12
