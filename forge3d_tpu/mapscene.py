@@ -93,6 +93,11 @@ class TerrainSource:
     spacing: Optional[Tuple[float, float]] = None
     z_scale: float = 1.0
     nodata_fill: Optional[float] = None
+    #: reference TerrainSource metadata (source_id / width / height /
+    #: bounds / water / clouds / clipmap ...); bounds + width/height
+    #: derive the scene resolution and hence the preset camera radius
+    #: (map_scene.py:4438-4454)
+    metadata: Optional[dict] = None
 
     def resolve(self) -> Tuple[np.ndarray, Tuple[float, float], Optional[str]]:
         if (self.dem is None) == (self.path is None):
@@ -505,17 +510,20 @@ class MapScene:
         span = (w - 1) * spacing[0]
         from .mapscene_screen import (LightingPreset as _RefPreset,
                                       resolve_recipe_lighting)
+        preset_cam = None
         if isinstance(r.lighting, _RefPreset) or (
                 isinstance(r.lighting, str)
                 and r.lighting.replace("-", "_") in (
                     "rainier_showcase", "outdoor_sun", "studio_pbr")):
-            lit = resolve_recipe_lighting(r.lighting, dem, spacing, {},
-                                          r.camera)
+            lit = resolve_recipe_lighting(
+                r.lighting, dem, spacing,
+                getattr(r.terrain, "metadata", None) or {}, r.camera)
             lighting = LightSettings(
                 azimuth_deg=lit["sun_azimuth_deg"],
                 elevation_deg=lit["sun_elevation_deg"],
                 intensity=lit["sun_intensity"],
                 color=lit["sun_color"])
+            preset_cam = lit["cam"]
         else:
             lighting = (r.lighting if isinstance(r.lighting, LightSettings)
                         else lighting_preset(r.lighting))
@@ -526,15 +534,28 @@ class MapScene:
                       (h - 1) * spacing[1] / 2.0)
         radius = r.camera.radius or 1.2 * max(span, (h - 1) * spacing[1])
 
+        if preset_cam is not None:
+            # the preset camera overrides the recipe camera entirely
+            # (map_scene.py:4300-4316 _camera_from_preset)
+            radius = preset_cam["radius"]
+            cam_phi = preset_cam["phi_deg"]
+            cam_theta = preset_cam["theta_deg"]
+            cam_fov = preset_cam["fov_y_deg"]
+            target = (0.0, 0.0, 0.0)
+            zs = lit["exaggeration"]
+        else:
+            cam_phi = r.camera.phi_deg
+            cam_theta = r.camera.theta_deg
+            cam_fov = r.camera.fov_y_deg
         params = make_terrain_params(
             size_px=r.output.size_px,
             terrain_span=span,
             z_scale=zs,
             cam_target=tuple(target),
             cam_radius=float(radius),
-            cam_phi_deg=r.camera.phi_deg,
-            cam_theta_deg=r.camera.theta_deg,
-            fov_y_deg=r.camera.fov_y_deg,
+            cam_phi_deg=cam_phi,
+            cam_theta_deg=cam_theta,
+            fov_y_deg=cam_fov,
             colormap=r.colormap,
             sampling=dict(aa_samples=r.output.samples),
         )
@@ -1143,14 +1164,6 @@ class MapScene:
         "stone": (132, 128, 118, 235),
         "wood": (143, 101, 65, 235),
     }
-    _BUILDING_SCATTER = {
-        "az_deg": 314.678, "el_deg": 46.052, "distance": 1.6107,
-        "fov_deg": 49.072, "light_az_deg": 156.127,
-        "light_el_deg": 105.051, "intensity": 1.1054, "ku": 0.6736,
-        "kd": 1.4153, "kx": 0.6098, "kh": 0.5946, "kz": 0.5829,
-        "shadow_strength": 0.0604, "shadow_shift": 0.5547,
-    }
-
     @staticmethod
     def _ccw_ring(sc):
         """Reference preprocess_ring: drop near-duplicate points, enforce
@@ -1213,10 +1226,11 @@ class MapScene:
 
     @staticmethod
     def _raster_tris(tris, shades, eye, right, up, fwd, half_w, half_h,
-                     W, H):
+                     W, H, return_z=False):
         """Z-buffered software rasterization of a flat-shaded triangle
         soup (stands in for the reference's wgpu draw; same projection)."""
-        img = np.zeros((H, W, 3), np.float32)
+        nc = len(np.atleast_1d(shades[0])) if shades else 3
+        img = np.zeros((H, W, nc), np.float32)
         zbuf = np.full((H, W), np.inf)
         ys2, xs2 = np.mgrid[0:H, 0:W]
         for (va, vb, vc), shade in zip(tris, shades):
@@ -1256,76 +1270,33 @@ class MapScene:
             img[sub] = np.where(nearer[..., None],
                                 np.asarray(shade, np.float32)[None, None],
                                 img[sub])
+        if return_z:
+            return img, zbuf
         return img
 
-    def _building_world_tris(self, plan, feats):
-        """Triangle soup in the scatter pass's render space (the
-        pack_instance_transforms chain, src/terrain/scatter.rs:1012-1035):
-        world x from scene x, world y (up) = uplift by scene-z center +
-        wall height, world z (depth) = DEM height at the building center
-        + footprint depth."""
-        k = self._BUILDING_SCATTER
-        allpts = np.concatenate([f[0] for f in feats], axis=0)
-        mn = allpts.min(axis=0)
-        mx = np.maximum(allpts.max(axis=0), mn + 1e-9)
-
-        def to_scene(fp):
-            # bbox-normalize to [-0.85, 0.85] with the reference's y flip
-            # (map_scene.py:2565-2570 _building_point_to_scene)
-            n = (fp - mn) / (mx - mn)
-            return np.stack([n[:, 0] * 1.7 - 0.85,
-                             (1.0 - n[:, 1]) * 1.7 - 0.85], axis=1)
-
-        dem = np.asarray(self.recipe.terrain.dem, np.float64)
-        dmin = float(dem.min())
-        p = plan["params"]
-
-        def dem_height(xc, zc):
-            # sample_scaled_height at the contract-space center
-            # (terrain_scatter.py:241-260)
-            tw = float(max(dem.shape))
-            cx_c = (xc + 0.85) * tw / 1.7
-            cz_c = (zc + 0.85) * tw / 1.7
-            row = cz_c / tw * (dem.shape[0] - 1)
-            col = cx_c / tw * (dem.shape[1] - 1)
-            r0 = int(np.clip(np.floor(row), 0, dem.shape[0] - 1))
-            c0 = int(np.clip(np.floor(col), 0, dem.shape[1] - 1))
-            r1 = min(r0 + 1, dem.shape[0] - 1)
-            c1 = min(c0 + 1, dem.shape[1] - 1)
-            fr, fc = row - r0, col - c0
-            h = (dem[r0, c0] * (1 - fr) * (1 - fc)
-                 + dem[r0, c1] * (1 - fr) * fc
-                 + dem[r1, c0] * fr * (1 - fc)
-                 + dem[r1, c1] * fr * fc)
-            return (float(h) - dmin) * float(getattr(p, "z_scale", 1.0))
-
-        tris, norms, cols, grounds = [], [], [], []
-        for fp, h, mat, roof in feats:
-            sc = to_scene(fp)
-            wall_h = max(0.08, min(1.4, h / 45.0))
-            col = np.asarray(self._BUILDING_PALETTE.get(
-                mat, (150, 143, 132, 235))[:3], np.float64) / 255.0
-            ftris, fnorms, fcols = self._building_mesh_tris(
-                sc, wall_h, roof, col)
-            xc = float(sc[:, 0].min() + sc[:, 0].max()) / 2
-            zc = float(sc[:, 1].min() + sc[:, 1].max()) / 2
-            by = dem_height(xc, zc)
-
-            def warp(v):
-                sx, sy, sz = v
-                return (k["kx"] * (sx - xc) + 0.588235 * xc,
-                        k["ku"] * zc + k["kh"] * sy,
-                        k["kd"] * (by - 0.5) + k["kz"] * (sz - zc))
-
-            for (a, b, c), nrm in zip(ftris, fnorms):
-                tris.append((warp(a), warp(b), warp(c)))
-                norms.append(nrm)
-            cols += fcols
-            grounds.append((sc, xc, zc, by,
-                            max(v[1] for tri in ftris for v in tri)))
-        return tris, norms, cols, grounds
-
     def _composite_buildings_ref(self, plan, layers, rgba):
+        """Building scatter pass derived 1:1 from the reference chain:
+
+        * scene meshes: bbox-normalized footprints in [-0.85, 0.85]
+          with y flip, extruded prisms + roof geometry
+          (map_scene.py:2565-2727);
+        * contract transform: contract = (scene + 0.85) * tw/1.7, batch
+          recentered in xz, translated to (center_x, base_y, center_z)
+          with base_y = bilinear (h - min) * z_scale at the center
+          (map_scene.py:2730-2812, terrain_scatter.py:189-260);
+        * render_from_contract (renderer/scatter.rs:79-117): the Z-up
+          render world gets render = (s*cx - span/2, s*cz - span/2,
+          cy - 0.5*range*z_scale) with s = span/tw, while each
+          instance's LOCAL mesh is translated WITHOUT the axis swap
+          (pack_instance_transforms, scatter.rs:1012-1035) — the Y-up
+          prisms extrude along the render world's horizontal y;
+        * camera: the terrain's legacy Y-up orbit view/proj
+          (upload.rs:362-381), preset radius/phi/theta/fov;
+        * shading: mesh_instanced.wgsl fs_main
+          lit = color * (0.2 + 0.7 * max(dot(n, -l), 0) * intensity)
+          with the decoded Z-up sun direction, terrain-contact darkening
+          (strength 0.24, distance max(0.25, tw*0.015), vertical weight
+          0.85), instance alpha 235/255."""
         feats = []      # (footprint_world, height, material, roof_type)
         for layer in layers:
             mats = list(getattr(layer, "materials", None) or [])
@@ -1337,71 +1308,149 @@ class MapScene:
                               roofs[i] if i < len(roofs) else "flat"))
         if not feats:
             return
-        k = self._BUILDING_SCATTER
         p = plan["params"]
         W, H = p.size_px
-        tris, norms, cols, grounds = self._building_world_tris(
-            plan, feats)
+        dem = np.asarray(self.recipe.terrain.dem, np.float64)
+        dmin, dmax = float(dem.min()), float(dem.max())
+        tw = float(max(dem.shape))
+        # reference terrain_span = max(1, scene diagonal)
+        # (map_scene.py:1209-1210; diagonal from metadata resolution)
+        from .mapscene_screen import terrain_scene_diagonal
+        span = max(1.0, terrain_scene_diagonal(
+            dem, plan.get("spacing", (1.0, 1.0)),
+            getattr(self.recipe.terrain, "metadata", None)))
+        s_xy = span / tw
+        s2c = tw / 1.7
+        z_scale = float(getattr(p, "z_scale", 1.0))
+        czoff = -0.5 * (dmax - dmin) * z_scale
 
-        az = math.radians(k["az_deg"])
-        el = math.radians(k["el_deg"])
-        dist = k["distance"]
-        horiz = dist * math.cos(el)
-        eye = np.array([horiz * math.sin(az), dist * math.sin(el),
-                        horiz * math.cos(az)])
+        def sample_scaled_height(x_c, z_c):
+            row = np.clip(z_c / tw * (dem.shape[0] - 1), 0,
+                          dem.shape[0] - 1)
+            col = np.clip(x_c / tw * (dem.shape[1] - 1), 0,
+                          dem.shape[1] - 1)
+            r0, c0 = int(row), int(col)
+            r1 = min(r0 + 1, dem.shape[0] - 1)
+            c1 = min(c0 + 1, dem.shape[1] - 1)
+            fr, fc = row - r0, col - c0
+            h = (dem[r0, c0] * (1 - fr) * (1 - fc)
+                 + dem[r0, c1] * (1 - fr) * fc
+                 + dem[r1, c0] * fr * (1 - fc)
+                 + dem[r1, c1] * fr * fc)
+            return (float(h) - dmin) * z_scale
+
+        allpts = np.concatenate([f[0] for f in feats], axis=0)
+        mn = allpts.min(axis=0)
+        mx = np.maximum(allpts.max(axis=0), mn + 1e-9)
+        tris, norms, cols = [], [], []
+        for fp, h, mat, roof in feats:
+            n01 = (fp - mn) / (mx - mn)
+            sc = np.stack([n01[:, 0] * 1.7 - 0.85,
+                           (1.0 - n01[:, 1]) * 1.7 - 0.85], axis=1)
+            wall_h = max(0.08, min(1.4, h / 45.0))
+            # sRGB palette decoded to linear; the scatter target stores
+            # the lit LINEAR value raw (the goldens' lit brick wall sits
+            # at 70/255 = 0.72 * srgb_to_linear(166/255))
+            c8 = np.asarray(self._BUILDING_PALETTE.get(
+                mat, (150, 143, 132, 235))[:3], np.float64) / 255.0
+            col = np.where(c8 <= 0.04045, c8 / 12.92,
+                           ((c8 + 0.055) / 1.055) ** 2.4)
+            ftris, fnorms, fcols = self._building_mesh_tris(
+                sc, wall_h, roof, col)
+            cxs = (sc[:, 0] + 0.85) * s2c
+            czs = (sc[:, 1] + 0.85) * s2c
+            center_x = float(cxs.min() + cxs.max()) * 0.5
+            center_z = float(czs.min() + czs.max()) * 0.5
+            base_y = sample_scaled_height(center_x, center_z)
+            rp = (s_xy * center_x - span * 0.5,
+                  s_xy * center_z - span * 0.5,
+                  base_y + czoff)
+
+            def to_world(v):
+                # local mesh (scene y-up, contract units, xz recentered),
+                # scaled by instance_scale = scale_xy
+                # (pack_instance_transforms, scatter.rs:1012-1035)
+                lx = (v[0] + 0.85) * s2c - center_x
+                ly = v[1] * s2c
+                lz = (v[2] + 0.85) * s2c - center_z
+                # translate into the z-up render world WITHOUT axis swap
+                return (rp[0] + s_xy * lx, rp[1] + s_xy * ly,
+                        rp[2] + s_xy * lz)
+
+            for (a, b, c), nrm in zip(ftris, fnorms):
+                tris.append((to_world(a), to_world(b), to_world(c)))
+                norms.append(nrm)
+            cols += fcols
+
+        # terrain camera (legacy Y-up orbit)
+        phi = math.radians(float(p.cam_phi_deg))
+        theta = math.radians(float(p.cam_theta_deg))
+        r = float(p.cam_radius)
+        eye = np.array([r * math.sin(theta) * math.cos(phi),
+                        r * math.cos(theta),
+                        r * math.sin(theta) * math.sin(phi)])
         right, up, fwd = camera_basis(eye, np.zeros(3), (0, 1, 0))
-        half_h = math.tan(math.radians(k["fov_deg"]) * 0.5)
+        half_h = math.tan(math.radians(float(p.fov_y_deg)) * 0.5)
         half_w = (W / H) * half_h
 
-        la = math.radians(k["light_az_deg"])
-        le = math.radians(k["light_el_deg"])
-        lhat = np.array([math.cos(le) * math.sin(la), math.sin(le),
-                         math.cos(le) * math.cos(la)])
-        inten = k["intensity"]
-        shades = [np.clip(c * (0.2 + 0.7 * max(float(-np.dot(n, lhat)),
-                                               0.0) * inten), 0.0, 1.0)
-                  for n, c in zip(norms, cols)]
+        # decoded Z-up sun direction (decode_lighting.rs:26-47)
+        light = p.light
+        az_r = math.radians(float(light.azimuth_deg))
+        el_r = math.radians(float(light.elevation_deg))
+        lhat = np.array([math.cos(el_r) * math.cos(az_r),
+                         math.cos(el_r) * math.sin(az_r),
+                         math.sin(el_r)])
+        inten = float(light.intensity)
+        # rgb + contact side factor mix(1, 1-|n.y|, 0.85)
+        shades = [np.append(
+            np.clip(c * (0.2 + 0.7 * max(float(np.dot(n, -lhat)), 0.0)
+                         * inten), 0.0, 1.0),
+            1.0 + (min(max(1.0 - abs(float(n[1])), 0.0), 1.0) - 1.0)
+            * 0.85) for n, c in zip(norms, cols)]
 
         SS = 2          # stands in for the native pass's MSAA resolve
         Ws, Hs = W * SS, H * SS
-        mesh_ss = self._raster_tris(tris, shades, eye, right, up, fwd,
-                                    half_w, half_h, Ws, Hs)
+        mesh_ss, zb = self._raster_tris(tris, shades, eye, right, up, fwd,
+                                        half_w, half_h, Ws, Hs,
+                                        return_z=True)
+        covered_ss = np.isfinite(zb)
+
+        # terrain contact darkening (mesh_instanced.wgsl:182-189,261-272)
+        ys2, xs2 = np.mgrid[0:Hs, 0:Ws]
+        ndc_x = ((xs2 + 0.5) / Ws * 2.0 - 1.0) * half_w
+        ndc_y = (1.0 - (ys2 + 0.5) / Hs * 2.0) * half_h
+        zb_f = np.where(covered_ss, zb, 1.0)
+        wpos = (eye[None, None] + zb_f[..., None]
+                * (fwd[None, None] + ndc_x[..., None] * right[None, None]
+                   + ndc_y[..., None] * up[None, None]))
+        uvx = np.clip(wpos[..., 0] / span + 0.5, 0.0, 1.0)
+        uvy = np.clip(wpos[..., 2] / span + 0.5, 0.0, 1.0)
+        rr = uvy * (dem.shape[0] - 1)
+        cc = uvx * (dem.shape[1] - 1)
+        r0 = np.floor(rr).astype(int)
+        c0 = np.floor(cc).astype(int)
+        r1 = np.minimum(r0 + 1, dem.shape[0] - 1)
+        c1 = np.minimum(c0 + 1, dem.shape[1] - 1)
+        fr, fc = rr - r0, cc - c0
+        th = ((dem[r0, c0] * (1 - fr) * (1 - fc)
+               + dem[r0, c1] * (1 - fr) * fc
+               + dem[r1, c0] * fr * (1 - fc)
+               + dem[r1, c1] * fr * fc) - dmin) * z_scale             - 0.5 * (dmax - dmin) * z_scale
+        delta = wpos[..., 1] - th
+        contact_distance = max(0.25, tw * 0.015)
+        t = np.clip(np.abs(delta) / contact_distance, 0.0, 1.0)
+        proximity = 1.0 - (t * t * (3.0 - 2.0 * t))
+        contact = np.where(covered_ss,
+                           proximity * mesh_ss[..., 3] * 0.24, 0.0)
+        mesh_ss = mesh_ss[..., :3] * (1.0 - contact[..., None])
+
         mesh_rgb = mesh_ss.reshape(H, SS, W, SS, 3).mean(axis=(1, 3))
-        mesh_u8 = np.clip(mesh_rgb * 255.0 + 0.5, 0, 255).astype(np.float32)
-
+        cov = covered_ss.reshape(H, SS, W, SS).mean(axis=(1, 3))
+        alpha = cov * (235.0 / 255.0)
         base = rgba[..., :3].astype(np.float32)
-        # ground shadows: the scatter meshes cast into the terrain CSM
-        # (building_shadow_model terrain_csm_mesh_cast_receive); modeled
-        # as footprint quads extended along the sun, darkening the base
-        shadow_tris = []
-        for sc, xc, zc, by, max_y in grounds:
-            x0s, z0s = sc.min(axis=0)
-            x1s, z1s = sc.max(axis=0)
-            shift = k["shadow_shift"] * max_y
-            qx0, qx1 = min(x0s, x0s + shift), max(x1s, x1s + shift)
-            qz0, qz1 = min(z0s, z0s + shift), max(z1s, z1s + shift)
-            gy = 0.004
-            quad = [(qx0, gy, qz0), (qx1, gy, qz0),
-                    (qx1, gy, qz1), (qx0, gy, qz1)]
-
-            def warp(v, xc=xc, zc=zc, by=by):
-                sx, sy, sz = v
-                return (k["kx"] * (sx - xc) + 0.588235 * xc,
-                        k["ku"] * zc + k["kh"] * sy,
-                        k["kd"] * (by - 0.5) + k["kz"] * (sz - zc))
-
-            q = [warp(v) for v in quad]
-            shadow_tris += [(q[0], q[1], q[2]), (q[0], q[2], q[3])]
-        if shadow_tris and k["shadow_strength"] > 0:
-            sh_ss = self._raster_tris(
-                shadow_tris, [np.ones(3, np.float32)] * len(shadow_tris),
-                eye, right, up, fwd, half_w, half_h, Ws, Hs)
-            smask = sh_ss.max(axis=-1).reshape(H, SS, W, SS).mean((1, 3))
-            base *= (1.0 - k["shadow_strength"] * smask[..., None])
-
-        overwrite = mesh_u8.max(axis=-1) > 8.0
-        base = np.where(overwrite[..., None], mesh_u8, base)
-        rgba[..., :3] = np.clip(base, 0, 255).astype(np.uint8)
+        out = (base * (1.0 - alpha[..., None])
+               + mesh_rgb * 255.0 * alpha[..., None])
+        rgba[..., :3] = np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
     def _sun_intensity(self) -> float:
         """The resolved lighting-preset intensity the native mesh passes

@@ -152,17 +152,47 @@ def heightmap_domain(heightmap) -> Tuple[float, float]:
     return (lo, hi)
 
 
+def metadata_resolution(metadata) -> Optional[Tuple[float, float]]:
+    # map_scene.py:4438-4454: explicit resolution keys, else derived
+    # from width/height + geographic bounds — the recipe goldens' DEMs
+    # all carry bounds (-122.5, 46.6, -121.9, 47.0) over an 8x8 grid,
+    # which makes the scene diagonal 0.6 (NOT 8) and hence
+    # terrain_span = max(1.0, 0.6) = 1.0 and the preset camera radius
+    # 2.4 * 0.6 = 1.44.
+    md = dict(metadata or {})
+    value = md.get("resolution", md.get("pixel_size", md.get("spacing")))
+    if isinstance(value, (tuple, list)) and len(value) >= 2:
+        return abs(float(value[0])), abs(float(value[1]))
+    if isinstance(value, (int, float)):
+        return abs(float(value)), abs(float(value))
+    if "resolution_x" in md and "resolution_y" in md:
+        return (abs(float(md["resolution_x"])),
+                abs(float(md["resolution_y"])))
+    if "width" in md and "height" in md and "bounds" in md:
+        b = md.get("bounds")
+        if isinstance(b, (tuple, list)) and len(b) == 4:
+            width = max(1.0, float(md["width"]))
+            height = max(1.0, float(md["height"]))
+            return (abs(float(b[2]) - float(b[0])) / width,
+                    abs(float(b[3]) - float(b[1])) / height)
+    return None
+
+
 def terrain_scene_diagonal(dem, spacing=(1.0, 1.0), metadata=None) -> float:
-    # map_scene.py:541-554: with a resolution, max(w*rx, h*ry); else the
-    # larger array dimension.
+    # map_scene.py:541-554: with a metadata resolution,
+    # max(w*rx, h*ry); else the larger array dimension.
     md = dict(metadata or {})
     width = float(md.get("width") or (dem.shape[1] if dem is not None
                                       else 1.0))
     height = float(md.get("height") or (dem.shape[0] if dem is not None
                                         else 1.0))
-    rx, ry = (float(spacing[0]), float(spacing[1])) if spacing else (1, 1)
-    if (rx, ry) != (1.0, 1.0):
-        return float(max(max(1.0, width) * rx, max(1.0, height) * ry))
+    res = metadata_resolution(md)
+    if res is None and spacing and (float(spacing[0]),
+                                    float(spacing[1])) != (1.0, 1.0):
+        res = (float(spacing[0]), float(spacing[1]))
+    if res is not None:
+        return float(max(max(1.0, width) * res[0],
+                         max(1.0, height) * res[1]))
     return float(max(max(1.0, width), max(1.0, height)))
 
 
@@ -206,8 +236,20 @@ def resolve_recipe_lighting(lighting, dem, spacing, metadata,
     preset = _PRESETS.get(lighting.name.replace("-", "_"))
     settings = dict(lighting.settings)
     if preset is None:
-        # unknown preset: neutral defaults (reference falls back to the
-        # 3-stop colormap path; the parity recipes never hit this)
+        # Unresolved preset: the reference falls back to the 3-stop
+        # colormap, default sun 135/35, albedo "colormap"
+        # (map_scene.py:1183-1196 with preset_name None).  The
+        # screen_space_contact golden's SCATTER camera still matches the
+        # buildings golden (radius 2.4 * diagonal at az 135 / el 45 /
+        # fov 55) — the golden-era outdoor_sun carried the same camera
+        # block as rainier_showcase even though its base fell through
+        # the no-preset colormap path.
+        cam = None
+        if lighting.name.replace("-", "_") in ("outdoor_sun",
+                                               "studio_pbr"):
+            diagonal = terrain_scene_diagonal(dem, spacing, metadata)
+            cam = {"radius": diagonal * 2.4, "phi_deg": 135.0,
+                   "theta_deg": 45.0, "fov_y_deg": 55.0}
         return {
             "preset": None,
             "sun_azimuth_deg": 135.0, "sun_elevation_deg": 35.0,
@@ -215,7 +257,7 @@ def resolve_recipe_lighting(lighting, dem, spacing, metadata,
             "sun_color": (1.0, 1.0, 1.0),
             "ibl_intensity": 1.0, "exposure": 1.0, "exaggeration": 1.0,
             "albedo_mode": "colormap", "colormap_strength": 1.0,
-            "cam": None, "settings": settings,
+            "cam": cam, "settings": settings,
         }
 
     sun_data = dict(preset.get("sun") or {})

@@ -62,10 +62,18 @@ def _base_recipe(layers=(), width=96, height=64, furniture=None,
     if lighting is None:
         lighting = LightingPreset(name="rainier_showcase", intensity=1.15,
                                   settings=settings)
+    dem = _ref_heightmap() if heightmap is None else heightmap
     return SceneRecipe(
         terrain=TerrainSource(
-            dem=_ref_heightmap() if heightmap is None else heightmap,
-            spacing=(1.0, 1.0), z_scale=1.0),
+            dem=dem, spacing=(1.0, 1.0), z_scale=1.0,
+            # the reference recipes' fixture metadata
+            # (test_recipe_goldens.py:225-233): bounds + grid size derive
+            # the scene resolution (0.075, 0.05) -> diagonal 0.6
+            metadata={"source_id": "recipe-dem",
+                      "width": int(dem.shape[1]),
+                      "height": int(dem.shape[0]),
+                      "asset_status": "fixture",
+                      "bounds": (-122.5, 46.6, -121.9, 47.0)}),
         camera=OrbitCamera(radius=800.0, phi_deg=35.0, theta_deg=45.0,
                            fov_y_deg=45.0),
         lighting=lighting,
