@@ -387,8 +387,13 @@ def render_screen_base(recipe, dem, *, out_size=None):
     H = int(recipe.output.size_px[1]) if out_size is None else out_size[1]
     rw, rh = max(64, W), max(64, H)
     wm = derive_water_mask_for_recipe(recipe, d["dem"])
+    # the offline accumulation path (samples > 1) resolves with the
+    # exact sRGB EOTF instead of the realtime pow-gamma
+    encode = ("srgb" if int(getattr(recipe.output, "samples", 1)) > 1
+              else "gamma")
     rgba = eng.render_screen_scene(
-        d["dem"], d["lut"], size_px=(rw, rh), water_mask=wm, **d["kw"])
+        d["dem"], d["lut"], size_px=(rw, rh), water_mask=wm,
+        encode=encode, **d["kw"])
     rgba = np.asarray(rgba)
     if rgba.shape[:2] != (H, W):
         rgba = resize_nearest_rgba(rgba, (H, W))

@@ -1084,7 +1084,7 @@ def _build_shade_fn(cfg):
     sky, has_mat_albedo, has_refl). mats/pom/sky are frozen tuples of
     the (static) feature configs; scalars travel in the uniforms dict."""
     (W, H, hm_shape, has_wm, albedo_mode, hue_on, mats_t, pom_t, sky_t,
-     has_mat_albedo, has_refl, filterable) = cfg
+     has_mat_albedo, has_refl, filterable, encode) = cfg
     mats = dict(mats_t) if mats_t is not None else None
     pom = dict(pom_t) if pom_t is not None else None
     sky_static = dict(sky_t) if sky_t is not None else None
@@ -1494,7 +1494,16 @@ def _build_shade_fn(cfg):
             shaded = desat + (target - desat) * blend
 
         final_color = tonemap_filmic_terrain(shaded)
-        encoded = gamma_correct(final_color, 2.2)
+        if encode == "srgb":
+            # offline accumulation resolve: exact sRGB EOTF
+            # (terrain_pbr_pom.wgsl:4700-4703; the offline_aovs golden's
+            # blacks pin this vs the realtime pow-gamma)
+            csr = jnp.clip(final_color, 0.0, 1.0)
+            encoded = jnp.where(csr <= 0.0031308, csr * 12.92,
+                                1.055 * jnp.power(jnp.maximum(csr, 1e-8),
+                                                  1.0 / 2.4) - 0.055)
+        else:
+            encoded = gamma_correct(final_color, 2.2)
         out_u8 = jnp.round(jnp.clip(encoded, 0.0, 1.0) * 255.0) \
             .astype(jnp.uint8)
         return {
@@ -1570,6 +1579,7 @@ def render_screen_scene(
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
     return_aov=False, height_filterable=False, generation="family",
+    encode="gamma",
 ):
     """TerrainRenderer.render_terrain_pbr_pom in screen mode — the TPU
     engine path. Same contract as the numpy oracle
@@ -1638,7 +1648,7 @@ def render_screen_scene(
     cfg = (W, H, hm.shape, water_mask is not None, albedo_mode,
            hv_host > 0.0, _freeze(mats), _freeze(pom_cfg),
            _freeze(sky_cfg), material_albedo_rgb is not None, has_refl,
-           bool(height_filterable))
+           bool(height_filterable), str(encode))
     if cfg not in _SHADE_CACHE:
         _SHADE_CACHE[cfg] = _build_shade_fn(cfg)
     fn = _SHADE_CACHE[cfg]

@@ -1061,7 +1061,7 @@ def render_screen_scene(
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
-    generation="family",
+    generation="family", encode="gamma",
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1486,7 +1486,16 @@ def render_screen_scene(
         shaded = desat + (target - desat) * blend
 
     final_color = tonemap_filmic_terrain(shaded)
-    encoded = gamma_correct(final_color, 2.2)
+    if encode == "srgb":
+        # offline accumulation resolve: exact sRGB EOTF
+        # (terrain_pbr_pom.wgsl:4700-4703 output_srgb_eotf) — the
+        # offline_aovs golden's blacks pin this (pow-gamma B=11 vs the
+        # golden's sRGB B=3 at linear 1e-3)
+        c = np.clip(final_color, 0.0, 1.0)
+        encoded = np.where(c <= 0.0031308, c * 12.92,
+                           1.055 * np.power(c, 1.0 / 2.4) - 0.055)
+    else:
+        encoded = gamma_correct(final_color, 2.2)
     out = np.empty((H, W, 4), np.uint8)
     out[..., :3] = np.round(np.clip(encoded, 0.0, 1.0) * 255.0)
     out[..., 3] = 255

@@ -312,8 +312,12 @@ def _recipes():
              "color": (1.0, 1.0, 1.0, 1.0),
              "halo_color": (0.0, 0.0, 0.0, 0.9), "halo_width": 3.0},
         ], placement="exact")]))
-    # offline AOV recipe renders the same beauty output (samples=4)
-    out["mapscene_offline_aovs"] = _base_recipe()
+    # offline AOV recipe: samples=4 -> the offline accumulation path
+    # resolves with the exact sRGB EOTF (test_recipe_goldens.py:578-586)
+    rec = _base_recipe()
+    rec.output = OutputSpec(size_px=(96, 64), samples=4,
+                            aovs=("albedo", "normal", "depth"))
+    out["mapscene_offline_aovs"] = rec
     # textured glTF landmark: the recipe's procedural 16x16 texture
     # composited into screen_rect [0.34, 0.16, 0.68, 0.70]
     tex = np.zeros((16, 16, 4), np.uint8)
