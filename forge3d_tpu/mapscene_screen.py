@@ -391,9 +391,10 @@ def render_screen_base(recipe, dem, *, out_size=None):
     # exact sRGB EOTF instead of the realtime pow-gamma
     encode = ("srgb" if int(getattr(recipe.output, "samples", 1)) > 1
               else "gamma")
+    mm = material_maps_for_recipe(recipe)
     rgba = eng.render_screen_scene(
         d["dem"], d["lut"], size_px=(rw, rh), water_mask=wm,
-        encode=encode, **d["kw"])
+        encode=encode, material_maps=mm, **d["kw"])
     rgba = np.asarray(rgba)
     if rgba.shape[:2] != (H, W):
         rgba = resize_nearest_rgba(rgba, (H, W))
@@ -593,3 +594,35 @@ def apply_cloud_shadow(rgba, recipe):
     rgb = out[..., :3].astype(np.float32) * shadow[..., None]
     out[..., :3] = np.clip(rgb, 0.0, 255.0).astype(np.uint8)
     return out
+
+
+def material_maps_for_recipe(recipe):
+    """map_scene.py:712-735 _mapscene_material_settings: material map
+    textures from terrain metadata (normal/roughness/mask), as arrays
+    (HxWx3 / HxW in [0,1]) or PNG paths."""
+    md = dict(getattr(recipe.terrain, "metadata", None) or {})
+    data = md.get("material_maps") or md.get("materials")
+    if not isinstance(data, Mapping):
+        return None
+    out = {}
+    for key, alias in (("normal_path", "normal"),
+                       ("roughness_path", "roughness"),
+                       ("mask_path", "mask")):
+        value = data.get(key)
+        if value is None:
+            value = data.get(alias)
+        if value is None:
+            continue
+        if isinstance(value, (str,)):
+            from .io.image import png_to_numpy
+
+            arr = png_to_numpy(value).astype(np.float32) / 255.0
+        else:
+            arr = np.asarray(value, np.float32)
+            if arr.dtype == np.uint8 or arr.max() > 1.5:
+                arr = arr.astype(np.float32) / 255.0
+        if alias == "normal":
+            out["normal"] = arr[..., :3]
+        else:
+            out[alias] = arr[..., 0] if arr.ndim == 3 else arr
+    return out or None

@@ -1084,7 +1084,7 @@ def _build_shade_fn(cfg):
     sky, has_mat_albedo, has_refl). mats/pom/sky are frozen tuples of
     the (static) feature configs; scalars travel in the uniforms dict."""
     (W, H, hm_shape, has_wm, albedo_mode, hue_on, mats_t, pom_t, sky_t,
-     has_mat_albedo, has_refl, filterable, encode) = cfg
+     has_mat_albedo, has_refl, filterable, encode, mm_flags) = cfg
     mats = dict(mats_t) if mats_t is not None else None
     pom = dict(pom_t) if pom_t is not None else None
     sky_static = dict(sky_t) if sky_t is not None else None
@@ -1308,6 +1308,37 @@ def _build_shade_fn(cfg):
                     * cov
                 sss_tint = sss_tint + (jnp.asarray(mats[tkey], _F32)
                                        - sss_tint) * cov[..., None]
+
+        # M4 material maps (terrain_pbr_pom.wgsl:3479-3498; sampled at
+        # parallax uv with the linear material_map_samp, gated by the
+        # mask map and normal_strength = triplanar normal strength 1.0)
+        if any(mm_flags):
+            mm_u = jnp.clip(pu, 0.0, 1.0)
+            mm_v = jnp.clip(pv, 0.0, 1.0)
+            map_mask = (_bilinear(u["mm_mask"], mm_u, mm_v)
+                        if mm_flags[2] else jnp.ones_like(uu))
+            if mm_flags[0]:
+                enc = _bilinear(u["mm_normal"], mm_u, mm_v)
+                tangent_n = _normalize(enc * 2.0 - 1.0)
+                n_b = shading_normal
+                up_t = jnp.where((jnp.abs(n_b[..., 1]) > 0.99)[..., None],
+                                 jnp.array([0.0, 0.0, 1.0], _F32),
+                                 jnp.array([0.0, 1.0, 0.0], _F32))
+                t_b = _normalize(jnp.cross(up_t, n_b))
+                b_b = jnp.cross(n_b, t_b)
+                mapped = _normalize(t_b * tangent_n[..., 0:1]
+                                    + b_b * tangent_n[..., 1:2]
+                                    + n_b * tangent_n[..., 2:3])
+                wgt_n = jnp.clip(map_mask, 0.0, 1.0)[..., None]
+                cand = _normalize(n_b + (mapped - n_b) * wgt_n)
+                live = (map_mask > 0.001)[..., None]
+                if has_wm:
+                    live = live & (~is_water[..., None])
+                shading_normal = jnp.where(live, cand, shading_normal)
+            if mm_flags[1]:
+                rmap = _bilinear(u["mm_rough"], mm_u, mm_v)
+                roughness = roughness + (rmap - roughness) \
+                    * jnp.clip(map_mask, 0.0, 1.0)
 
         # roughness floors
         roughness = jnp.where(is_water, jnp.clip(roughness, 0.02, 1.0),
@@ -1579,7 +1610,7 @@ def render_screen_scene(
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
     return_aov=False, height_filterable=False, generation="family",
-    encode="gamma",
+    encode="gamma", material_maps=None,
 ):
     """TerrainRenderer.render_terrain_pbr_pom in screen mode — the TPU
     engine path. Same contract as the numpy oracle
@@ -1645,10 +1676,14 @@ def render_screen_scene(
                 and _camera_pos is None and water_mask is not None)
 
     hv_host = float(np.clip(hue_variation_strength, 0.0, 0.2))
+    mm = dict(material_maps or {})
+    mm_flags = (mm.get("normal") is not None,
+                mm.get("roughness") is not None,
+                mm.get("mask") is not None)
     cfg = (W, H, hm.shape, water_mask is not None, albedo_mode,
            hv_host > 0.0, _freeze(mats), _freeze(pom_cfg),
            _freeze(sky_cfg), material_albedo_rgb is not None, has_refl,
-           bool(height_filterable), str(encode))
+           bool(height_filterable), str(encode), mm_flags)
     if cfg not in _SHADE_CACHE:
         _SHADE_CACHE[cfg] = _build_shade_fn(cfg)
     fn = _SHADE_CACHE[cfg]
@@ -1659,6 +1694,12 @@ def render_screen_scene(
         "dom_lo": jnp.float32(dom_lo),
         "dom_hi": jnp.float32(dom_hi),
         "shadow_rspan": jnp.float32(1.0),
+        **({"mm_normal": jnp.asarray(mm["normal"], _F32)}
+           if mm_flags[0] else {}),
+        **({"mm_rough": jnp.asarray(mm["roughness"], _F32)}
+           if mm_flags[1] else {}),
+        **({"mm_mask": jnp.asarray(mm["mask"], _F32)}
+           if mm_flags[2] else {}),
         "ibl_fill": jnp.float32((0.18 * 0.35) if generation == "family"
                                 else 0.22),
         "z_scale": jnp.float32(z_scale),

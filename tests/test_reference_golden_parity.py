@@ -353,10 +353,26 @@ def _recipes():
         }})
     out["mapscene_screen_space_contact"] = rec
     # material maps: albedo_mode "material" / colormap_strength 0 via
-    # the preset settings (test_recipe_goldens.py:733-748)
+    # the preset settings + the reference's procedural map fixtures
+    # (test_recipe_goldens.py:733-748, _material_map_assets:168-197)
+    msz = 128
+    mx = np.linspace(0.0, 1.0, msz, dtype=np.float32)
+    mxx, myy = np.meshgrid(mx, mx)
+    m_norm = np.zeros((msz, msz, 3), np.uint8)
+    m_norm[..., 0] = np.clip(128.0 + 90.0 * np.sin(mxx * np.pi * 6.0),
+                             0, 255).astype(np.uint8)
+    m_norm[..., 1] = np.clip(128.0 + 90.0 * np.cos(myy * np.pi * 5.0),
+                             0, 255).astype(np.uint8)
+    m_norm[..., 2] = 208
+    m_rough = np.clip(54.0 + 174.0 * (0.5 + 0.5 * np.sin(
+        (mxx + myy) * np.pi * 7.0)), 0.0, 255.0).astype(np.uint8)
+    m_mask = (((np.floor(mxx * 8.0) + np.floor(myy * 8.0)) % 2.0)
+              .astype(np.uint8) * 255)
     rec = _base_recipe(width=128, height=80, settings={
         "albedo_mode": "material", "colormap_strength": 0.0,
         "exaggeration": 1.35})
+    rec.terrain.metadata = dict(rec.terrain.metadata, material_maps={
+        "normal": m_norm, "roughness": m_rough, "mask": m_mask})
     out["mapscene_material_maps"] = rec
     # clipmap large region: 32x32 sine DEM through the clipmap camera
     # mode. The reference builds the CPU center-block + nested-ring mesh
