@@ -438,8 +438,10 @@ class MapScene:
         if w * h > 64_000_000:
             rep.warning("output.large", f"{w}x{h} exceeds 64 MP; expect slow render")
         if isinstance(r.lighting, str):
-            from .mapscene_screen import _PRESETS as _ref_presets
-            if r.lighting.replace("-", "_") not in _ref_presets:
+            # reference preset names resolve through mapscene_screen
+            # (rainier fully; outdoor_sun/studio_pbr golden-era fallback)
+            if r.lighting.replace("-", "_") not in (
+                    "rainier_showcase", "outdoor_sun", "studio_pbr"):
                 try:
                     lighting_preset(r.lighting)
                 except ValueError as exc:

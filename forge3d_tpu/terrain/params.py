@@ -53,6 +53,23 @@ class ShadowSettings:
     intensity: float = 1.0
     bias: float = 1e-3
 
+    _TECHNIQUES = ("raytrace", "hard", "pcf", "pcss", "vsm", "evsm",
+                   "msm", "csm")
+
+    def __post_init__(self):
+        # reference ShadowSettings.validate_for_terrain semantics
+        # (terrain_params.py technique whitelist + positive controls)
+        if str(self.technique).lower() not in self._TECHNIQUES:
+            raise ValueError(
+                f"unknown shadow technique {self.technique!r}; "
+                f"expected one of {self._TECHNIQUES}")
+        if self.softness < 0.0:
+            raise ValueError("shadow softness must be >= 0")
+        if int(self.samples) < 1:
+            raise ValueError("shadow samples must be >= 1")
+        if self.bias <= 0.0:
+            raise ValueError("shadow bias must be > 0")
+
 
 @dataclass
 class FogSettings:
@@ -100,6 +117,16 @@ class SkySettings:
     aerial_density: float = 1.0
     sky_exposure: float = 1.0
     aerial_perspective: bool = True
+
+    def __post_init__(self):
+        # reference SkySettings ranges (terrain_params.py:1296-1312)
+        if str(self.model) not in ("hosek-wilkie", "preetham",
+                                   "approximate"):
+            raise ValueError(f"unknown sky model {self.model!r}")
+        if not (1.0 <= float(self.turbidity) <= 10.0):
+            raise ValueError("sky turbidity must be in [1, 10]")
+        if not (0.0 <= float(self.ground_albedo) <= 1.0):
+            raise ValueError("sky ground_albedo must be in [0, 1]")
 
     def to_dict_cfg(self) -> dict:
         return dict(enabled=self.enabled, model=self.model,
@@ -156,6 +183,21 @@ class PomSettings:
     refine_steps: int = 0
     occlusion: bool = True
     shadow: bool = False
+
+    def __post_init__(self):
+        # reference PomSettings.__post_init__
+        # (terrain_params.py:1760-1773)
+        if self.scale < 0.0:
+            raise ValueError("pom scale must be >= 0")
+        if int(self.steps) < 1:
+            raise ValueError("pom steps must be >= 1")
+        if self.min_steps and int(self.min_steps) < 1:
+            raise ValueError("pom min_steps must be >= 1")
+        if self.min_steps and self.max_steps \
+                and int(self.max_steps) < int(self.min_steps):
+            raise ValueError("pom max_steps must be >= min_steps")
+        if int(self.refine_steps) < 0:
+            raise ValueError("pom refine_steps must be >= 0")
 
     def to_screen_cfg(self) -> dict:
         mx = self.max_steps if self.max_steps > 0 else self.steps

@@ -1173,7 +1173,10 @@ def _build_shade_fn(cfg):
         height_sample = hm_samp(hm, jnp.clip(pu, 0, 1), jnp.clip(pv, 0, 1))
         height_clamped = jnp.clip(height_sample, dom_lo, dom_hi)
         if pom is not None and pom["enabled"] and pom.get("occlusion", True):
-            occlusion = height_clamped
+            # occlusion = height_clamped, then clamped ONCE to the
+            # occlusion_range (terrain_pbr_pom.wgsl:3261-3263 + 3643) —
+            # without the upper clamp non-unit domains blow the AO up
+            occlusion = jnp.clip(height_clamped, 0.65, 1.0)
         height_norm = jnp.clip((height_clamped - dom_lo) / dom_rng,
                                0.0, 1.0)
 

@@ -1162,7 +1162,8 @@ def render_screen_scene(
     height_clamped = np.clip(height_sample, dom_lo, dom_hi)
     if pom is not None and pom.get("enabled", False) \
             and pom.get("occlusion", True):
-        occlusion = height_clamped
+        # wgsl:3643 clamps occlusion once to the occlusion_range
+        occlusion = np.clip(height_clamped, 0.65, 1.0)
     height_norm = np.clip((height_clamped - dom_lo) / dom_rng, 0.0, 1.0)
 
     slope_factor = np.float32(1.0)  # slope_raw = 1-|base_normal.y| = 1

@@ -206,11 +206,20 @@ def _render_preset_rainier():
     return _engine_screen_render(
         dem, colormap=_register_lut("ref_rainier_stops", lut),
         size_px=(128, 128), terrain_span=128.0, z_scale=1.35,
-        exposure=1.0, light_azimuth_deg=135.0, light_elevation_deg=25.0,
+        exposure=1.0, light_azimuth_deg=135.0,
+        # sun elevation decoded from the preset direction
+        # (0.64, 0.42, -0.64) -> asin(0.42/|d|) = 24.893
+        light_elevation_deg=24.893,
         sun_intensity=4.0, sun_color=(1.0, 0.95, 0.9), ibl_intensity=0.3,
         cam_radius=128 * 2.4, cam_phi_deg=135.0, cam_theta_deg=45.0,
         fov_y_deg=55.0, albedo_mode="mix", colormap_strength=0.5,
-        domain=(lo, hi), hdr_rgb=env, hue_variation_strength=0.08)
+        domain=(lo, hi), hdr_rgb=env, hue_variation_strength=0.08,
+        # MapScene renders with the POM defaults on
+        # (terrain_params.py:2277-2288); at this non-unit domain the
+        # raw-height march saturates to the full parallax shift and the
+        # 0.65-clamped occlusion (screen.py occlusion clamp)
+        pom=dict(enabled=True, height_scale=0.04, min_steps=12,
+                 max_steps=40, refine_steps=4, occlusion=True))
 
 
 def _terrain_family_water_mask(size=96):
