@@ -1752,16 +1752,19 @@ class MapScene:
         elif plan.get("camera_mode") == "screen":
             rgba = self._render_screen_terrain(plan)
             if any(isinstance(l, LabelLayer) for l in layers):
-                # Label/vector recipes render their terrain base through
-                # the reference's native OFFSCREEN scene renderer
-                # (map_scene.py:3200 _render_native_offscreen_result),
-                # not the terrain renderer — its base sits ~0.195x the
-                # beauty pass (label goldens' corner texel [7,15,1] vs
-                # the plain base's [47,69,11]).  TODO(derive): replace
-                # this measured exposure with the offscreen path's
-                # actual lighting once that renderer is ported.
-                rgba[..., :3] = (rgba[..., :3].astype(np.float32)
-                                 * 0.195 + 0.5).astype(np.uint8)
+                # Label recipes round-trip the rendered base through the
+                # reference's native Scene: _composite_native_label_layers
+                # re-uploads it with set_raster_overlay (map_scene.py:2375)
+                # as an Rgba8UnormSrgb texture (src/scene/py_api/
+                # raster_overlay.rs:67 — sampled = sRGB DECODE to linear)
+                # and renders into the Scene's plain Rgba8Unorm target
+                # (src/scene/mod.rs:30 — no re-encode).  Net effect: the
+                # base suffers exactly one sRGB EOTF decode (golden corner
+                # [47,69,11] -> [7,15,1]).
+                c = rgba[..., :3].astype(np.float32) / 255.0
+                lin = np.where(c <= 0.04045, c / 12.92,
+                               ((c + 0.055) / 1.055) ** 2.4)
+                rgba[..., :3] = (lin * 255.0 + 0.5).astype(np.uint8)
             depth = (np.full(rgba.shape[:2], np.inf)
                      if needs_depth else None)
             frame = Frame(rgba=rgba, metadata={"camera_mode": "screen"})
