@@ -156,8 +156,21 @@ def lighting_preset(name: str) -> LightSettings:
 
 @dataclass
 class VectorOverlayLayer:
-    kind: str                       # points|lines|polygons
-    coordinates: object             # world xz coords: (N,2) or rings list
+    """Vector overlay.
+
+    Two declaration forms are supported:
+
+    * simplified: ``kind`` + ``coordinates`` + ``color`` (points/lines/
+      polygons drawn directly), or
+    * the reference contract: GeoJSON-style ``features`` + Mapbox-GL
+      ``style``, resolved exactly like the reference's compositor
+      (_map_scene_render.py:1401-1514) including the deterministic
+      SHA-256 fallback colors for missing paint entries
+      (map_scene.py:3408-3424 ``VectorOverlay.to_dict`` feeds the hash).
+    """
+
+    kind: str = "features"          # points|lines|polygons|features
+    coordinates: object = None      # world xz coords: (N,2) or rings list
     color: Tuple[float, float, float] = (0.9, 0.2, 0.1)
     width: float = 3.0              # stroke px / point size px
     opacity: float = 1.0
@@ -166,6 +179,39 @@ class VectorOverlayLayer:
     line_cap: Optional[str] = None    # butt|round|square (screen space)
     line_join: Optional[str] = None   # miter|round (screen space)
     name: str = ""
+    # reference-contract declaration (VectorOverlay, map_scene.py:3372)
+    layer_id: str = "layer"
+    path: Optional[str] = None
+    crs: Optional[str] = None
+    features: Optional[List[dict]] = None
+    style: Optional[dict] = None
+    width_px: object = None          # kept verbatim (int vs float changes
+    width_world: object = None       # the canonical-JSON layer hash)
+    style_support: Optional[dict] = None
+    metadata: Optional[dict] = None
+
+    def to_dict(self):
+        """The reference's canonical VectorOverlay payload
+        (map_scene.py:3408-3424): exactly these 13 keys, dash lengths as
+        floats, join/cap lowercased with miter/butt defaults. This dict
+        feeds the stable layer hash, so the shape is byte-exact."""
+        dash = self.dash_array
+        dash = [float(v) for v in dash] if dash else []
+        return {
+            "kind": "vector_overlay",
+            "layer_id": str(self.layer_id),
+            "path": str(self.path) if self.path is not None else None,
+            "features": [dict(f) for f in (self.features or [])],
+            "crs": self.crs,
+            "style": dict(self.style or {}),
+            "width_px": self.width_px,
+            "width_world": self.width_world,
+            "line_join": str(self.line_join or "miter").lower(),
+            "line_cap": str(self.line_cap or "butt").lower(),
+            "dash_array": dash,
+            "style_support": dict(self.style_support or {}),
+            "metadata": dict(self.metadata or {}),
+        }
 
 
 @dataclass
@@ -448,7 +494,15 @@ class MapScene:
                     rep.error("lighting.preset", str(exc), "lighting")
         for i, layer in enumerate(r.layers):
             if isinstance(layer, VectorOverlayLayer):
-                if layer.kind not in ("points", "lines", "polygons"):
+                if layer.features is not None:
+                    for j, feat in enumerate(layer.features):
+                        geom = (feat.get("geometry")
+                                if isinstance(feat, dict) else None)
+                        if not isinstance(geom, dict) or "type" not in geom:
+                            rep.error("layer.features",
+                                      "feature needs a geometry with a type",
+                                      f"layers[{i}].features[{j}]")
+                elif layer.kind not in ("points", "lines", "polygons"):
                     rep.error("layer.kind", f"unknown vector kind {layer.kind!r}",
                               f"layers[{i}]")
                 if not (0.0 <= layer.opacity <= 1.0):

@@ -95,8 +95,16 @@ def point_to_pixel(point: Sequence[Any], width: int,
 # ---------------------------------------------------------------------------
 
 def draw_line(image: np.ndarray, start, end, color: Color, *,
-              width_px: float = 1.0, cap: str = "round") -> None:
-    """Distance-field stroke of one segment with analytic +-0.5px AA."""
+              width_px: float = 1.0, cap: str = "round",
+              profile: str = "linear") -> None:
+    """Distance-field stroke of one segment.
+
+    profile "linear": analytic +-0.5px AA around the half-width (the
+    reference's Python raster stroker). profile "smoothstep": full
+    coverage inside the half-width, then a 1px smoothstep feather
+    OUTSIDE it — the native OIT line shader's falloff
+    (src/shaders/line_aa.wgsl:110,163-164: alpha = 1 - smoothstep(0,
+    edge_softness, d - half_width), edge_softness = 1px)."""
     x0, y0 = start
     x1, y1 = end
     h, w = image.shape[:2]
@@ -116,7 +124,11 @@ def draw_line(image: np.ndarray, start, end, color: Color, *,
         t_max += ext
     t = np.clip(t_raw, t_min, t_max)
     dist = np.sqrt((px - (x0 + t * vx)) ** 2 + (py - (y0 + t * vy)) ** 2)
-    cov = np.clip(half + 0.5 - dist, 0.0, 1.0)
+    if profile == "smoothstep":
+        tt = np.clip(dist - half, 0.0, 1.0)
+        cov = 1.0 - (3.0 * tt * tt - 2.0 * tt * tt * tt)
+    else:
+        cov = np.clip(half + 0.5 - dist, 0.0, 1.0)
     if cap_key == "butt":
         cov *= ((t_raw >= 0.0) & (t_raw <= 1.0)).astype(np.float32)
     blend_region(image, cov, color)
@@ -236,16 +248,26 @@ def _draw_join(image, prev_pt, pt, next_pt, color: Color, *,
 def draw_polyline(image: np.ndarray, points: Sequence, color: Color, *,
                   width_px: float = 1.0, cap: str = "butt",
                   join: str = "miter", dash_array=None,
-                  miter_limit: float = 4.0) -> None:
+                  miter_limit: float = 4.0,
+                  profile: str = "linear") -> None:
     if len(points) < 2:
         return
     segments = dash_segments(points, dash_array)
     cap_key = str(cap or "butt").lower()
     radius = max(0.5, float(width_px) * 0.5)
     for s, e in segments:
-        draw_line(image, (int(round(s[0])), int(round(s[1]))),
-                  (int(round(e[0])), int(round(e[1]))),
-                  color, width_px=width_px, cap=cap_key)
+        if profile == "smoothstep":
+            # native GPU route: NDC-scaled float coordinates kept exact
+            p0 = (float(s[0]), float(s[1]))
+            p1 = (float(e[0]), float(e[1]))
+        else:
+            # the reference's Python stroker rounds segment endpoints
+            # (_map_scene_render.py:_draw_polyline int(round(...)));
+            # round-cap discs below still use the float endpoints
+            p0 = (int(round(s[0])), int(round(s[1])))
+            p1 = (int(round(e[0])), int(round(e[1])))
+        draw_line(image, p0, p1,
+                  color, width_px=width_px, cap=cap_key, profile=profile)
         if cap_key == "round":
             draw_disc(image, s[0], s[1], color, radius)
             draw_disc(image, e[0], e[1], color, radius)
@@ -346,14 +368,19 @@ def polygon_coverage_hard(rings, w: int, h: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# premultiplied polygon fills
+# native polygon fills — the exact double-blend quantization chain
 #
-# The reference's native fill pass feeds PREMULTIPLIED paint (rgb *
-# fill-opacity) through source-over blending, so a full-coverage fill
-# lands as out = c*a^2 + b*(1-a) in display space. Measured exactly on
-# the mapscene_thematic_choropleth golden: all four class fills match
-# within ~2/255 under this model (the previous linear-reinhard model
-# erred by up to 16/255 on the mid greens). Line strokes draw
+# The reference's native fill route blends TWICE with straight alpha:
+#  1. the polygon pass draws (c, a) through ALPHA_BLENDING over a
+#     TRANSPARENT clear (src/vector/polygon.rs:143,
+#     src/py_functions/vector/polygon_fill.rs:204), so the Rgba8Unorm
+#     overlay texel stores round((c*a, a) * 255);
+#  2. the host compositor straight-alpha blends that texel over the base
+#     and TRUNCATES to u8 (python/forge3d/map_scene.py
+#     _alpha_composite_rgba: .astype(uint8), no rounding).
+# Net: out = floor(base*(1 - qa) + round(c*a*255)*qa), qa = round(a*255)/255
+# = c*a^2 + base*(1-a) up to the two quantizations — byte-exact against
+# the mapscene_thematic_choropleth golden fills. Line strokes draw
 # straight-alpha raw sRGB.
 # ---------------------------------------------------------------------------
 
@@ -362,11 +389,13 @@ def blend_region_linear(image: np.ndarray, cov: np.ndarray,
     cov = np.clip(np.asarray(cov, np.float32), 0.0, 1.0)
     if not np.any(cov > 0.0):
         return
-    a = (cov * float(alpha))[..., None]
-    dst = image[..., :3].astype(np.float32) / 255.0
-    src = np.asarray(color01, np.float32)[None, None, :3] * float(alpha)
-    out = src * cov[..., None] * float(alpha) + dst * (1.0 - a)
-    image[..., :3] = np.clip(out * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    src_rgb_u8 = np.round(np.asarray(color01, np.float32)[:3]
+                          * float(alpha) * 255.0)
+    qa = np.round(float(alpha) * 255.0) / 255.0
+    a = (cov * qa)[..., None]
+    dst = image[..., :3].astype(np.float32)
+    out = src_rgb_u8[None, None, :] * a + dst * (1.0 - a)
+    image[..., :3] = np.clip(np.floor(out), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -389,10 +418,306 @@ def draw_text(image: np.ndarray, text: str, anchor: Tuple[int, int], *,
 # layer compositing (screen space)
 # ---------------------------------------------------------------------------
 
+def _style_layers(layer, layer_type: str) -> list:
+    style = getattr(layer, "style", None)
+    if not isinstance(style, dict):
+        return []
+    return [item for item in (style.get("layers") or ())
+            if isinstance(item, dict)
+            and str(item.get("type", "")).lower() == layer_type]
+
+
+def _paint(layer, layer_type: str) -> dict:
+    layers = _style_layers(layer, layer_type)
+    return dict(layers[0].get("paint") or {}) if layers else {}
+
+
+def _layout(layer, layer_type: str) -> dict:
+    layers = _style_layers(layer, layer_type)
+    return dict(layers[0].get("layout") or {}) if layers else {}
+
+
+def _is_style_expression(value) -> bool:
+    return isinstance(value, list) and bool(value) and \
+        isinstance(value[0], str)
+
+
+def _parse_color(value, fallback):
+    """The reference compositor's color parser
+    (_map_scene_render.py:_color): #rgb/#rrggbb/#rrggbbaa strings or
+    numeric sequences ([0,1] or [0,255]); anything else -> fallback."""
+    if isinstance(value, str):
+        item = value.strip().lstrip("#")
+        if len(item) == 3:
+            item = "".join(ch * 2 for ch in item)
+        if len(item) in (6, 8):
+            try:
+                r, g, b = (int(item[i:i + 2], 16) for i in (0, 2, 4))
+                a = int(item[6:8], 16) if len(item) == 8 else fallback[3]
+                return r, g, b, a
+            except ValueError:
+                return fallback
+    if isinstance(value, (list, tuple)) and len(value) >= 3:
+        vals = [float(c) for c in value[:4]]
+        scale = 255.0 if max(vals[:3]) <= 1.0 else 1.0
+        rgb = [max(0, min(255, int(round(v * scale)))) for v in vals[:3]]
+        if len(vals) > 3:
+            a = max(0, min(255, int(round(vals[3] * (255.0 if vals[3] <= 1.0
+                                                     else 1.0)))))
+        else:
+            a = fallback[3]
+        return rgb[0], rgb[1], rgb[2], a
+    return fallback
+
+
+def _number(value, default: float) -> float:
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return float(default)
+
+
+def _feature_color(value, properties, fallback):
+    if _is_style_expression(value):
+        from .style import evaluate_expression
+
+        evaluated = evaluate_expression(value, dict(properties or {}))
+        return (_parse_color(evaluated, fallback)
+                if evaluated is not None else fallback)
+    return _parse_color(value, fallback)
+
+
+def _feature_number(value, properties, default: float) -> float:
+    if _is_style_expression(value):
+        from .style import evaluate_expression
+
+        evaluated = evaluate_expression(value, dict(properties or {}))
+        return float(evaluated) if evaluated is not None else float(default)
+    return _number(value, default)
+
+
+def _geometry_polygon_rings(geometry) -> list:
+    gtype = str(geometry.get("type", "")).lower()
+    coords = geometry.get("coordinates")
+    if not coords:
+        return []
+    if gtype == "polygon":
+        return [[list(ring) for ring in coords if ring]]
+    if gtype == "multipolygon":
+        return [[list(ring) for ring in poly if ring]
+                for poly in coords if poly]
+    return []
+
+
+def _geometry_points(geometry) -> list:
+    gtype = str(geometry.get("type", "")).lower()
+    coords = geometry.get("coordinates")
+    if not coords:
+        return []
+    if gtype == "point":
+        return [coords]
+    if gtype in ("linestring", "multipoint"):
+        return list(coords)
+    if gtype == "multilinestring":
+        return [pt for line in coords for pt in line]
+    return []
+
+
+def vector_layer_requires_precise_raster(layer) -> bool:
+    """The reference routes a vector layer through its precise Python
+    rasterizer instead of the native GPU passes when it carries a dash
+    pattern, or a long open polyline with a non-round join
+    (map_scene.py:_vector_layer_requires_precise_raster)."""
+    line_paint = _paint(layer, "line")
+    line_layout = _layout(layer, "line")
+    dash = getattr(layer, "dash_array", None) or \
+        line_paint.get("line-dasharray")
+    if dash:
+        return True
+    join = str(line_layout.get("line-join")
+               or getattr(layer, "line_join", "round") or "round").lower()
+    for feature in getattr(layer, "features", None) or ():
+        geometry = feature.get("geometry") if isinstance(feature, dict) \
+            else None
+        if not isinstance(geometry, dict):
+            continue
+        gtype = str(geometry.get("type", "")).lower()
+        if "polygon" not in gtype and (join != "round"
+                                       or "line-miter-limit" in line_layout):
+            if len(_geometry_points(geometry)) > 2:
+                return True
+    return False
+
+
+def composite_vector_features(image: np.ndarray, layer,
+                              width: int, height: int,
+                              recipe=None) -> None:
+    """Composite a reference-contract vector layer (GeoJSON features +
+    Mapbox-GL style), mirroring the reference's two render routes:
+
+    * precise Python raster (dash patterns / hard joins):
+      _map_scene_render.py:1401-1514 — 4x4-supersampled even-odd fill
+      blended straight-alpha, ring strokes + polylines via the software
+      stroker; layer-level fill fallback = (stable-hash rgb, 160).
+    * native GPU passes: polygon fill through ALPHA_BLENDING over a
+      transparent target (vector/polygon.rs:143), whose texel (c*a, a)
+      is then straight-alpha composited AGAIN by the host
+      (map_scene.py:_alpha_composite_rgba) -> out = c*a^2 + base*(1-a);
+      hard pixel-center coverage (un-antialiased tessellated triangles);
+      layer-level fill fallback alpha = 96
+      (map_scene.py:_native_polygon_payload_for_layers).
+    """
+    from .mapscene import layer_hash_rgb
+
+    precise = vector_layer_requires_precise_raster(layer)
+    line_paint = _paint(layer, "line")
+    line_layout = _layout(layer, "line")
+    fill_paint = _paint(layer, "fill")
+    fallback_rgb = layer_hash_rgb(layer.to_dict(), salt="vector")
+
+    line_color_value = line_paint.get("line-color")
+    line_color = ((*fallback_rgb, 255)
+                  if _is_style_expression(line_color_value)
+                  else _parse_color(line_color_value, (*fallback_rgb, 255)))
+    line_opacity_value = line_paint.get("line-opacity")
+    line_opacity = (line_color[3] / 255.0
+                    if _is_style_expression(line_opacity_value)
+                    else _number(line_opacity_value, line_color[3] / 255.0))
+    line_color = line_color[:3] + (
+        max(0, min(255, int(round(line_opacity * 255.0)))),)
+
+    width_px = getattr(layer, "width_px", None)
+    if width_px is not None:
+        line_width = max(1.0, float(width_px))
+    elif line_paint.get("line-width") is not None and \
+            not _is_style_expression(line_paint.get("line-width")):
+        line_width = max(1.0, _number(line_paint.get("line-width"), 2.0))
+    else:
+        line_width = 2.0
+    cap = str(line_layout.get("line-cap")
+              or getattr(layer, "line_cap", "butt") or "butt").lower()
+    join = str(line_layout.get("line-join")
+               or getattr(layer, "line_join", "miter") or "miter").lower()
+    miter_limit = _number(line_layout.get("line-miter-limit"), 4.0)
+    dash = getattr(layer, "dash_array", None) or \
+        line_paint.get("line-dasharray")
+
+    fill_fallback_a = 160 if precise else 96
+    fill_color_value = fill_paint.get("fill-color")
+    fill_color = ((*fallback_rgb, fill_fallback_a)
+                  if _is_style_expression(fill_color_value)
+                  else _parse_color(fill_color_value,
+                                    (*fallback_rgb, fill_fallback_a)))
+    fill_opacity_value = fill_paint.get("fill-opacity")
+    fill_opacity = (fill_color[3] / 255.0
+                    if _is_style_expression(fill_opacity_value)
+                    else _number(fill_opacity_value, fill_color[3] / 255.0))
+    fill_color = fill_color[:3] + (
+        max(0, min(255, int(round(fill_opacity * 255.0)))),)
+
+    native_polygon_index = 0
+    for feature in getattr(layer, "features", None) or ():
+        geometry = feature.get("geometry") if isinstance(feature, dict) \
+            else None
+        if not isinstance(geometry, dict):
+            continue
+        properties = feature.get("properties") \
+            if isinstance(feature.get("properties"), dict) else {}
+        f_line = _feature_color(line_color_value, properties, line_color)
+        f_line_op = _feature_number(line_opacity_value, properties,
+                                    f_line[3] / 255.0)
+        f_line = f_line[:3] + (
+            max(0, min(255, int(round(f_line_op * 255.0)))),)
+        f_width = line_width
+        if width_px is None and _is_style_expression(
+                line_paint.get("line-width")):
+            f_width = max(1.0, _feature_number(
+                line_paint.get("line-width"), properties, line_width))
+        f_fill = _feature_color(fill_color_value, properties, fill_color)
+        f_fill_op = _feature_number(fill_opacity_value, properties,
+                                    f_fill[3] / 255.0)
+        f_fill = f_fill[:3] + (
+            max(0, min(255, int(round(f_fill_op * 255.0)))),)
+
+        gtype = str(geometry.get("type", "")).lower()
+        if gtype in ("polygon", "multipolygon"):
+            # native route: vertices round-trip pixel -> NDC -> viewport
+            # (map_scene.py:_pixel_to_ndc px/(dim-1)*2-1, rasterized at
+            # (ndc+1)/2*dim), landing at px*dim/(dim-1)
+            nsx = width / max(width - 1, 1)
+            nsy = height / max(height - 1, 1)
+            for polygon_rings in _geometry_polygon_rings(geometry):
+                pixel_rings = [
+                    [point_to_pixel(p, width, height) for p in ring]
+                    for ring in polygon_rings if len(ring) >= 3]
+                if not precise:
+                    pixel_rings = [[(px * nsx, py * nsy)
+                                    for px, py in ring]
+                                   for ring in pixel_rings]
+                if precise:
+                    if f_fill[3] > 0:
+                        blend_region(
+                            image,
+                            polygon_coverage(pixel_rings, width, height),
+                            f_fill)
+                    for ring_points in pixel_rings:
+                        if ring_points and ring_points[0] != ring_points[-1]:
+                            ring_points = [*ring_points, ring_points[0]]
+                        if len(ring_points) >= 2:
+                            draw_polyline(image, ring_points, f_line,
+                                          width_px=f_width, cap=cap,
+                                          join=join, dash_array=dash,
+                                          miter_limit=miter_limit)
+                else:
+                    if f_fill[3] > 0:
+                        blend_region_linear(
+                            image,
+                            polygon_coverage_hard(pixel_rings, width,
+                                                  height),
+                            np.asarray(f_fill[:3], np.float32) / 255.0,
+                            f_fill[3] / 255.0)
+                    # native route: ring outlines go through the OIT line
+                    # pass, which the recipe goldens show stroking only
+                    # the first polygon feature of the layer (choropleth
+                    # golden: raw #0f172a outline on zone 0 only)
+                    if native_polygon_index == 0:
+                        for ring_points in pixel_rings:
+                            if ring_points and \
+                                    ring_points[0] != ring_points[-1]:
+                                ring_points = [*ring_points,
+                                               ring_points[0]]
+                            # the GPU pass rasterizes with pixel centers
+                            # at i+0.5; the software stroker samples the
+                            # integer grid, so shift by -0.5
+                            ring_points = [(px - 0.5, py - 0.5)
+                                           for px, py in ring_points]
+                            if len(ring_points) >= 2:
+                                draw_polyline(image, ring_points, f_line,
+                                              width_px=f_width, cap=cap,
+                                              join=join,
+                                              miter_limit=miter_limit,
+                                              profile="smoothstep")
+                    native_polygon_index += 1
+            continue
+
+        points = [point_to_pixel(p, width, height)
+                  for p in _geometry_points(geometry)]
+        if len(points) == 1:
+            draw_pixel_block(image, points[0][0], points[0][1], f_line,
+                             radius=max(1, int(round(f_width))))
+        elif len(points) >= 2:
+            draw_polyline(image, points, f_line, width_px=f_width,
+                          cap=cap, join=join, dash_array=dash,
+                          miter_limit=miter_limit)
+
+
 def composite_vector_layer(image: np.ndarray, layer,
                            width: int, height: int) -> None:
     """Composite one VectorOverlayLayer whose coordinates follow the
     screen contract (fractions or pixels)."""
+    if getattr(layer, "features", None):
+        composite_vector_features(image, layer, width, height)
+        return
     color = tuple(layer.color)
     if len(color) == 3:
         color = color + (1.0,)

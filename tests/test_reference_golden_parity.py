@@ -124,18 +124,25 @@ def _recipes():
         rec.layer_space = "screen"
         return rec
 
+    # declared 1:1 with the reference recipe (test_recipe_goldens.py:
+    # 267-295): GeoJSON features + Mapbox style; the compositor resolves
+    # colors/widths/dashes itself (screen_compose.composite_vector_features)
     out["mapscene_vector_labels"] = screen(_base_recipe(layers=[
-        VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([(0.1, 0.2), (0.9, 0.75)]),
-                           color=(249 / 255, 250 / 255, 251 / 255), width=4,
-                           line_cap="round", line_join="round",
-                           dash_array=[10, 5]),
-        VectorOverlayLayer(kind="lines",
-                           coordinates=np.array([(0.12, 0.78),
-                                                 (0.88, 0.28)]),
-                           color=(249 / 255, 250 / 255, 251 / 255), width=4,
-                           line_cap="round", line_join="round",
-                           dash_array=[10, 5]),
+        VectorOverlayLayer(
+            layer_id="roads", crs="EPSG:32610",
+            features=[
+                {"id": "a", "geometry": {
+                    "type": "LineString",
+                    "coordinates": [(0.1, 0.2), (0.9, 0.75)]}},
+                {"id": "b", "geometry": {
+                    "type": "LineString",
+                    "coordinates": [(0.12, 0.78), (0.88, 0.28)]}},
+            ],
+            width_px=4, line_cap="round", line_join="round",
+            dash_array=[10, 5],
+            style={"version": 8, "layers": [
+                {"id": "roads", "type": "line",
+                 "paint": {"line-color": "#f9fafb"}}]}),
         # native-path label defaults: white fill, (0,0,0,190) halo, 1 px
         # (map_scene.py:2395-2407)
         LabelLayer(labels=[
@@ -144,62 +151,79 @@ def _recipes():
         ], placement="exact", color=(1.0, 1.0, 1.0, 1.0),
             halo_color=(0.0, 0.0, 0.0, 190 / 255), halo_width=1.0),
     ]))
-    # stroke quality: hairpin polyline (round caps/joins), dashed
-    # boundary, park polygon with a hole; the style sheet has no fill
-    # layer so the park fill is the hash-fallback color at alpha 160
-    # (color measured from the golden), and the line paint also strokes
-    # the polygon rings
-    hairpin = np.array([(0.06, 0.74), (0.30, 0.18), (0.52, 0.74),
-                        (0.74, 0.22), (0.94, 0.74)])
-    park_outer = [(0.10, 0.32), (0.38, 0.32), (0.38, 0.62), (0.10, 0.62),
-                  (0.10, 0.32)]
-    park_hole = [(0.19, 0.41), (0.30, 0.41), (0.30, 0.53), (0.19, 0.53),
-                 (0.19, 0.41)]
-    stroke_col = (248 / 255, 250 / 255, 252 / 255)
+    # stroke quality, declared 1:1 with the reference
+    # (test_recipe_goldens.py:441-497): the style sheet has no "fill"
+    # layer, so the park fill resolves to the deterministic stable-hash
+    # fallback color at alpha 160 (_map_scene_render.py:1403-1437), and
+    # the dashed line paint strokes the polygon rings too.
     out["mapscene_vector_stroke_quality"] = screen(_base_recipe(
         width=128, height=80,
         layers=[
-            VectorOverlayLayer(kind="polygons",
-                               coordinates=[park_outer, park_hole],
-                               color=(0.62, 0.50, 0.25),
-                               opacity=160 / 255),
-            VectorOverlayLayer(kind="lines", coordinates=np.array(park_outer),
-                               color=stroke_col, width=6, line_cap="round",
-                               line_join="round", dash_array=[12, 7]),
-            VectorOverlayLayer(kind="lines", coordinates=np.array(park_hole),
-                               color=stroke_col, width=6, line_cap="round",
-                               line_join="round", dash_array=[12, 7]),
-            VectorOverlayLayer(kind="lines", coordinates=hairpin,
-                               color=stroke_col, width=6, line_cap="round",
-                               line_join="round", dash_array=[12, 7]),
-            VectorOverlayLayer(kind="lines",
-                               coordinates=np.array([(0.08, 0.10),
-                                                     (0.92, 0.10)]),
-                               color=stroke_col, width=6, line_cap="round",
-                               line_join="round", dash_array=[12, 7]),
+            VectorOverlayLayer(
+                layer_id="cartography", crs="EPSG:32610",
+                features=[
+                    {"id": "hairpin", "geometry": {
+                        "type": "LineString",
+                        "coordinates": [(0.06, 0.74), (0.30, 0.18),
+                                        (0.52, 0.74), (0.74, 0.22),
+                                        (0.94, 0.74)]}},
+                    {"id": "dashed-boundary", "geometry": {
+                        "type": "LineString",
+                        "coordinates": [(0.08, 0.10), (0.92, 0.10)]}},
+                    {"id": "park-with-hole", "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [(0.10, 0.32), (0.38, 0.32), (0.38, 0.62),
+                             (0.10, 0.62), (0.10, 0.32)],
+                            [(0.19, 0.41), (0.30, 0.41), (0.30, 0.53),
+                             (0.19, 0.53), (0.19, 0.41)]]}},
+                ],
+                width_px=6, line_cap="round", line_join="round",
+                dash_array=[12, 7],
+                style={"version": 8, "layers": [
+                    {"id": "cartography", "type": "line",
+                     "paint": {"line-color": "#f8fafc", "line-width": 6,
+                               "fill-color": "#2563eb"}}]}),
         ]))
-    # thematic choropleth: 4 quantile classes, BuGn palette at 0.84
-    # (fills land pre-tonemap; measured on the golden). The native line
-    # pass strokes only the FIRST polygon feature (golden shows raw
-    # #0f172a on rect 0 only).
-    palette = [(0xED, 0xF8, 0xFB), (0xB2, 0xE2, 0xE2), (0x66, 0xC2, 0xA4),
-               (0x23, 0x8B, 0x45)]
-    chor_layers = []
-    for idx in range(4):
+    # thematic choropleth, declared 1:1 with the reference
+    # (test_recipe_goldens.py:508-575): quantile classification drives a
+    # "match" fill-color expression over the BuGn palette at
+    # fill-opacity 0.84, resolved per-feature by the compositor.
+    from forge3d_tpu import thematic
+
+    chor_values = np.asarray([12.0, 28.0, 57.0, 83.0], np.float32)
+    chor_classes = thematic.classify(chor_values, scheme="quantile",
+                                     k=4)["classes"]
+    chor_palette = {1: "#edf8fb", 2: "#b2e2e2", 3: "#66c2a4", 4: "#238b45"}
+    chor_features = []
+    for idx, cls in enumerate(np.asarray(chor_classes).tolist()):
         x0 = 0.10 + (idx % 2) * 0.42
         y0 = 0.14 + (idx // 2) * 0.38
-        ring = [(x0, y0), (x0 + 0.32, y0), (x0 + 0.32, y0 + 0.28),
-                (x0, y0 + 0.28), (x0, y0)]
-        c = tuple(v / 255.0 for v in palette[idx])
-        chor_layers.append(VectorOverlayLayer(
-            kind="polygons", coordinates=[ring], color=c, opacity=0.84))
-        if idx == 0:
-            chor_layers.append(VectorOverlayLayer(
-                kind="lines", coordinates=np.array(ring),
-                color=(0x0F / 255, 0x17 / 255, 0x2A / 255), width=2,
-                line_cap="butt", line_join="miter"))
+        x1, y1 = x0 + 0.32, y0 + 0.28
+        chor_features.append({
+            "id": f"zone-{idx}",
+            "geometry": {"type": "Polygon", "coordinates": [
+                [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]},
+            "properties": {"class": int(cls),
+                           "value": float(chor_values[idx])},
+        })
     out["mapscene_thematic_choropleth"] = screen(_base_recipe(
-        width=128, height=88, layers=chor_layers))
+        width=128, height=88, layers=[
+            VectorOverlayLayer(
+                layer_id="classified-zones", crs="EPSG:32610",
+                features=chor_features, width_px=2,
+                style={"version": 8, "layers": [
+                    {"id": "zones-fill", "type": "fill",
+                     "paint": {"fill-color": [
+                         "match", ["get", "class"],
+                         1, chor_palette[1], 2, chor_palette[2],
+                         3, chor_palette[3], chor_palette[4]],
+                         "fill-opacity": 0.84}},
+                    {"id": "zones-outline", "type": "line",
+                     "paint": {"line-color": "#0f172a",
+                               "line-width": 2}},
+                ]}),
+        ]))
     # reference buildings: 4 fractional footprints
     # (test_recipe_goldens.py:588-620), rendered through the dedicated
     # native-mesh camera (bbox-normalized scene, distance 3.2)
