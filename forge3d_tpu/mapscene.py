@@ -620,10 +620,17 @@ class MapScene:
             params.water = WaterSettings(enabled=True, level=float(r.water_level))
         if r.fog_density > 0:
             params.fog = FogSettings(enabled=True, density=float(r.fog_density))
+        camera_mode = getattr(r, "camera_mode", "perspective")
+        if camera_mode == "screen":
+            # map_scene.py:1214-1215: screen recipes with a clipmap
+            # geometry config resolve to the clipmap camera mode
+            derived = self._clipmap_camera_mode_from_metadata(
+                getattr(r.terrain, "metadata", None))
+            camera_mode = derived or camera_mode
         plan = {
             "dem": dem, "spacing": spacing, "crs": crs, "params": params,
             "span": span, "target": target, "radius": radius,
-            "camera_mode": getattr(r, "camera_mode", "perspective"),
+            "camera_mode": camera_mode,
         }
         self._plan = plan
         return plan
@@ -644,256 +651,57 @@ class MapScene:
         rgba = mss.apply_screen_space_postfx(rgba, self.recipe, dem)
         return np.ascontiguousarray(rgba)
 
-    # -- clipmap-mode terrain raster (reference camera_mode "clipmap:...") --
+    # -- clipmap-mode terrain (reference camera_mode "clipmap:...") --------
     #
     # The reference renders clipmap recipes through the CPU ring mesh
-    # (src/terrain/clipmap/) + vs_clipmap_main with the legacy Y-up orbit
-    # camera: mesh (x, z) land in world (X, Y) and heights run along
-    # world +Z, so the terrain stands like a wall that the orbit camera
-    # views at a grazing angle (terrain_pbr_pom.wgsl:4758-4830,
-    # upload.rs:344-371 non-zup branch). The preset camera sits at
-    # radius_scale * terrain_span (presets.py rainier_showcase).
+    # (src/terrain/clipmap/) + vs_clipmap_main with the legacy Y-up
+    # orbit camera and the SAME shade_main fragment chain as the screen
+    # path (terrain_pbr_pom.wgsl:4766-4830; fs_main -> shade_main).
+    # Everything here is DERIVED from the recipe through the preset
+    # resolution (mapscene_screen.derive_screen_params) and rendered by
+    # the TPU engine (terrain.screen.render_clipmap_scene) — no fitted
+    # profile constants, no color LUTs.
     def _render_clipmap_terrain(self, plan):
-        from .colormaps import get_lut
-        from .terrain.clipmap_mesh import (ClipmapConfig, build_clipmap_mesh,
-                                           clipmap_vertex_heights)
+        from . import mapscene_screen as mss
+        from .terrain import screen as eng
 
-        p = plan["params"]
+        r = self.recipe
         dem = np.asarray(plan["dem"], np.float32)
-        spacing = plan["spacing"]
-        W, H = p.size_px
-        h, w = dem.shape
-        lo, hi = float(dem.min()), float(dem.max())
-        # reference span convention: max texel count x spacing
-        # (map_scene.py _terrain_scene_diagonal uses the array shape)
-        span = max(w * spacing[0], h * spacing[1], 1.0)
-        config = ClipmapConfig.from_camera_mode(plan["camera_mode"])
-        pos, uv, morph, tri = build_clipmap_mesh(config, (0.0, 0.0),
-                                                 float(span))
-        prof = getattr(self, "_CLIPMAP_PROFILE", None)
-        if prof is None:
-            prof = dict(self._clipmap_profile_default())
-        sampling = prof.get("sampling", "nearest")
-        hv = clipmap_vertex_heights(dem, uv, morph, config.ring_resolution,
-                                    sampling=sampling)
-        zs = p.z_scale
-        skirt_drop = np.where(morph[:, 0] < 0.0,
-                              config.ring_resolution * 0.001, 0.0)
-        zw = (hv - (lo + hi) * 0.5 - skirt_drop) * zs
+        d = mss.derive_screen_params(r, dem)
+        W, H = int(r.output.size_px[0]), int(r.output.size_px[1])
+        rw, rh = max(64, W), max(64, H)
+        encode = ("srgb" if int(getattr(r.output, "samples", 1)) > 1
+                  else "gamma")
+        rgba = eng.render_clipmap_scene(
+            d["dem"], d["lut"], size_px=(rw, rh),
+            camera_mode=str(plan["camera_mode"]), encode=encode,
+            **d["kw"])
+        rgba = np.asarray(rgba)
+        if rgba.shape[:2] != (H, W):
+            rgba = mss.resize_nearest_rgba(rgba, (H, W))
+        return np.ascontiguousarray(rgba)
 
-        # legacy Y-up orbit: mesh (x, z) -> world (X, Y), height -> +Z
-        world = np.stack([pos[:, 0], pos[:, 1], zw], axis=-1)
-        phi = math.radians(p.cam_phi_deg)
-        theta = math.radians(p.cam_theta_deg)
-        target = np.asarray(p.cam_target, np.float64)
-        eye = target + p.cam_radius * np.array([
-            math.sin(theta) * math.cos(phi), math.cos(theta),
-            math.sin(theta) * math.sin(phi)])
-        fwd = target - eye
-        fwd /= np.linalg.norm(fwd)
-        right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
-        right /= np.linalg.norm(right)
-        up = np.cross(right, fwd)
-        half_h = math.tan(math.radians(p.fov_y_deg) * 0.5)
-        half_w = (W / H) * half_h
-        rel = world - eye
-        cz = rel @ fwd
-        czc = np.maximum(cz, 1e-6)
-        sx = ((rel @ right) / (czc * half_w) + 1) * 0.5 * W - 0.5
-        sy = (1 - (rel @ up) / (czc * half_h)) * 0.5 * H - 0.5
-
-        lut = get_lut(p.colormap)
-        light = p.light
-        az_r = math.radians(light.azimuth_deg)
-        el_r = math.radians(light.elevation_deg)
-        # preset sun direction in the Y-up frame (presets.py: x=cos(el)
-        # sin(az), y=sin(el), z=cos(el)cos(az)); terrain normals live in
-        # the clipmap Z-up frame, so flat ground receives ~no direct sun
-        # in these goldens — ambient carries the image.
-        lvec = np.array([math.cos(el_r) * math.sin(az_r), math.sin(el_r),
-                         math.cos(el_r) * math.cos(az_r)])
-        sun = np.asarray(light.color, np.float32) * light.intensity
-        amb = np.asarray(light.ambient_color, np.float32) * light.ambient
-        lut2d = prof.get("lut2d")   # (HB, SB, 3) height x facet-slope bins
-
-        img = np.empty((H, W, 3), np.float32)
-        img[:] = np.asarray(prof.get("bg", (25, 25, 38)), np.float32)
-        zbuf = np.full((H, W), np.inf)
-        ys2, xs2 = np.mgrid[0:H, 0:W]
-        near = 0.1
-        ca = rel @ right
-        cb = rel @ up
-
-        def sample_height(ui, vi):
-            if sampling == "nearest":
-                xi = np.clip(np.floor(np.clip(ui, 0, 1) * w).astype(int),
-                             0, w - 1)
-                yi = np.clip(np.floor(np.clip(vi, 0, 1) * h).astype(int),
-                             0, h - 1)
-                return dem[yi, xi]
-            xf = np.clip(ui, 0.0, 1.0) * (w - 1)
-            yf = np.clip(vi, 0.0, 1.0) * (h - 1)
-            x0 = np.clip(np.floor(xf).astype(int), 0, w - 1)
-            y0 = np.clip(np.floor(yf).astype(int), 0, h - 1)
-            x1 = np.minimum(x0 + 1, w - 1)
-            y1 = np.minimum(y0 + 1, h - 1)
-            fx = xf - x0
-            fy = yf - y0
-            return (dem[y0, x0] * (1 - fx) * (1 - fy)
-                    + dem[y0, x1] * fx * (1 - fy)
-                    + dem[y1, x0] * (1 - fx) * fy
-                    + dem[y1, x1] * fx * fy)
-
-        def raster_tri(tp, tz, tuv, wp):
-            xmin = max(int(np.floor(tp[:, 0].min())), 0)
-            xmax = min(int(np.ceil(tp[:, 0].max())) + 1, W)
-            ymin = max(int(np.floor(tp[:, 1].min())), 0)
-            ymax = min(int(np.ceil(tp[:, 1].max())) + 1, H)
-            if xmin >= xmax or ymin >= ymax:
-                return
-            e1 = tp[1] - tp[0]
-            e2 = tp[2] - tp[0]
-            den = e1[0] * e2[1] - e1[1] * e2[0]
-            if abs(den) < 1e-12:
-                return
-            px = xs2[ymin:ymax, xmin:xmax] - tp[0][0]
-            py = ys2[ymin:ymax, xmin:xmax] - tp[0][1]
-            b1 = (px * e2[1] - py * e2[0]) / den
-            b2 = (py * e1[0] - px * e1[1]) / den
-            inside = (b1 >= -1e-9) & (b2 >= -1e-9) & (b1 + b2 <= 1 + 1e-9)
-            if not inside.any():
-                return
-            # perspective-correct interpolation of uv and depth
-            iw = 1.0 / tz
-            wint = iw[0] + b1 * (iw[1] - iw[0]) + b2 * (iw[2] - iw[0])
-            uvw = tuv * iw[:, None]
-            ui = (uvw[0, 0] + b1 * (uvw[1, 0] - uvw[0, 0])
-                  + b2 * (uvw[2, 0] - uvw[0, 0])) / wint
-            vi = (uvw[0, 1] + b1 * (uvw[1, 1] - uvw[0, 1])
-                  + b2 * (uvw[2, 1] - uvw[0, 1])) / wint
-            zi = 1.0 / wint
-            sub = (slice(ymin, ymax), slice(xmin, xmax))
-            nearer = inside & (zi < zbuf[sub])
-            if not nearer.any():
-                return
-            hpx = sample_height(ui, vi)
-            t01 = np.clip((hpx - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
-            # flat per-triangle normal from the morphed vertex positions —
-            # the reference's fragment normal is cross(dpdx(world),
-            # dpdy(world)) of the interpolated position, constant per
-            # triangle (terrain_pbr_pom.wgsl:1888), which gives the
-            # goldens their faceted look. Camera-facing orientation (the
-            # screen-space derivative normal always fronts the eye).
-            n = np.cross(wp[1] - wp[0], wp[2] - wp[0])
-            nl2 = np.linalg.norm(n)
-            if nl2 > 1e-12:
-                n = n / nl2
-                cen = wp.mean(axis=0)
-                if float(n @ (eye - cen)) < 0.0:
-                    n = -n
-            else:
-                n = np.array([0.0, 0.0, 1.0])
-            if lut2d is not None:
-                hb, sb = lut2d.shape[0], lut2d.shape[1]
-                bh = np.clip((t01 * (hb - 1)).round().astype(int), 0, hb - 1)
-                bs = min(max(int(round(abs(float(n[2])) * (sb - 1))), 0),
-                         sb - 1)
-                if lut2d.ndim == 4:
-                    # third axis: signed facet lambert vs the preset sun
-                    # (aspect-dependent material/lighting of the
-                    # terrain_pbr_pom clipmap branch folded into the LUT)
-                    nb = lut2d.shape[2]
-                    ndl = float(np.clip(n @ lvec, -1.0, 1.0))
-                    bn = min(max(int(round((ndl + 1) * 0.5 * (nb - 1))),
-                                 0), nb - 1)
-                    rgb = lut2d[bh, bs, bn] * 255.0
-                else:
-                    bn = 0
-                    rgb = lut2d[bh, bs] * 255.0
-                cap = getattr(self, "_CLIPMAP_CAPTURE", None)
-                if cap is not None:
-                    region = cap[ymin:ymax, xmin:xmax]
-                    region[nearer, 0] = bh[nearer]
-                    region[nearer, 1] = bs
-                    region[nearer, 2] = bn
-            else:
-                idx = np.clip(t01 * (len(lut) - 1), 0, len(lut) - 1)
-                i0 = idx.astype(np.int32)
-                frc = (idx - i0)[..., None]
-                i1 = np.minimum(i0 + 1, len(lut) - 1)
-                albedo = (lut[i0][..., :3] * (1 - frc)
-                          + lut[i1][..., :3] * frc)
-                ndl = max(float(n @ lvec), 0.0)
-                shade = (sun * ndl + amb)
-                rgb = (albedo * 255.0 * prof.get("gain", 1.0)
-                       * shade[None, None])
-            img[sub] = np.where(nearer[..., None], rgb, img[sub])
-            zbuf[sub] = np.where(nearer, zi, zbuf[sub])
-
-        def project(a, b, c):
-            return np.array([(a / (c * half_w) + 1) * 0.5 * W - 0.5,
-                             (1 - b / (c * half_h)) * 0.5 * H - 0.5])
-
-        vis = (cz[tri] > near).any(axis=1)
-        for t in tri[vis]:
-            if (cz[t] <= near).any():
-                # near-plane clip in camera space (Sutherland-Hodgman);
-                # the reference GPU rasterizer clips, so dropping these
-                # triangles leaves holes where geometry nears the eye.
-                poly = []   # (a, b, c, u, v) camera-space + uv
-                pts3 = [(ca[i], cb[i], cz[i], uv[i, 0], uv[i, 1])
-                        for i in t]
-                for i3 in range(3):
-                    cur, nxt = pts3[i3], pts3[(i3 + 1) % 3]
-                    cin, nin = cur[2] > near, nxt[2] > near
-                    if cin:
-                        poly.append(cur)
-                    if cin != nin:
-                        f = (near - cur[2]) / (nxt[2] - cur[2])
-                        poly.append(tuple(cur[k] + f * (nxt[k] - cur[k])
-                                          for k in range(5)))
-                if len(poly) < 3:
-                    continue
-                wp_t = world[t]
-                for k in range(1, len(poly) - 1):
-                    p0, p1, p2 = poly[0], poly[k], poly[k + 1]
-                    tp = np.stack([project(q[0], q[1], q[2])
-                                   for q in (p0, p1, p2)])
-                    tz = np.array([q[2] for q in (p0, p1, p2)])
-                    tuv = np.array([[q[3], q[4]] for q in (p0, p1, p2)])
-                    raster_tri(tp, tz, tuv, wp_t)
-                continue
-            raster_tri(np.stack([sx[t], sy[t]], -1), cz[t], uv[t], world[t])
-        rgba = np.concatenate(
-            [(np.clip(img, 0, 255) + 0.5).astype(np.uint8),
-             np.full((H, W, 1), 255, np.uint8)], axis=-1)
-        return rgba
-
-    @classmethod
-    def _clipmap_profile_default(cls):
-        """Recipe-family clipmap profile: NEAREST height sampling plus a
-        (32 height x 8 facet-slope)-bin color table calibrated against the
-        reference clipmap golden (scripts/fit_clipmap.py; the table folds
-        the colormap, material layering and lighting of
-        terrain_pbr_pom.wgsl's clipmap branch into one lookup)."""
-        cached = getattr(cls, "_CLIPMAP_PROFILE_CACHE", None)
-        if cached is None:
-            import pathlib
-
-            base = pathlib.Path(__file__).parent / "assets"
-            # prefer the 3-axis table (height x slope x signed-ndotl,
-            # scripts/fit_clipmap_lut4.py); fall back to the 2-axis one
-            path = base / "clipmap_lut3.npz"
-            if not path.exists():
-                path = base / "clipmap_lut.npz"
-            prof = {"sampling": "nearest", "gain": 1.0, "bg": (25, 25, 38)}
-            if path.exists():
-                z = np.load(path)
-                prof["lut2d"] = np.asarray(z["lut"], np.float32)
-                prof["bg"] = tuple(float(c) * 255.0 for c in z["bg"])
-            cls._CLIPMAP_PROFILE_CACHE = prof
-            cached = prof
-        return cached
+    @staticmethod
+    def _clipmap_camera_mode_from_metadata(metadata):
+        """map_scene.py:960-966 + 1015-1023: a recipe whose terrain
+        metadata carries a clipmap geometry config renders through the
+        clipmap camera mode derived from that config."""
+        md = dict(metadata or {})
+        config = (md.get("terrain_geometry") or md.get("geometry")
+                  or md.get("clipmap"))
+        if not isinstance(config, dict):
+            return None
+        mode = str(config.get("mode", "clipmap")).lower()
+        if not (mode == "clipmap" or bool(config.get("enabled", False))):
+            return None
+        ring_count = int(config.get("ring_count", 4))
+        ring_resolution = int(config.get("ring_resolution", 64))
+        center_resolution = int(config.get("center_resolution",
+                                           ring_resolution))
+        skirt_depth = float(config.get("skirt_depth", 10.0))
+        morph_range = float(config.get("morph_range", 0.3))
+        return (f"clipmap:{ring_count}:{ring_resolution}:"
+                f"{center_resolution}:{skirt_depth:g}:{morph_range:g}")
 
     # -- mesh-mode terrain raster (reference camera_mode "mesh") -----------
     #

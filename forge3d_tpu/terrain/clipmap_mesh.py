@@ -30,7 +30,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["ClipmapConfig", "build_clipmap_mesh", "clipmap_vertex_heights"]
+__all__ = ["ClipmapConfig", "build_clipmap_mesh", "clipmap_vertex_heights",
+           "rasterize_clipmap_gbuffer"]
 
 
 @dataclass(frozen=True)
@@ -234,3 +235,185 @@ def clipmap_vertex_heights(dem: np.ndarray, uv: np.ndarray,
                 + h01 * (1 - tu) * tv + h11 * tu * tv)
     wgt = np.clip(morph[:, 0], 0.0, 1.0)
     return h_fine * (1 - wgt) + h_coarse * wgt
+
+
+def _look_at_rh(eye, target, up):
+    eye = np.asarray(eye, np.float64)
+    f = np.asarray(target, np.float64) - eye
+    f = f / np.linalg.norm(f)
+    up = np.asarray(up, np.float64)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    m = np.eye(4, dtype=np.float32)
+    m[0, :3] = s
+    m[1, :3] = u
+    m[2, :3] = -f
+    m[0, 3] = -float(s @ eye)
+    m[1, 3] = -float(u @ eye)
+    m[2, 3] = float(f @ eye)
+    return m
+
+
+def _perspective_wgpu(fov_y_deg, aspect, near, far):
+    fov = np.deg2rad(fov_y_deg)
+    f = 1.0 / np.tan(fov * 0.5)
+    proj = np.zeros((4, 4), np.float32)
+    proj[0, 0] = f / aspect
+    proj[1, 1] = f
+    proj[2, 2] = far / (near - far)
+    proj[2, 3] = near * far / (near - far)
+    proj[3, 2] = -1.0
+    return proj
+
+
+def rasterize_clipmap_gbuffer(heightmap, *, size_px, camera_mode,
+                              terrain_span, z_scale, domain,
+                              cam_radius, cam_phi_deg, cam_theta_deg,
+                              fov_y_deg, clip, cam_target=(0.0, 0.0, 0.0)):
+    """Rasterize the clipmap ring mesh into a per-pixel G-buffer.
+
+    Mirrors the reference's clipmap vertex path + rasterizer
+    (terrain_pbr_pom.wgsl:4766-4830 ``vs_clipmap_main``): geomorphed
+    NEAREST height samples, domain clamp (identity height curve), skirt
+    drop ring_resolution*0.001 in raw height units, world_position =
+    (mesh xy, ORIGINAL height * exaggeration) while the clip position
+    uses the height CENTERED on the domain midpoint.  The camera is the
+    legacy Y-up orbit (upload.rs:344-371 non-zup branch) with the wgpu
+    [0,1]-depth perspective projection.
+
+    The recipe goldens draw this mesh through the GPU LOD indirect path,
+    but at the recipe parameters every region selects LOD 0
+    (clipmap_lod_select.wgsl:118-127: pixel_error_budget 2.0, tile_size
+    terrain_span/ring_resolution, identity instance transforms), so the
+    full-resolution combined mesh IS the drawn geometry.
+
+    Returns dict(uv (H,W,2), world_pos (H,W,3), valid (H,W) bool,
+    eye (3,), view (4,4), proj (4,4)).
+    """
+    W, H = int(size_px[0]), int(size_px[1])
+    hm = np.asarray(heightmap, np.float32)
+    dom_lo, dom_hi = float(domain[0]), float(domain[1])
+    config = ClipmapConfig.from_camera_mode(camera_mode)
+    pos, uv, morph, tri = build_clipmap_mesh(config, (0.0, 0.0),
+                                             float(terrain_span))
+    hv = clipmap_vertex_heights(hm, uv, morph, config.ring_resolution,
+                                sampling="nearest")
+    # h_disp = apply_height_curve01(get_height_geom_t(h)) * range + lo
+    # == clamp to the domain with the identity curve (wgsl:1483-1508)
+    h_disp = np.clip(hv, dom_lo, dom_hi)
+    skirt = np.where(morph[:, 0] < 0.0,
+                     config.ring_resolution * 0.001, 0.0)
+    h_center = (dom_lo + dom_hi) * 0.5
+    z_centered = (h_disp - h_center - skirt) * z_scale
+    z_original = (h_disp - skirt) * z_scale
+
+    phi = np.deg2rad(cam_phi_deg)
+    theta = np.deg2rad(cam_theta_deg)
+    target = np.asarray(cam_target, np.float64)
+    eye = target + cam_radius * np.array([
+        np.sin(theta) * np.cos(phi), np.cos(theta),
+        np.sin(theta) * np.sin(phi)])
+    view = _look_at_rh(eye, target, (0.0, 1.0, 0.0))
+    proj = _perspective_wgpu(fov_y_deg, W / H, clip[0], clip[1])
+
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+    right = right / np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    half_h = np.tan(np.deg2rad(fov_y_deg) * 0.5)
+    half_w = (W / H) * half_h
+
+    wpos = np.stack([pos[:, 0], pos[:, 1], z_centered], -1)
+    rel = wpos - eye
+    ca = rel @ right
+    cb = rel @ up
+    cz = rel @ fwd          # == clip-space w for the RH projection
+
+    # perspective-correct attributes: u, v, world x, world y, world z
+    attrs = np.stack([uv[:, 0], uv[:, 1], pos[:, 0], pos[:, 1],
+                      z_original], -1)
+
+    gb_attr = np.zeros((H, W, attrs.shape[1]), np.float64)
+    zbuf = np.full((H, W), np.inf)
+    valid = np.zeros((H, W), bool)
+    ys2, xs2 = np.mgrid[0:H, 0:W]
+    near = float(clip[0])
+
+    def project(a, b, c):
+        return np.array([(a / (c * half_w) + 1.0) * 0.5 * W - 0.5,
+                         (1.0 - b / (c * half_h)) * 0.5 * H - 0.5])
+
+    def raster_tri(tp, tz, tattr):
+        xmin = max(int(np.floor(tp[:, 0].min())), 0)
+        xmax = min(int(np.ceil(tp[:, 0].max())) + 1, W)
+        ymin = max(int(np.floor(tp[:, 1].min())), 0)
+        ymax = min(int(np.ceil(tp[:, 1].max())) + 1, H)
+        if xmin >= xmax or ymin >= ymax:
+            return
+        e1 = tp[1] - tp[0]
+        e2 = tp[2] - tp[0]
+        den = e1[0] * e2[1] - e1[1] * e2[0]
+        if abs(den) < 1e-12:
+            return
+        px = xs2[ymin:ymax, xmin:xmax] - tp[0][0]
+        py = ys2[ymin:ymax, xmin:xmax] - tp[0][1]
+        b1 = (px * e2[1] - py * e2[0]) / den
+        b2 = (py * e1[0] - px * e1[1]) / den
+        inside = (b1 >= -1e-9) & (b2 >= -1e-9) & (b1 + b2 <= 1 + 1e-9)
+        if not inside.any():
+            return
+        iw = 1.0 / tz
+        wint = iw[0] + b1 * (iw[1] - iw[0]) + b2 * (iw[2] - iw[0])
+        zi = 1.0 / wint
+        sub = (slice(ymin, ymax), slice(xmin, xmax))
+        nearer = inside & (zi < zbuf[sub])
+        if not nearer.any():
+            return
+        aw = tattr * iw[:, None]
+        interp = (aw[0][None, None, :]
+                  + b1[..., None] * (aw[1] - aw[0])[None, None, :]
+                  + b2[..., None] * (aw[2] - aw[0])[None, None, :]) \
+            / wint[..., None]
+        gb_attr[sub] = np.where(nearer[..., None], interp, gb_attr[sub])
+        zbuf[sub] = np.where(nearer, zi, zbuf[sub])
+        valid[sub] |= nearer
+
+    vis = (cz[tri] > near).any(axis=1)
+    for t in tri[vis]:
+        if (cz[t] <= near).any():
+            # Sutherland-Hodgman near clip in camera space
+            poly = [(ca[i], cb[i], cz[i], attrs[i]) for i in t]
+            clipped = []
+            for i3 in range(3):
+                cur, nxt = poly[i3], poly[(i3 + 1) % 3]
+                cin, nin = cur[2] > near, nxt[2] > near
+                if cin:
+                    clipped.append(cur)
+                if cin != nin:
+                    f = (near - cur[2]) / (nxt[2] - cur[2])
+                    clipped.append((cur[0] + f * (nxt[0] - cur[0]),
+                                    cur[1] + f * (nxt[1] - cur[1]),
+                                    cur[2] + f * (nxt[2] - cur[2]),
+                                    cur[3] + f * (nxt[3] - cur[3])))
+            if len(clipped) < 3:
+                continue
+            for k in range(1, len(clipped) - 1):
+                p0, p1, p2 = clipped[0], clipped[k], clipped[k + 1]
+                tp = np.stack([project(q[0], q[1], q[2])
+                               for q in (p0, p1, p2)])
+                tz = np.array([q[2] for q in (p0, p1, p2)])
+                ta = np.stack([q[3] for q in (p0, p1, p2)])
+                raster_tri(tp, tz, ta)
+            continue
+        tp = np.stack([project(ca[i], cb[i], cz[i]) for i in t])
+        raster_tri(tp, cz[t], attrs[t])
+
+    return {
+        "uv": gb_attr[..., 0:2].astype(np.float32),
+        "world_pos": gb_attr[..., 2:5].astype(np.float32),
+        "valid": valid,
+        "eye": np.asarray(eye, np.float32),
+        "view": view, "proj": proj,
+    }

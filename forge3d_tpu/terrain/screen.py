@@ -1813,3 +1813,284 @@ def blit_resolve(img, out_w, out_h):
     out[..., :3] = np.round(np.clip(top * (1 - fy) + bot * fy, 0, 255))
     out[..., 3] = 255
     return out
+
+
+# ---------------------------------------------------------------------------
+# Clipmap camera mode — the TPU engine path.
+#
+# Geometry: the CPU ring mesh rasterized host-side into a per-pixel
+# G-buffer (clipmap_mesh.rasterize_clipmap_gbuffer mirrors
+# vs_clipmap_main, terrain_pbr_pom.wgsl:4766-4830; host mesh generation
+# matches the reference's CPU clipmap builder src/terrain/clipmap/).
+# Shading: the same shade_main chain as the screen path, jitted over the
+# G-buffer arrays — tex_coord/world_position are per-pixel inputs, the
+# Sobel spacing is terrain_span (upload.rs:316-323), and the flat apron
+# outside the DEM keeps the base normal (0,0,1) (see
+# screen_golden.render_clipmap_scene for the golden-derived apron rule).
+# ---------------------------------------------------------------------------
+
+_CLIPMAP_SHADE_CACHE: dict = {}
+
+
+def _build_clipmap_shade_fn(cfg):
+    (W, H, hm_shape, albedo_mode, hue_on, pom_t, encode) = cfg
+    pom = dict(pom_t) if pom_t is not None else None
+
+    def shade(u):
+        hm = u["hm"]
+        lut_rgb = u["lut"]
+        dom_lo = u["dom_lo"]
+        dom_hi = u["dom_hi"]
+        dom_rng = jnp.maximum(dom_hi - dom_lo, 1e-6)
+        z_scale = u["z_scale"]
+        spacing = u["spacing"]
+        ldir = u["ldir"]
+        lcol = u["lcol"]
+        camera_pos = u["camera_pos"]
+        ibl_intensity = u["ibl_intensity"]
+        uu = u["gb_u"]
+        vv = u["gb_v"]
+        world_pos = u["gb_world"]
+        valid = u["gb_valid"]
+        view_dir = _normalize(camera_pos - world_pos)
+
+        hsz = hm_shape
+        texel = (1.0 / hsz[1], 1.0 / hsz[0])
+
+        def geom(a, b):
+            return jnp.clip(_nearest(hm, jnp.clip(a, 0, 1),
+                                     jnp.clip(b, 0, 1)), dom_lo, dom_hi)
+
+        tl = geom(uu - texel[0], vv - texel[1])
+        tc = geom(uu, vv - texel[1])
+        tr = geom(uu + texel[0], vv - texel[1])
+        lc = geom(uu - texel[0], vv)
+        rc_ = geom(uu + texel[0], vv)
+        bl = geom(uu - texel[0], vv + texel[1])
+        bc = geom(uu, vv + texel[1])
+        br = geom(uu + texel[0], vv + texel[1])
+        dx = (tr + 2.0 * rc_ + br) - (tl + 2.0 * lc + bl)
+        dy = (bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)
+        wtex = (texel[0] * spacing, texel[1] * spacing)
+        vert = jnp.maximum(z_scale * 0.5, 1e-3)
+        height_normal = _normalize(jnp.stack(
+            [-dx / wtex[0], jnp.broadcast_to(vert, dx.shape),
+             -dy / wtex[1]], -1))
+        base_normal = jnp.array([0.0, 0.0, 1.0], _F32)
+        apron = uu <= 0.0
+        blended_normal = jnp.where(apron[..., None], base_normal,
+                                   height_normal)
+
+        pu, pv = uu, vv
+        occlusion = jnp.ones_like(uu)
+        if pom is not None and pom["enabled"] and pom["height_scale"] > 0.0:
+            pu, pv = _pom_uv(hm, uu, vv, blended_normal, view_dir,
+                             scale=float(pom["height_scale"]),
+                             min_steps=int(pom.get("min_steps", 1)),
+                             max_steps=int(pom.get("max_steps", 1)),
+                             refine_steps=int(pom.get("refine_steps", 0)))
+
+        height_sample = _nearest(hm, jnp.clip(pu, 0, 1), jnp.clip(pv, 0, 1))
+        height_clamped = jnp.clip(height_sample, dom_lo, dom_hi)
+        if pom is not None and pom["enabled"] and pom.get("occlusion", True):
+            occlusion = jnp.clip(height_clamped, 0.65, 1.0)
+        height_norm = jnp.clip((height_clamped - dom_lo) / dom_rng,
+                               0.0, 1.0)
+
+        centers = jnp.array([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0], _F32)
+        rough_tab = jnp.array([0.50, 0.85, 0.50, 0.25], _F32)
+        sigma = 0.125 * 1.5
+        wgt = jnp.exp(-(height_norm[..., None] - centers) ** 2
+                      / (2.0 * sigma * sigma))
+        wgt = wgt * jnp.array([1.5, 0.5, 1.0, 1.0], _F32)
+        wgt = wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-5)
+        roughness = (wgt * rough_tab).sum(-1)
+        metallic = jnp.zeros_like(roughness)
+        material_albedo = (wgt[..., None]
+                           * jnp.asarray(_MATERIAL_LINEAR)).sum(-2)
+
+        shading_normal = blended_normal
+
+        overlay_rgb = _lut_sample(lut_rgb, height_norm)
+        cms = jnp.clip(u["colormap_strength"], 0.0, 1.0)
+        if albedo_mode == "colormap":
+            final_albedo = overlay_rgb
+        elif albedo_mode == "material":
+            final_albedo = material_albedo
+        else:
+            final_albedo = material_albedo \
+                + (overlay_rgb - material_albedo) * cms
+        albedo = jnp.clip(final_albedo, 0.0, 1.0)
+
+        if hue_on:
+            hv = jnp.clip(u["hue_strength"], 0.0, 0.2)
+            albedo = _apply_slope_hue_variation(albedo, jnp.float32(1.0),
+                                                height_norm, hv)
+
+        roughness = jnp.clip(roughness, 0.25, 1.0)
+        f0 = jnp.full(uu.shape + (3,), 0.04, _F32)
+
+        # ---- PCSS shadows ------------------------------------------------
+        shadow_h = jnp.clip((geom(uu, vv) - dom_lo) / dom_rng, 0.0, 1.0)
+        shadow_pos = jnp.stack([(uu - 0.5) * spacing,
+                                (vv - 0.5) * spacing,
+                                shadow_h * z_scale], -1)
+        shadow_vis = pcss_visibility(u["shadow_depth"], u["shadow_lvp"],
+                                     u["shadow_texel"], shadow_pos,
+                                     blended_normal, -ldir)
+        shadow_factor = 0.8 + 0.2 * shadow_vis
+
+        # ---- IBL ------------------------------------------------------------
+        n = shading_normal
+        ndv = jnp.clip((n * view_dir).sum(-1), 0.0, 1.0)
+        rcl = jnp.clip(roughness, 0.0, 1.0)
+        refl = _normalize(2.0 * ((n * view_dir).sum(-1))[..., None] * n
+                          - view_dir)
+        omc = jnp.clip(1.0 - ndv, 0.0, 1.0)
+        pow5 = omc ** 5
+        F_ibl = f0 + (jnp.maximum(1.0 - rcl[..., None], f0) - f0) \
+            * pow5[..., None]
+        kD = (1.0 - F_ibl) * (1.0 - metallic[..., None])
+        irr = _cube_sample(u["ibl_irradiance"], n)
+        ibl_diffuse = kD * albedo * irr
+        mip = rcl * rcl * 9.0
+        spec_mips = [u[f"ibl_spec{m}"] for m in range(6)]
+        pref = _cube_sample_mips(spec_mips, refl, mip)
+        brdf = _bilinear(u["ibl_brdf"], ndv, rcl)
+        spec_brdf = F_ibl * brdf[..., 0:1] + brdf[..., 1:2]
+        ibl_spec = pref * spec_brdf
+
+        # ---- beauty composition (P2-S4) -----------------------------------
+        ndl = jnp.maximum((shading_normal * ldir).sum(-1), 0.0)
+        sun_int = jnp.linalg.norm(lcol)
+        ambient_interp = 0.32 + (0.10 - 0.32) * ndl
+        sun_contrib = (0.36 - 0.10) * ndl * sun_int
+        base_diffuse = ambient_interp + sun_contrib
+        slope_steep = 1.0 - jnp.abs(shading_normal[..., 1])
+        dndx = _coarse_ddx(shading_normal)
+        dndy = _coarse_ddy(shading_normal)
+        ngrad = jnp.linalg.norm(dndx, axis=-1) \
+            + jnp.linalg.norm(dndy, axis=-1)
+        edge_sig = slope_steep * 0.3 + ngrad * 15.0
+        edge_bright = jnp.clip(edge_sig * (ndl + 0.3), 0.0, 0.25)
+        edge_dark = jnp.clip(edge_sig * (1.0 - ndl) * 0.5, 0.0, 0.15)
+        diffuse_raw = base_diffuse + edge_bright - edge_dark
+        ao_clamped = jnp.maximum(occlusion, 0.65)
+        shadow_clamped = jnp.maximum(shadow_factor, 0.30)
+        ao_shadow = ao_clamped * shadow_clamped
+        diffuse_lit = diffuse_raw * ao_shadow
+        ibl_dfac = jnp.linalg.norm(ibl_diffuse, axis=-1) * ibl_intensity
+        ibl_term = ibl_dfac * u["ibl_fill"]
+        lighting_factor = diffuse_lit + ibl_term
+        lit_albedo = albedo * lighting_factor[..., None]
+        spec_contrib = ibl_spec * ibl_intensity * 0.12
+        spec_capped = jnp.minimum(spec_contrib, albedo * 0.20)
+        shaded = (lit_albedo + spec_capped) \
+            * jnp.maximum(u["exposure"], 0.0)
+
+        final_color = tonemap_filmic_terrain(shaded)
+        if encode == "srgb":
+            c = jnp.clip(final_color, 0.0, 1.0)
+            encoded = jnp.where(c <= 0.0031308, c * 12.92,
+                                1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
+        else:
+            encoded = gamma_correct(final_color, 2.2)
+        rgb = jnp.round(jnp.clip(encoded, 0.0, 1.0) * 255.0)
+        bg = jnp.floor(jnp.array([0.1, 0.1, 0.15], _F32) * 255.0)
+        rgb = jnp.where(valid[..., None], rgb, bg)
+        return {"rgb_u8": rgb.astype(jnp.uint8)}
+
+    return jax.jit(shade)
+
+
+def render_clipmap_scene(
+    heightmap, lut_rgb, *, size_px, camera_mode, terrain_span=1.0,
+    z_scale=1.0, exposure=1.0, light_azimuth_deg=135.0,
+    light_elevation_deg=25.0, sun_intensity=1.0,
+    sun_color=(1.0, 1.0, 1.0), ibl_intensity=1.0, cam_radius=1.44,
+    cam_phi_deg=135.0, cam_theta_deg=45.0, fov_y_deg=55.0,
+    clip=(0.1, 6000.0), albedo_mode="mix", colormap_strength=0.5,
+    hue_variation_strength=0.08, hdr_rgb=None, domain=(0.0, 1.0),
+    pom=None, generation="recipe", encode="gamma", **_ignored,
+):
+    """TerrainRenderer clipmap camera mode — the TPU engine path.
+
+    Same contract as the numpy oracle
+    (screen_golden.render_clipmap_scene); returns (H, W, 4) u8."""
+    from .clipmap_mesh import rasterize_clipmap_gbuffer
+
+    W, H = int(size_px[0]), int(size_px[1])
+    hm = np.asarray(heightmap, np.float32)
+    dom_lo, dom_hi = float(domain[0]), float(domain[1])
+    if hdr_rgb is None:
+        hdr_rgb = decode_test_hdr()
+    ibl = build_ibl(hdr_rgb)
+
+    gb = rasterize_clipmap_gbuffer(
+        hm, size_px=size_px, camera_mode=camera_mode,
+        terrain_span=terrain_span, z_scale=z_scale,
+        domain=(dom_lo, dom_hi), cam_radius=cam_radius,
+        cam_phi_deg=cam_phi_deg, cam_theta_deg=cam_theta_deg,
+        fov_y_deg=fov_y_deg, clip=clip)
+
+    ldir = light_direction(light_azimuth_deg, light_elevation_deg)
+    lcol = np.asarray(sun_color, np.float32) * float(sun_intensity)
+    spacing = float(max(terrain_span, 1e-3))
+    shadow_world = terrain_span if generation == "family" else spacing
+    depth_map, lvp, texel_sz = build_shadow_map(
+        hm, terrain_span=shadow_world, z_scale=z_scale, sun_dir=-ldir,
+        domain=(dom_lo, dom_hi))
+
+    pom_cfg = None
+    if pom is not None and pom.get("enabled", False) \
+            and pom.get("height_scale", 0.0) > 0.0:
+        pom_cfg = dict(enabled=True,
+                       height_scale=float(pom["height_scale"]),
+                       min_steps=int(pom.get("min_steps", 1)),
+                       max_steps=int(pom.get("max_steps", 1)),
+                       refine_steps=int(pom.get("refine_steps", 0)),
+                       occlusion=bool(pom.get("occlusion", True)))
+
+    cfg = (W, H, hm.shape, str(albedo_mode),
+           float(np.clip(hue_variation_strength, 0.0, 0.2)) > 0.0,
+           _freeze(pom_cfg), str(encode))
+    if cfg not in _CLIPMAP_SHADE_CACHE:
+        _CLIPMAP_SHADE_CACHE[cfg] = _build_clipmap_shade_fn(cfg)
+    fn = _CLIPMAP_SHADE_CACHE[cfg]
+
+    u = {
+        "hm": jnp.asarray(hm),
+        "lut": jnp.asarray(lut_rgb, _F32),
+        "dom_lo": jnp.float32(dom_lo),
+        "dom_hi": jnp.float32(dom_hi),
+        "z_scale": jnp.float32(z_scale),
+        "spacing": jnp.float32(spacing),
+        "ldir": jnp.asarray(ldir),
+        "lcol": jnp.asarray(lcol),
+        "camera_pos": jnp.asarray(gb["eye"]),
+        "exposure": jnp.float32(exposure),
+        "ibl_intensity": jnp.float32(ibl_intensity),
+        "colormap_strength": jnp.float32(colormap_strength),
+        "hue_strength": jnp.float32(
+            np.clip(hue_variation_strength, 0.0, 0.2)),
+        "ibl_fill": jnp.float32((0.18 * 0.35) if generation == "family"
+                                else 0.22),
+        "shadow_depth": depth_map,
+        "shadow_lvp": jnp.asarray(lvp),
+        "shadow_texel": jnp.float32(texel_sz),
+        "ibl_irradiance": ibl["irradiance"],
+        "ibl_brdf": ibl["brdf"],
+        "gb_u": jnp.asarray(gb["uv"][..., 0]),
+        "gb_v": jnp.asarray(gb["uv"][..., 1]),
+        "gb_world": jnp.asarray(gb["world_pos"]),
+        "gb_valid": jnp.asarray(gb["valid"]),
+    }
+    for m in range(6):
+        u[f"ibl_spec{m}"] = ibl["spec_mips"][m]
+
+    out = fn(u)
+    rgb = np.asarray(out["rgb_u8"])
+    img = np.empty((H, W, 4), np.uint8)
+    img[..., :3] = rgb
+    img[..., 3] = 255
+    return img

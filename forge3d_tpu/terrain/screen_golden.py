@@ -1792,3 +1792,227 @@ def build_lut_from_stops(stops):
             f = (v - pos[j]) / max(pos[j + 1] - pos[j], 1e-20)
             out[i] = np.round(cols[j] + (cols[j + 1] - cols[j]) * f)
     return out / 255.0
+
+# ---------------------------------------------------------------------------
+# Clipmap camera mode: vs_clipmap_main geometry + the shared shade_main
+# fragment chain (terrain_pbr_pom.wgsl:4766-4830 vertex path; shade_main
+# :3130 is camera-mode independent).  The ring-mesh G-buffer raster lives
+# in clipmap_mesh.rasterize_clipmap_gbuffer; this oracle evaluates the
+# same per-pixel chain as render_screen_scene over it.
+# ---------------------------------------------------------------------------
+
+
+def render_clipmap_scene(
+    heightmap, lut_rgb, *, size_px, camera_mode, terrain_span=1.0,
+    z_scale=1.0, exposure=1.0, light_azimuth_deg=135.0,
+    light_elevation_deg=25.0, sun_intensity=1.0,
+    sun_color=(1.0, 1.0, 1.0), ibl_intensity=1.0, cam_radius=1.44,
+    cam_phi_deg=135.0, cam_theta_deg=45.0, fov_y_deg=55.0,
+    clip=(0.1, 6000.0), albedo_mode="mix", colormap_strength=0.5,
+    hue_variation_strength=0.08, hdr_rgb=None, domain=(0.0, 1.0),
+    pom=None, generation="recipe", encode="gamma", water_mask=None,
+    sky=None, materials=None, material_albedo_rgb=None, reflection=None,
+):
+    """shade_main over the rasterized clipmap G-buffer.
+
+    The fragment chain is render_screen_scene's (shade_main is
+    camera-mode independent); only the per-pixel inputs change:
+    tex_coord/world_position come from the mesh raster, the Sobel
+    spacing is terrain_span (upload.rs:316-323 clipmap branch), and
+    uncovered pixels keep the pass clear color (0.1, 0.1, 0.15)
+    (draw/execute.rs:199-204; the Rgba8Unorm write lands at
+    trunc(c*255) on the golden hardware: (25, 25, 38)).
+
+    Derived apron rule: outside the DEM extent the clipmap mesh
+    extends as a FLAT apron sampling the clamped edge texel; the
+    reference golden shades it with the flat base normal
+    (vs_clipmap_main's world_normal (0,0,1)) rather than the edge-texel
+    Sobel artifact.  The boundary in the golden is exactly the
+    interpolated-u == 0 line (pixel (16,8) of
+    mapscene_clipmap_large_region matches (74,99,15) bit-exactly with
+    the base normal and misses by 10/255 with the edge Sobel normal).
+    """
+    from .clipmap_mesh import rasterize_clipmap_gbuffer
+
+    W, H = int(size_px[0]), int(size_px[1])
+    hm = np.asarray(heightmap, np.float32)
+    dom_lo, dom_hi = float(domain[0]), float(domain[1])
+    dom_rng = max(dom_hi - dom_lo, 1e-6)
+    if hdr_rgb is None:
+        hdr_rgb = decode_test_hdr()
+    ibl = build_ibl(hdr_rgb)
+
+    gb = rasterize_clipmap_gbuffer(
+        hm, size_px=size_px, camera_mode=camera_mode,
+        terrain_span=terrain_span, z_scale=z_scale, domain=domain,
+        cam_radius=cam_radius, cam_phi_deg=cam_phi_deg,
+        cam_theta_deg=cam_theta_deg, fov_y_deg=fov_y_deg, clip=clip)
+    u = gb["uv"][..., 0].astype(np.float32)
+    v = gb["uv"][..., 1].astype(np.float32)
+    world_pos = gb["world_pos"]
+    valid = gb["valid"]
+    camera_pos = gb["eye"]
+    view_dir = _normalize(camera_pos - world_pos)
+
+    # ---- heights, normals (Sobel; spacing = terrain_span) -----------------
+    hsz = hm.shape
+    texel = np.array([1.0 / hsz[1], 1.0 / hsz[0]], np.float32)
+    spacing = float(max(terrain_span, 1e-3))
+
+    def geom(uu, vv):
+        return np.clip(_nearest(hm, np.clip(uu, 0, 1), np.clip(vv, 0, 1)),
+                       dom_lo, dom_hi)
+
+    tl = geom(u - texel[0], v - texel[1])
+    tc = geom(u, v - texel[1])
+    tr = geom(u + texel[0], v - texel[1])
+    lc = geom(u - texel[0], v)
+    rc = geom(u + texel[0], v)
+    bl = geom(u - texel[0], v + texel[1])
+    bc = geom(u, v + texel[1])
+    br = geom(u + texel[0], v + texel[1])
+    dx = (tr + 2.0 * rc + br) - (tl + 2.0 * lc + bl)
+    dy = (bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)
+    wtex = texel * spacing
+    vert = max(z_scale * 0.5, 1e-3)
+    height_normal = _normalize(np.stack(
+        [-dx / wtex[0], np.full_like(dx, vert), -dy / wtex[1]], -1))
+    base_normal = np.array([0.0, 0.0, 1.0], np.float32)
+    apron = (u <= 0.0)
+    blended_normal = np.where(apron[..., None], base_normal,
+                              height_normal).astype(np.float32)
+
+    # ---- POM ---------------------------------------------------------------
+    pu, pv = u, v
+    occlusion = np.ones_like(u)
+    if pom is not None and pom.get("enabled", False) \
+            and pom.get("height_scale", 0.0) > 0.0:
+        pu, pv = _pom_uv(hm, u, v, blended_normal, view_dir,
+                         scale=float(pom["height_scale"]),
+                         min_steps=int(pom.get("min_steps", 1)),
+                         max_steps=int(pom.get("max_steps", 1)),
+                         refine_steps=int(pom.get("refine_steps", 0)))
+
+    height_sample = _nearest(hm, np.clip(pu, 0, 1), np.clip(pv, 0, 1))
+    height_clamped = np.clip(height_sample, dom_lo, dom_hi)
+    if pom is not None and pom.get("enabled", False) \
+            and pom.get("occlusion", True):
+        occlusion = np.clip(height_clamped, 0.65, 1.0)
+    height_norm = np.clip((height_clamped - dom_lo) / dom_rng, 0.0, 1.0)
+
+    slope_factor = np.float32(1.0)
+
+    centers = np.array([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0], np.float32)
+    rough_tab = np.array([0.50, 0.85, 0.50, 0.25], np.float32)
+    sigma = 0.125 * 1.5
+    wgt = np.exp(-(height_norm[..., None] - centers) ** 2
+                 / (2.0 * sigma * sigma))
+    slope_mod = np.array([1.5, 0.5, 1.0, 1.0], np.float32)
+    wgt = wgt * slope_mod
+    wgt = wgt / np.maximum(wgt.sum(-1, keepdims=True), 1e-5)
+    roughness = (wgt * rough_tab).sum(-1)
+    metallic = np.zeros_like(roughness)
+    material_albedo = (wgt[..., None] * _MATERIAL_LINEAR).sum(-2)
+
+    shading_normal = blended_normal
+
+    overlay_rgb = _lut_sample(lut_rgb, height_norm)
+    cms = float(np.clip(colormap_strength, 0.0, 1.0))
+    if albedo_mode == "colormap":
+        final_albedo = overlay_rgb
+    elif albedo_mode == "material":
+        final_albedo = material_albedo
+    else:
+        final_albedo = material_albedo \
+            + (overlay_rgb - material_albedo) * cms
+    albedo = np.clip(final_albedo, 0.0, 1.0)
+
+    hv_ = float(np.clip(hue_variation_strength, 0.0, 0.2))
+    if hv_ > 0.0:
+        albedo = _apply_slope_hue_variation(albedo, slope_factor,
+                                            height_norm, hv_)
+
+    roughness = np.clip(roughness, 0.25, 1.0)
+    f0 = np.full(u.shape + (3,), 0.04, np.float32)
+
+    ldir = light_direction(light_azimuth_deg, light_elevation_deg)
+    lcol = np.asarray(sun_color, np.float32) * float(sun_intensity)
+
+    # ---- CSM / PCSS shadows (grid-proxy depth pass at `spacing`) ----------
+    shadow_world = terrain_span if generation == "family" else spacing
+    depth_map, lvp, texel_sz = build_shadow_map(
+        hm, terrain_span=shadow_world, z_scale=z_scale, sun_dir=-ldir,
+        domain=(dom_lo, dom_hi))
+    shadow_h = np.clip((geom(u, v) - dom_lo) / dom_rng, 0.0, 1.0)
+    shadow_pos = np.stack([(u - 0.5) * spacing, (v - 0.5) * spacing,
+                           shadow_h * z_scale], -1)
+    shadow_vis = pcss_visibility(depth_map, lvp, texel_sz, shadow_pos,
+                                 blended_normal, -ldir)
+    shadow_factor = (1.0 - SHADOW_IBL_FACTOR) \
+        + SHADOW_IBL_FACTOR * shadow_vis
+
+    # ---- IBL (eval_ibl_split) ----------------------------------------------
+    n = shading_normal
+    ndv = np.clip((n * view_dir).sum(-1), 0.0, 1.0)
+    rcl = np.clip(roughness, 0.0, 1.0)
+    refl = _normalize(2.0 * ((n * view_dir).sum(-1))[..., None] * n
+                      - view_dir)
+    omc = np.clip(1.0 - ndv, 0.0, 1.0)
+    pow5 = omc ** 5
+    F_ibl = f0 + (np.maximum(1.0 - rcl[..., None], f0) - f0) \
+        * pow5[..., None]
+    kD = (1.0 - F_ibl) * (1.0 - metallic[..., None])
+    irr = _cube_sample(ibl["irradiance"], n)
+    ibl_diffuse = kD * albedo * irr
+    mip = rcl * rcl * 9.0
+    pref = _cube_sample_mips(ibl["spec_mips"], refl, mip)
+    brdf = _bilinear(ibl["brdf"], ndv, rcl)
+    spec_brdf = F_ibl * brdf[..., 0:1] + brdf[..., 1:2]
+    ibl_spec = pref * spec_brdf
+    blended_diffuse = ibl_diffuse
+    blended_specular = ibl_spec
+
+    # ---- beauty composition (P2-S4) -----------------------------------------
+    ndl = np.maximum((shading_normal * ldir).sum(-1), 0.0)
+    sun_int = np.linalg.norm(lcol)
+    ambient_interp = 0.32 + (0.10 - 0.32) * ndl
+    sun_contrib = (0.36 - 0.10) * ndl * sun_int
+    base_diffuse = ambient_interp + sun_contrib
+    slope_steep = 1.0 - np.abs(shading_normal[..., 1])
+    dndx = _coarse_ddx(shading_normal)
+    dndy = _coarse_ddy(shading_normal)
+    ngrad = np.linalg.norm(dndx, axis=-1) + np.linalg.norm(dndy, axis=-1)
+    edge_sig = slope_steep * 0.3 + ngrad * 15.0
+    edge_bright = np.clip(edge_sig * (ndl + 0.3), 0.0, 0.25)
+    edge_dark = np.clip(edge_sig * (1.0 - ndl) * 0.5, 0.0, 0.15)
+    diffuse_raw = base_diffuse + edge_bright - edge_dark
+    ao_clamped = np.maximum(occlusion, 0.65)
+    shadow_clamped = np.maximum(shadow_factor, 0.30)
+    combined_shadow = shadow_clamped
+    ao_shadow = ao_clamped * combined_shadow
+    diffuse_lit = diffuse_raw * ao_shadow
+    ibl_dfac = np.linalg.norm(blended_diffuse, axis=-1) * ibl_intensity
+    ibl_term = ibl_dfac * ((AMBIENT_FLOOR * 0.35)
+                           if generation == "family" else 0.22)
+    lighting_factor = diffuse_lit + ibl_term
+    lit_albedo = albedo * lighting_factor[..., None]
+    spec_contrib = blended_specular * ibl_intensity * 0.12
+    spec_capped = np.minimum(spec_contrib, albedo * 0.20)
+    shaded = lit_albedo + spec_capped
+
+    shaded = shaded * max(exposure, 0.0)
+
+    final_color = tonemap_filmic_terrain(shaded)
+    if encode == "srgb":
+        c = np.clip(final_color, 0.0, 1.0)
+        encoded = np.where(c <= 0.0031308, c * 12.92,
+                           1.055 * np.power(c, 1.0 / 2.4) - 0.055)
+    else:
+        encoded = gamma_correct(final_color, 2.2)
+    rgb = np.round(np.clip(encoded, 0.0, 1.0) * 255.0)
+    bg = np.floor(np.array([0.1, 0.1, 0.15], np.float32) * 255.0)
+    rgb = np.where(valid[..., None], rgb, bg)
+    out = np.empty((H, W, 4), np.uint8)
+    out[..., :3] = rgb
+    out[..., 3] = 255
+    return out

@@ -398,35 +398,27 @@ def _recipes():
     rec.terrain.metadata = dict(rec.terrain.metadata, material_maps={
         "normal": m_norm, "roughness": m_rough, "mask": m_mask})
     out["mapscene_material_maps"] = rec
-    # clipmap large region: 32x32 sine DEM through the clipmap camera
-    # mode. The reference builds the CPU center-block + nested-ring mesh
-    # and rasterizes it with the legacy Y-up orbit at the preset camera
-    # (radius_scale 2.4 * span — presets.py rainier_showcase;
-    # test_recipe_goldens.py:749-771; clipmap layout in
-    # src/terrain/clipmap/{level,ring}.rs). Camera/exposure start from
-    # those reference values and were refined against the golden (the
-    # indirect LOD-variant draw path adds residual differences).
+    # clipmap large region: declared 1:1 with the reference recipe
+    # (test_recipe_goldens.py:749-771) — a 32x32 sine DEM plus a clipmap
+    # geometry config in the terrain metadata and exaggeration 1.2.
+    # MapScene derives everything else: the clipmap camera mode from the
+    # metadata (map_scene.py:960-966,1015-1023,1214-1215), the preset
+    # camera/lighting through the rainier_showcase resolution, and the
+    # clipmap ring-mesh draw through the engine
+    # (terrain.screen.render_clipmap_scene).
     xg = np.linspace(-1.0, 1.0, 32, dtype=np.float32)
     xxg, yyg = np.meshgrid(xg, xg)
     sine_dem = (0.35 * np.sin(xxg * np.pi * 2.0)
                 + 0.22 * np.cos(yyg * np.pi * 3.0)).astype(np.float32)
-    from forge3d_tpu.terrain.params import LightSettings
-
-    # exact reference camera: preset radius_scale 2.4 x the DEM's
-    # metadata span (0.6) in normalized clipmap units, the preset
-    # phi/theta/fov (135/45/55) and the recipe's exaggeration 1.2
-    # (test_recipe_goldens.py:749-771 + presets.py rainier_showcase).
-    rec = _base_recipe(width=128, height=80)
-    rec.terrain = TerrainSource(dem=sine_dem, spacing=(1 / 32, 1 / 32),
-                                z_scale=1.2)
-    rec.camera = OrbitCamera(target=(0.0, 0.0, 0.0), radius=1.44,
-                             phi_deg=135.0, theta_deg=45.0,
-                             fov_y_deg=55.0)
-    rec.lighting = LightSettings(azimuth_deg=135.0, elevation_deg=25.0,
-                                 intensity=0.0, color=(1.0, 0.95, 0.9),
-                                 ambient=0.58 * 0.67,
-                                 ambient_color=(1.0, 1.0, 1.0))
-    rec.camera_mode = "clipmap:4:32:32:10:0.3"
+    rec = _base_recipe(width=128, height=80, heightmap=sine_dem,
+                       settings={"exaggeration": 1.2})
+    rec.terrain.metadata = dict(rec.terrain.metadata, clipmap={
+        "enabled": True,
+        "levels": 4,
+        "ring_resolution": 32,
+        "terrain_extent_m": 100_000.0,
+        "max_resident_height_bytes": 4 * 32 * 32 * 4,
+    })
     out["mapscene_clipmap_large_region"] = rec
     return out
 

@@ -119,3 +119,43 @@ def test_renderer_screen_constant_albedo_and_domain_default():
     frame = TerrainRenderer().render_terrain_pbr_pom(params=p, heightmap=hm)
     assert frame.rgba.shape == (32, 32, 4)
     assert frame.rgba[..., :3].std() > 0  # shaded, not flat
+
+
+# -- clipmap camera mode: engine == oracle ---------------------------------
+
+def _clipmap_pair():
+    import forge3d_tpu.mapscene_screen as mss
+    from forge3d_tpu.terrain import screen as eng
+    from forge3d_tpu.terrain import screen_golden as sg
+
+    xg = np.linspace(-1.0, 1.0, 32, dtype=np.float32)
+    xx, yy = np.meshgrid(xg, xg)
+    dem = (0.35 * np.sin(xx * np.pi * 2.0)
+           + 0.22 * np.cos(yy * np.pi * 3.0)).astype(np.float32)
+    az, el = mss.sun_angles_from_direction((0.64, 0.42, -0.64))
+    kw = dict(size_px=(128, 80), camera_mode="clipmap:4:32:32:10:0.3",
+              terrain_span=1.0, z_scale=1.2, light_azimuth_deg=az,
+              light_elevation_deg=el, sun_intensity=1.15,
+              sun_color=(1.0, 0.95, 0.90), ibl_intensity=0.3,
+              cam_radius=1.44, cam_phi_deg=135.0, cam_theta_deg=45.0,
+              fov_y_deg=55.0, albedo_mode="mix", colormap_strength=0.5,
+              hdr_rgb=mss.minimal_hdr_rgb(),
+              domain=(float(dem.min()), float(dem.max())),
+              pom=dict(enabled=True, height_scale=0.04, min_steps=12,
+                       max_steps=40, refine_steps=4, occlusion=True))
+    lut = eng.build_lut_from_stops(mss.TERRAIN_STOPS)
+    a = sg.render_clipmap_scene(dem, lut, **kw)
+    b = eng.render_clipmap_scene(dem, lut, **kw)
+    return a, b
+
+
+def test_clipmap_engine_matches_oracle():
+    a, b = _clipmap_pair()
+    d = np.abs(a[..., :3].astype(int) - b[..., :3].astype(int))
+    # mean within a fraction of an LSB; isolated plateau-boundary pixels
+    # may flip a quantization step under f32 vs f64 association
+    assert d.mean() <= 0.25, f"clipmap engine-vs-oracle mean {d.mean():.3f}"
+    assert (d > 2).mean() <= 0.005, \
+        f"clipmap engine-vs-oracle outliers {(d > 2).mean():.4f}"
+    s = float(ssim(a[..., :3], b[..., :3]))
+    assert s >= 0.995, f"clipmap engine-vs-oracle SSIM {s:.4f}"
