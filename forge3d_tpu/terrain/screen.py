@@ -1016,6 +1016,7 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
 
     cu, cv, layer, ch = jax.lax.fori_loop(
         0, int(max_steps), march, (u, v, jnp.zeros_like(u), ch0))
+    crossed = active & (layer >= ch)
 
     rss = step_size
     for _ in range(int(refine_steps)):
@@ -1029,7 +1030,9 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
         layer = jnp.where(active, jnp.where(ge, layer - rss, layer + rss),
                           layer)
     return (jnp.where(active, jnp.clip(cu, 0.0, 1.0), u),
-            jnp.where(active, jnp.clip(cv, 0.0, 1.0), v))
+            jnp.where(active, jnp.clip(cv, 0.0, 1.0), v),
+            jnp.where(active, layer, jnp.zeros_like(layer)),
+            crossed)
 
 
 def _apply_slope_hue_variation(albedo, slope_factor, height_norm, strength):
@@ -1155,13 +1158,15 @@ def _build_shade_fn(cfg):
         # ---- POM + parallax uv (wgsl:3226-3264) --------------------------
         pu, pv = uu, vv
         occlusion = jnp.ones_like(uu)
+        _pl, _pc = None, None
         if pom is not None and pom["enabled"] and pom["height_scale"] > 0.0:
-            pu, pv = _pom_uv(hm, uu, vv, blended_normal, view_dir,
-                             scale=float(pom["height_scale"]),
-                             min_steps=int(pom.get("min_steps", 1)),
-                             max_steps=int(pom.get("max_steps", 1)),
-                             refine_steps=int(pom.get("refine_steps", 0)),
-                             samp=hm_samp)
+            pu, pv, _pl, _pc = _pom_uv(
+                hm, uu, vv, blended_normal, view_dir,
+                scale=float(pom["height_scale"]),
+                min_steps=int(pom.get("min_steps", 1)),
+                max_steps=int(pom.get("max_steps", 1)),
+                refine_steps=int(pom.get("refine_steps", 0)),
+                samp=hm_samp)
 
         # ---- water / heights --------------------------------------------
         if has_wm:
@@ -1171,6 +1176,14 @@ def _build_shade_fn(cfg):
             wm = jnp.zeros_like(uu)
         is_water = wm > 0.001
         height_sample = hm_samp(hm, jnp.clip(pu, 0, 1), jnp.clip(pv, 0, 1))
+        if _pl is not None and pom.get("layer_height", False):
+            # Layer->height conversion on march crossings: both committed
+            # terrain_pom goldens (family generation) pin
+            # height_eff = 1 - exit_layer where the march crossed (fit
+            # -0.992x + 0.960 vs the raw displaced sample); the recipe
+            # generation and saturated raw-meter marches (rainier) pin the
+            # as-written displaced sample.  See screen_golden._pom_uv.
+            height_sample = jnp.where(_pc, 1.0 - _pl, height_sample)
         height_clamped = jnp.clip(height_sample, dom_lo, dom_hi)
         if pom is not None and pom["enabled"] and pom.get("occlusion", True):
             # occlusion = height_clamped, then clamped ONCE to the
@@ -1665,7 +1678,12 @@ def render_screen_scene(
                        min_steps=int(pom.get("min_steps", 1)),
                        max_steps=int(pom.get("max_steps", 1)),
                        refine_steps=int(pom.get("refine_steps", 0)),
-                       occlusion=bool(pom.get("occlusion", True)))
+                       occlusion=bool(pom.get("occlusion", True)),
+                       # family-generation goldens pin the layer->height
+                       # conversion on march crossings; the recipe
+                       # generation pins the as-written displaced sample
+                       # (see _pom_uv)
+                       layer_height=(generation == "family"))
 
     sky_cfg = None
     if sky is not None and sky.get("enabled", False):
@@ -1883,14 +1901,20 @@ def _build_clipmap_shade_fn(cfg):
 
         pu, pv = uu, vv
         occlusion = jnp.ones_like(uu)
+        _pl, _pc = None, None
         if pom is not None and pom["enabled"] and pom["height_scale"] > 0.0:
-            pu, pv = _pom_uv(hm, uu, vv, blended_normal, view_dir,
-                             scale=float(pom["height_scale"]),
-                             min_steps=int(pom.get("min_steps", 1)),
-                             max_steps=int(pom.get("max_steps", 1)),
-                             refine_steps=int(pom.get("refine_steps", 0)))
+            pu, pv, _pl, _pc = _pom_uv(
+                hm, uu, vv, blended_normal, view_dir,
+                scale=float(pom["height_scale"]),
+                min_steps=int(pom.get("min_steps", 1)),
+                max_steps=int(pom.get("max_steps", 1)),
+                refine_steps=int(pom.get("refine_steps", 0)))
 
         height_sample = _nearest(hm, jnp.clip(pu, 0, 1), jnp.clip(pv, 0, 1))
+        if _pl is not None and pom.get("layer_height", False):
+            # layer->height conversion on march crossings (see screen.py
+            # shade path / screen_golden._pom_uv for the pinned evidence)
+            height_sample = jnp.where(_pc, 1.0 - _pl, height_sample)
         height_clamped = jnp.clip(height_sample, dom_lo, dom_hi)
         if pom is not None and pom["enabled"] and pom.get("occlusion", True):
             occlusion = jnp.clip(height_clamped, 0.65, 1.0)
@@ -2049,7 +2073,12 @@ def render_clipmap_scene(
                        min_steps=int(pom.get("min_steps", 1)),
                        max_steps=int(pom.get("max_steps", 1)),
                        refine_steps=int(pom.get("refine_steps", 0)),
-                       occlusion=bool(pom.get("occlusion", True)))
+                       occlusion=bool(pom.get("occlusion", True)),
+                       # family-generation goldens pin the layer->height
+                       # conversion on march crossings; the recipe
+                       # generation pins the as-written displaced sample
+                       # (see _pom_uv)
+                       layer_height=(generation == "family"))
 
     cfg = (W, H, hm.shape, str(albedo_mode),
            float(np.clip(hue_variation_strength, 0.0, 0.2)) > 0.0,

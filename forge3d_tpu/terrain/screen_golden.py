@@ -1004,6 +1004,17 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
     (det_mat3_mul_vec3(tbn, view_dir), wgsl:3226), not the transpose
     projection; the march compares the accumulated layer against the RAW
     height (not inverted depth); heights sample with the nearest sampler.
+
+    Returns (pu, pv, layer, crossed): the displaced uv, the march's exit
+    layer, and whether the march terminated by crossing (layer >= sampled
+    height) rather than by exhausting its step budget.  The crossing case
+    pins the reference's layer->height conversion downstream (see
+    render_screen_scene): both committed terrain_pom goldens
+    (tests/golden/terrain/terrain_pom{,.metal}.png) fit
+    height_eff = 1 - layer with slope -0.992 / intercept 0.960 against
+    the raw displaced sample, while the saturated (never-crossing)
+    raw-meter DEMs - preset_rainier and every recipe DEM - pin the
+    as-written displaced raw sample.
     """
     n = blended_normal
     up = np.where((np.abs(n[..., 1]) > 0.99)[..., None],
@@ -1024,10 +1035,13 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
     pdir = dir_xy / np.maximum(L, 1e-20)[..., None] * scale
     step_size = (1.0 / steps).astype(np.float32)
 
+    def _march_h(uu, vv):
+        return _nearest(hm, np.clip(uu, 0, 1), np.clip(vv, 0, 1))
+
     cu = u.copy()
     cv = v.copy()
     layer = np.zeros_like(u)
-    ch = _nearest(hm, np.clip(cu, 0, 1), np.clip(cv, 0, 1))
+    ch = _march_h(cu, cv)
     for i in range(int(max_steps)):
         go = active & (i < steps) & (layer < ch)
         if not go.any():
@@ -1035,21 +1049,23 @@ def _pom_uv(hm, u, v, blended_normal, view_dir, *, scale, min_steps,
         cu = np.where(go, cu - pdir[..., 0] * step_size, cu)
         cv = np.where(go, cv - pdir[..., 1] * step_size, cv)
         layer = np.where(go, layer + step_size, layer)
-        ch = np.where(go, _nearest(hm, np.clip(cu, 0, 1),
-                                   np.clip(cv, 0, 1)), ch)
+        ch = np.where(go, _march_h(cu, cv), ch)
+    crossed = active & (layer >= ch)
     rss = step_size.copy()
     for _ in range(int(refine_steps)):
         du = pdir[..., 0] * rss * 0.5
         dv = pdir[..., 1] * rss * 0.5
         rss = rss * 0.5
-        ch = _nearest(hm, np.clip(cu, 0, 1), np.clip(cv, 0, 1))
+        ch = _march_h(cu, cv)
         ge = layer >= ch
         cu = np.where(active, np.where(ge, cu - du, cu + du), cu)
         cv = np.where(active, np.where(ge, cv - dv, cv + dv), cv)
         layer = np.where(active, np.where(ge, layer - rss, layer + rss),
                          layer)
     return (np.where(active, np.clip(cu, 0.0, 1.0), u),
-            np.where(active, np.clip(cv, 0.0, 1.0), v))
+            np.where(active, np.clip(cv, 0.0, 1.0), v),
+            np.where(active, layer, np.zeros_like(layer)),
+            crossed)
 
 
 def render_screen_scene(
@@ -1061,7 +1077,7 @@ def render_screen_scene(
     hue_variation_strength=0.08, water_mask=None, sky=None,
     hdr_rgb=None, material_albedo_rgb=None, materials=None, pom=None,
     reflection=None, domain=(0.0, 1.0), _camera_pos=None,
-    generation="family", encode="gamma",
+    generation="family", encode="gamma", _debug=None,
 ):
     """Replicates TerrainRenderer.render_terrain_pbr_pom in screen mode for
     the feature subset the terrain goldens enable (POM off, detail off,
@@ -1143,13 +1159,15 @@ def render_screen_scene(
     # ---- POM + parallax uv (wgsl:3226-3264) --------------------------------
     pu, pv = u, v
     occlusion = np.ones_like(u)
+    _pl, _pc = None, None
     if pom is not None and pom.get("enabled", False) \
             and pom.get("height_scale", 0.0) > 0.0:
-        pu, pv = _pom_uv(hm, u, v, blended_normal, view_dir,
-                         scale=float(pom["height_scale"]),
-                         min_steps=int(pom.get("min_steps", 1)),
-                         max_steps=int(pom.get("max_steps", 1)),
-                         refine_steps=int(pom.get("refine_steps", 0)))
+        pu, pv, _pl, _pc = _pom_uv(
+            hm, u, v, blended_normal, view_dir,
+            scale=float(pom["height_scale"]),
+            min_steps=int(pom.get("min_steps", 1)),
+            max_steps=int(pom.get("max_steps", 1)),
+            refine_steps=int(pom.get("refine_steps", 0)))
 
     # ---- water / heights / overlay ---------------------------------------
     if water_mask is not None:
@@ -1159,6 +1177,15 @@ def render_screen_scene(
         wm = np.zeros_like(u)
     is_water = wm > 0.001
     height_sample = _nearest(hm, np.clip(pu, 0, 1), np.clip(pv, 0, 1))
+    if _pl is not None and generation == "family":
+        # Layer->height conversion on march crossings: the terrain_pom
+        # goldens (both backends) pin height_eff = 1 - exit_layer where
+        # the march terminated by crossing (fit slope -0.992 vs the raw
+        # displaced sample).  The conversion is generation-gated: the
+        # recipe-generation goldens (all 22) pin the as-written displaced
+        # sample for the same unit-range crossing marches, and saturated
+        # raw-meter marches (rainier) never cross.
+        height_sample = np.where(_pc, 1.0 - _pl, height_sample)
     height_clamped = np.clip(height_sample, dom_lo, dom_hi)
     if pom is not None and pom.get("enabled", False) \
             and pom.get("occlusion", True):
@@ -1450,6 +1477,13 @@ def render_screen_scene(
                                terrain_sss, 0.0)
     terrain_shaded = lit_albedo + spec_capped + terrain_sss
     shaded = np.where(is_water[..., None], shaded, terrain_shaded)
+    if _debug is not None:
+        _debug.update(dict(
+            height_norm=height_norm, occlusion=occlusion, albedo=albedo,
+            lighting_factor=lighting_factor, shadow_vis=shadow_vis,
+            ndl=ndl, pu=pu, pv=pv, diffuse_raw=diffuse_raw,
+            ao_shadow=ao_shadow, ibl_term=ibl_term,
+            spec_capped=spec_capped, wgt=wgt))
 
     shaded = shaded * max(exposure, 0.0)
 
@@ -1887,13 +1921,19 @@ def render_clipmap_scene(
     occlusion = np.ones_like(u)
     if pom is not None and pom.get("enabled", False) \
             and pom.get("height_scale", 0.0) > 0.0:
-        pu, pv = _pom_uv(hm, u, v, blended_normal, view_dir,
-                         scale=float(pom["height_scale"]),
-                         min_steps=int(pom.get("min_steps", 1)),
-                         max_steps=int(pom.get("max_steps", 1)),
-                         refine_steps=int(pom.get("refine_steps", 0)))
+        pu, pv, _pl, _pc = _pom_uv(
+            hm, u, v, blended_normal, view_dir,
+            scale=float(pom["height_scale"]),
+            min_steps=int(pom.get("min_steps", 1)),
+            max_steps=int(pom.get("max_steps", 1)),
+            refine_steps=int(pom.get("refine_steps", 0)))
 
     height_sample = _nearest(hm, np.clip(pu, 0, 1), np.clip(pv, 0, 1))
+    if pom is not None and pom.get("enabled", False) \
+            and pom.get("height_scale", 0.0) > 0.0 \
+            and generation == "family":
+        # layer->height conversion on march crossings (see _pom_uv)
+        height_sample = np.where(_pc, 1.0 - _pl, height_sample)
     height_clamped = np.clip(height_sample, dom_lo, dom_hi)
     if pom is not None and pom.get("enabled", False) \
             and pom.get("occlusion", True):
