@@ -60,16 +60,29 @@ def vtpack_main(argv=None) -> int:
 
 
 def bench_main(argv=None) -> int:
-    """forge3d-bench: run the per-op benchmark harness."""
+    """forge3d-bench: run the per-op benchmark harness (reference CLI
+    contract: one op per invocation, --width/--height required)."""
     from .bench import BENCH_OPS, run_benchmark
 
     ap = argparse.ArgumentParser(prog="forge3d-bench")
-    ap.add_argument("ops", nargs="*", default=None,
-                    help=f"ops to run (default all): {sorted(BENCH_OPS)}")
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--op", required=True, choices=sorted(BENCH_OPS))
+    ap.add_argument("--width", type=int, required=True)
+    ap.add_argument("--height", type=int, required=True)
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--grid", type=int, default=16)
+    ap.add_argument("--colormap", type=str, default="viridis")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args(argv)
-    for rec in run_benchmark(args.ops or None, iters=args.iters):
-        print(json.dumps(rec))
+    rec = run_benchmark(args.op, args.width, args.height,
+                        iterations=args.iterations, warmup=args.warmup,
+                        grid=args.grid, colormap=args.colormap,
+                        seed=args.seed)
+    print(json.dumps(rec))
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(rec, fh, indent=2)
     return 0
 
 

@@ -95,3 +95,97 @@ class ValidationReport:
 
     def __len__(self):
         return len(self.diagnostics)
+
+
+# ---------------------------------------------------------------------------
+# Memory telemetry reports (reference diagnostics.py:381-461 contract:
+# tests/test_bench_diagnostics.py:122-165 gates to_dict()["status"],
+# ["diagnostics"][0]["code"/"details"], ["supported_features"])
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FeatureReport:
+    """Typed report with detail payloads + feature support summary
+    (the reference's ValidationReport shape for telemetry reports)."""
+
+    diagnostics: List[dict] = field(default_factory=list)
+    supported_features: dict = field(default_factory=dict)
+    status: str = "ok"
+
+    def to_dict(self) -> dict:
+        return {
+            "status": self.status,
+            "diagnostics": list(self.diagnostics),
+            "supported_features": dict(self.supported_features),
+        }
+
+
+def memory_budget_validation_report(metrics=None) -> FeatureReport:
+    """Diagnostics report from memory-budget telemetry
+    (reference diagnostics.py:381-418)."""
+    if metrics is None:
+        from .mem import memory_metrics
+
+        metrics = memory_metrics()
+    m = dict(metrics)
+    host = int(m.get("host_visible_bytes", m.get("tracked_bytes", 0)))
+    limit = m.get("limit_bytes", m.get("budget_bytes"))
+    policy = str(m.get("budget_policy", m.get("policy", "enforce")))
+    within = bool(m.get("within_budget", True))
+    diag = {
+        "code": "estimated_gpu_memory",
+        "severity": "warning" if not within else "info",
+        "message": ("estimated GPU memory exceeds the budget"
+                    if not within else
+                    "estimated GPU memory is within the budget"),
+        "details": {
+            "host_visible_bytes": host,
+            "limit_bytes": int(limit) if limit is not None else None,
+            "budget_policy": policy,
+            "buffer_bytes": int(m.get("buffer_bytes", 0)),
+            "texture_bytes": int(m.get("texture_bytes", 0)),
+            "within_budget": within,
+        },
+    }
+    return FeatureReport(
+        diagnostics=[diag],
+        status="warning" if not within else "ok",
+    )
+
+
+def memory_tracking_completeness_report(expected_bytes: int, metrics=None,
+                                        *, min_coverage: float = 0.95
+                                        ) -> FeatureReport:
+    """Whether tracked memory accounts for an expected allocation envelope
+    (reference diagnostics.py:421-461)."""
+    if metrics is None:
+        from .mem import memory_metrics
+
+        metrics = memory_metrics()
+    expected = max(0, int(expected_bytes))
+    tracked = int(dict(metrics).get(
+        "host_visible_bytes", dict(metrics).get("tracked_bytes", 0)))
+    coverage = 1.0 if expected == 0 else tracked / float(expected)
+    ok = coverage >= float(min_coverage)
+    diag = {
+        "code": "memory_tracking_completeness",
+        "severity": "info" if ok else "warning",
+        "message": ("Tracked memory coverage meets the expected "
+                    "allocation envelope." if ok else
+                    "Tracked memory coverage is below the expected "
+                    "allocation envelope."),
+        "details": {
+            "expected_bytes": expected,
+            "tracked_bytes": tracked,
+            "coverage_ratio": coverage,
+            "min_coverage": float(min_coverage),
+        },
+    }
+    return FeatureReport(
+        diagnostics=[diag],
+        supported_features={
+            "memory.tracking_completeness":
+                "supported" if ok else "underdeveloped"},
+        status="ok" if ok else "warning",
+    )

@@ -1588,9 +1588,12 @@ class MapScene:
     # -- render ------------------------------------------------------------
     def render(self, path=None, cache=None, certificate=None,
                render_policy: str = "block_on_error") -> Frame:
+        import time as _time
+
         rep = self.validate()
         rep.raise_if_blocking(render_policy)
         plan = self.compile_plan()
+        _t_terrain0 = _time.perf_counter()
 
         from .terrain.renderer import TerrainRenderer
 
@@ -1643,6 +1646,24 @@ class MapScene:
                 )
                 depth = None
         rgba = frame.rgba.copy()
+        # observability: the reference's MapScene.last_render_metadata
+        # (python/forge3d/bench.py:65-85 reads terrain_main_pass_ms /
+        # material_vt_stats from it)
+        _md = {
+            "camera_mode": plan.get("camera_mode", "perspective"),
+            "terrain_main_pass_ms":
+                (_time.perf_counter() - _t_terrain0) * 1e3,
+        }
+        _rend = locals().get("renderer")
+        if _rend is not None:
+            _gt = getattr(_rend, "last_gpu_timings", None)
+            if isinstance(_gt, dict) and _gt.get("terrain_main_pass_ms"):
+                _md["terrain_main_pass_ms"] = float(
+                    _gt["terrain_main_pass_ms"])
+            _vt = getattr(_rend, "last_vt_stats", None)
+            if isinstance(_vt, dict):
+                _md["material_vt_stats"] = dict(_vt)
+        self.last_render_metadata = _md
         W, H = plan["params"].size_px
 
         # 3D content layers (depth-composited against the terrain)

@@ -78,7 +78,7 @@ def render_frames_sharded(desc, n_frames: int, mesh=None):
     )
 
     frame_step = jax.jit(_make_frame_step(desc, static),
-                         donate_argnums=(2, 3))
+                         donate_argnums=(3, 4))
     reuse_step = jax.jit(_make_reuse_step(desc), donate_argnums=(0,))
     gbuf = jax.jit(lambda s: _center_gbuffer(desc, s, static))(scene)
     gb_n = gbuf["gb_n"]
@@ -94,7 +94,7 @@ def render_frames_sharded(desc, n_frames: int, mesh=None):
 
     for f in range(n_frames):
         accum, welford, curr, res_prev_c = frame_step(
-            scene, env, accum, welford, res_prev, jnp.uint32(f)
+            scene, env, None, accum, welford, res_prev, jnp.uint32(f)
         )
         res_prev = reuse_step(res_prev_c, curr, gb_n, jnp.uint32(f))
     return accum, welford, res_prev

@@ -100,6 +100,12 @@ class TerrainRefDesc:
     #: weighted by emitted power (ref: src/path_tracing/alias_table.rs,
     #: importance.rs). None = sun + env only (reference default).
     lights: Optional[tuple] = None
+    #: Optional triangle mesh mixed into the scene ((N,3) f32 vertices,
+    #: (M,3) u32 indices) — the reference's HybridScene seam
+    #: (render_terrain.rs:239-241, hybrid_traversal.wgsl:175-201:
+    #: closest-of(mesh BVH, terrain) for primary AND shadow rays, shaded
+    #: with the same albedo/NEE contract).
+    mesh: Optional[tuple] = None
 
 
 def _validate(desc: TerrainRefDesc) -> None:
@@ -169,6 +175,7 @@ def _make_frame_step(
     desc: TerrainRefDesc,
     static: TerrainSceneStatic,
     mxu_static=None,
+    mesh_nodes: int = 0,
 ):
     """Build the per-frame device program. The scene tables and env map are
     RUNTIME ARGUMENTS of the returned function, not closure constants —
@@ -215,20 +222,77 @@ def _make_frame_step(
         def _base(scene_pair):
             return scene_pair
 
-    def sample_radiance(scene, env, st, prev_dir, prev_w, prev_ok):
+    if mesh_nodes:
+        from ..ops.bvh import trace_mesh
+
+        def _hyb_primary(scene, mesh, ro, rd):
+            """closest-of(mesh BVH, terrain), merged normal
+            (hybrid_traversal.wgsl:175-201)."""
+            th = _tr(scene, ro, rd)
+            msc, fnorm = mesh
+            mh = trace_mesh(msc, mesh_nodes, ro, rd)
+            tt = jnp.where(th.hit, th.t, jnp.float32(3.0e38))
+            mesh_won = mh.hit & (mh.t < tt)
+            t = jnp.where(mesh_won, mh.t, th.t)
+            hitmask = th.hit | mh.hit
+            hx = ro[0] + t * rd[0]
+            hy = ro[1] + t * rd[1]
+            hz = ro[2] + t * rd[2]
+            nx, ny, nz = normal_at(_base(scene), static, (hx, hy, hz),
+                                   th.cell_x, th.cell_z)
+            pid = jnp.maximum(mh.prim, 0)
+            mnx = jnp.take(fnorm[:, 0], pid)
+            mny = jnp.take(fnorm[:, 1], pid)
+            mnz = jnp.take(fnorm[:, 2], pid)
+            # two-sided: orient the face normal against the ray
+            flip = (mnx * rd[0] + mny * rd[1] + mnz * rd[2]) > 0
+            mnx = jnp.where(flip, -mnx, mnx)
+            mny = jnp.where(flip, -mny, mny)
+            mnz = jnp.where(flip, -mnz, mnz)
+            nx = jnp.where(mesh_won, mnx, nx)
+            ny = jnp.where(mesh_won, mny, ny)
+            nz = jnp.where(mesh_won, mnz, nz)
+            return t, hitmask, (hx, hy, hz), (nx, ny, nz), mesh_won
+
+        def _occl_any(scene, mesh, ro, rd):
+            """any-hit (intersect_shadow_ray tests both primitives)."""
+            th = _tr(scene, ro, rd)
+            mh = trace_mesh(mesh[0], mesh_nodes, ro, rd)
+            tmin = jnp.minimum(jnp.where(th.hit, th.t, jnp.float32(3.0e38)),
+                               jnp.where(mh.hit, mh.t, jnp.float32(3.0e38)))
+            return th.hit | mh.hit, tmin
+    else:
+        def _hyb_primary(scene, mesh, ro, rd):
+            th = _tr(scene, ro, rd)
+            t = th.t
+            hx = ro[0] + t * rd[0]
+            hy = ro[1] + t * rd[1]
+            hz = ro[2] + t * rd[2]
+            n = normal_at(_base(scene), static, (hx, hy, hz),
+                          th.cell_x, th.cell_z)
+            return t, th.hit, (hx, hy, hz), n, None
+
+        def _occl_any(scene, mesh, ro, rd):
+            th = _tr(scene, ro, rd)
+            return th.hit, jnp.where(th.hit, th.t, jnp.float32(3.0e38))
+
+    def sample_radiance(scene, mesh, env, st, prev_dir, prev_w, prev_ok):
         """One jittered camera sample; returns (st, rgb, cand_pdf)."""
         st, u1 = xorshift32(st)
         st, u2 = xorshift32(st)
         jx = tent_offset(u1) * 0.5
         jy = tent_offset(u2) * 0.5
         dx, dy, dz = _camera_rays(desc, jx, jy)
-        hit = _tr(scene, (ox, oy, oz), (dx, dy, dz))
-        t = hit.t
-        hx = ox + t * dx
-        hy = oy + t * dy
-        hz = oz + t * dz
-        nx, ny, nz = normal_at(_base(scene), static, (hx, hy, hz),
-                               hit.cell_x, hit.cell_z)
+        t, hitmask, (hx, hy, hz), (nx, ny, nz), mesh_won = _hyb_primary(
+            scene, mesh, (ox, oy, oz), (dx, dy, dz))
+        if mesh_won is not None:
+            # mesh hits keep the legacy constant albedo
+            # (hybrid_traversal.wgsl:233-241 get_surface_properties)
+            ar = jnp.where(mesh_won, _F32(0.7), _F32(albedo[0]))
+            ag = jnp.where(mesh_won, _F32(0.7), _F32(albedo[1]))
+            ab = jnp.where(mesh_won, _F32(0.8), _F32(albedo[2]))
+        else:
+            ar, ag, ab = albedo
 
         # miss -> environment radiance along the primary ray
         mr, mg, mb = env_radiance(env, dx, dy, dz)
@@ -236,9 +300,9 @@ def _make_frame_step(
         # sun candidate target pdf (streaming RIS with a single directional
         # light: w = target_pdf, selection pdf 1; wgsl:440-452)
         ndotl = jnp.maximum(nx * sun[0] + ny * sun[1] + nz * sun[2], 0.0)
-        tpdf = luminance(albedo[0] * lc[0] * ndotl, albedo[1] * lc[1] * ndotl,
-                         albedo[2] * lc[2] * ndotl)
-        cand_pdf = jnp.where(hit.hit, tpdf, 0.0)
+        tpdf = luminance(ar * lc[0] * ndotl, ag * lc[1] * ndotl,
+                         ab * lc[2] * ndotl)
+        cand_pdf = jnp.where(hitmask, tpdf, 0.0)
 
         # sun shading through the merged reservoir from the previous frame
         sdx = jnp.where(prev_ok, prev_dir[0], sun[0])
@@ -252,7 +316,7 @@ def _make_frame_step(
         st2, u3 = xorshift32(st)
         st2, u4 = xorshift32(st2)
         # misses do not consume u3/u4 (reference `continue`)
-        st = jnp.where(hit.hit, st2, st)
+        st = jnp.where(hitmask, st2, st)
         ex, ey, ez = cosine_dir(nx, ny, nz, u3, u4)
 
         # ONE batched occlusion trace for sun + env rays: per-ray results
@@ -260,27 +324,28 @@ def _make_frame_step(
         # while halving the while_loop executions (PERF.md).
         oro = (hx + nx * 1e-3, hy + ny * 1e-3, hz + nz * 1e-3)
         if shadows:
-            occ2 = _tr(scene,
-                       tuple(jnp.stack([c, c]) for c in oro),
-                       (jnp.stack([jnp.broadcast_to(sdx, ex.shape), ex]),
-                        jnp.stack([jnp.broadcast_to(sdy, ey.shape), ey]),
-                        jnp.stack([jnp.broadcast_to(sdz, ez.shape), ez]))).hit
+            occ2, _ = _occl_any(
+                scene, mesh,
+                tuple(jnp.stack([c, c]) for c in oro),
+                (jnp.stack([jnp.broadcast_to(sdx, ex.shape), ex]),
+                 jnp.stack([jnp.broadcast_to(sdy, ey.shape), ey]),
+                 jnp.stack([jnp.broadcast_to(sdz, ez.shape), ez])))
             occ = occ2[0]
             eocc = occ2[1]
             vis = jnp.where(occ, 0.0, 1.0)
         else:
-            eocc = _tr(scene, oro, (ex, ey, ez)).hit
+            eocc, _ = _occl_any(scene, mesh, oro, (ex, ey, ez))
             vis = jnp.ones_like(nd)
         lit = nd * vis * rw
-        sun_r = albedo[0] * lc[0] * lit
-        sun_g = albedo[1] * lc[1] * lit
-        sun_b = albedo[2] * lc[2] * lit
+        sun_r = ar * lc[0] * lit
+        sun_g = ag * lc[1] * lit
+        sun_b = ab * lc[2] * lit
 
         er, eg, eb = env_radiance(env, ex, ey, ez)
         evis = jnp.where(eocc, 0.0, 1.0)
-        ibl_r = albedo[0] * er * evis
-        ibl_g = albedo[1] * eg * evis
-        ibl_b = albedo[2] * eb * evis
+        ibl_r = ar * er * evis
+        ibl_g = ag * eg * evis
+        ibl_b = ab * eb * evis
 
         lr = lg = lb = 0.0
         if light_buf is not None:
@@ -291,19 +356,20 @@ def _make_frame_step(
             st, u7 = xorshift32(st)
             ldx, ldy, ldz, ldist, wr, wg, wb = sample_light_nee(
                 light_buf, alias, hx, hy, hz, nx, ny, nz, u5, u6, u7)
-            locc = _tr(scene, oro, (ldx, ldy, ldz)).t < ldist * 0.999
+            _, lt = _occl_any(scene, mesh, oro, (ldx, ldy, ldz))
+            locc = lt < ldist * 0.999
             lvis = jnp.where(locc, 0.0, 1.0)
-            lr = albedo[0] * wr * lvis
-            lg = albedo[1] * wg * lvis
-            lb = albedo[2] * wb * lvis
+            lr = ar * wr * lvis
+            lg = ag * wg * lvis
+            lb = ab * wb * lvis
 
-        r = jnp.where(hit.hit, sun_r + ibl_r + lr, mr)
-        g = jnp.where(hit.hit, sun_g + ibl_g + lg, mg)
-        b = jnp.where(hit.hit, sun_b + ibl_b + lb, mb)
-        return st, (r, g, b), cand_pdf, hit.hit
+        r = jnp.where(hitmask, sun_r + ibl_r + lr, mr)
+        g = jnp.where(hitmask, sun_g + ibl_g + lg, mg)
+        b = jnp.where(hitmask, sun_b + ibl_b + lb, mb)
+        return st, (r, g, b), cand_pdf, hitmask
 
-    def frame_step(scene, env, accum, welford, res_prev: rst.Reservoirs,
-                   frame_index):
+    def frame_step(scene, env, mesh, accum, welford,
+                   res_prev: rst.Reservoirs, frame_index):
         """One accumulation frame. accum: (H, W, 4); welford: (H, W, 2)."""
         xs = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 1)
         ys = jax.lax.broadcasted_iota(jnp.uint32, (H, W), 0)
@@ -337,7 +403,7 @@ def _make_frame_step(
         def body(i, carry):
             st, fr, fg, fb, c_wsum, c_m, c_pdf = carry
             st, (r, g, b), cand_pdf, was_hit = sample_radiance(
-                scene, env, st, pdir, pw, prev_ok)
+                scene, mesh, env, st, pdir, pw, prev_ok)
             good = cand_pdf > 0.0
             c_wsum = c_wsum + jnp.where(good, cand_pdf, 0.0)
             c_m = c_m + jnp.where(good, 1, 0).astype(jnp.uint32)
@@ -403,32 +469,54 @@ def _make_reuse_step(desc: TerrainRefDesc):
     return reuse
 
 
-def _center_gbuffer(desc, scene, static):
+def _center_gbuffer(desc, scene, static, mesh=None, mesh_nodes=0):
     """Unjittered center-ray hit record: AOVs + ReSTIR receiver normals
-    (wgsl:523-549 and main_terrain_gbuffer)."""
+    (wgsl:523-549 and main_terrain_gbuffer); with a mesh, the hybrid
+    closest-of merge (hybrid_traversal.wgsl:175-201)."""
     W, H = desc.width, desc.height
     z = jnp.zeros((H, W), _F32)
     dx, dy, dz = _camera_rays(desc, z, z)
     ox = jnp.full((H, W), desc.cam_origin[0], _F32)
     oy = jnp.full((H, W), desc.cam_origin[1], _F32)
     oz = jnp.full((H, W), desc.cam_origin[2], _F32)
-    hit = trace(scene, static, (ox, oy, oz), (dx, dy, dz))
-    hx = ox + hit.t * dx
-    hy = oy + hit.t * dy
-    hz = oz + hit.t * dz
-    nx, ny, nz = normal_at(scene, static, (hx, hy, hz), hit.cell_x, hit.cell_z)
-    nx = jnp.where(hit.hit, nx, 0.0)
-    ny = jnp.where(hit.hit, ny, 0.0)
-    nz = jnp.where(hit.hit, nz, 1.0)  # sky record kept finite (wgsl:579-582)
-    albedo = jnp.where(
-        hit.hit[..., None],
-        jnp.asarray(desc.albedo, _F32),
-        jnp.zeros((3,), _F32),
-    )
-    depth = jnp.where(hit.hit, hit.t, jnp.nan)
-    vis = jnp.where(hit.hit, 1.0, 0.0)
+    th = trace(scene, static, (ox, oy, oz), (dx, dy, dz))
+    t = th.t
+    hitmask = th.hit
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    nx, ny, nz = normal_at(scene, static, (hx, hy, hz), th.cell_x, th.cell_z)
+    if mesh_nodes:
+        from ..ops.bvh import trace_mesh
+
+        msc, fnorm = mesh
+        mh = trace_mesh(msc, mesh_nodes, (ox, oy, oz), (dx, dy, dz))
+        tt = jnp.where(th.hit, th.t, jnp.float32(3.0e38))
+        mesh_won = mh.hit & (mh.t < tt)
+        t = jnp.where(mesh_won, mh.t, th.t)
+        hitmask = th.hit | mh.hit
+        pid = jnp.maximum(mh.prim, 0)
+        mnx = jnp.take(fnorm[:, 0], pid)
+        mny = jnp.take(fnorm[:, 1], pid)
+        mnz = jnp.take(fnorm[:, 2], pid)
+        flip = (mnx * dx + mny * dy + mnz * dz) > 0
+        nx = jnp.where(mesh_won, jnp.where(flip, -mnx, mnx), nx)
+        ny = jnp.where(mesh_won, jnp.where(flip, -mny, mny), ny)
+        nz = jnp.where(mesh_won, jnp.where(flip, -mnz, mnz), nz)
+    nx = jnp.where(hitmask, nx, 0.0)
+    ny = jnp.where(hitmask, ny, 0.0)
+    nz = jnp.where(hitmask, nz, 1.0)  # sky record kept finite (wgsl:579-582)
+    alb = jnp.broadcast_to(jnp.asarray(desc.albedo, _F32), (H, W, 3))
+    if mesh_nodes:
+        # mesh hits carry the legacy constant albedo through the AOVs
+        # (hybrid_traversal.wgsl:233-241; test_hybrid_terrain_pt.py:745-748)
+        alb = jnp.where(mesh_won[..., None],
+                        jnp.asarray((0.7, 0.7, 0.8), _F32), alb)
+    albedo = jnp.where(hitmask[..., None], alb, jnp.zeros((3,), _F32))
+    depth = jnp.where(hitmask, t, jnp.nan)
+    vis = jnp.where(hitmask, 1.0, 0.0)
     normal = jnp.where(
-        hit.hit[..., None],
+        hitmask[..., None],
         jnp.stack([nx, ny, nz], axis=-1),
         jnp.zeros((3,), _F32),
     )
@@ -454,6 +542,13 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
             raise RenderError(
                 "traversal='sweep' integrates sun+env only; typed lights "
                 "need traversal='dda'/'mxu' (alias-table NEE)")
+        if desc.mesh is not None:
+            # the sweep propagates sun occlusion along heightfield rows;
+            # mesh BVH occlusion needs per-ray traversal (fail-closed —
+            # the public entry already falls back to 'dda')
+            raise RenderError(
+                "traversal='sweep' cannot trace mesh geometry; use "
+                "traversal='dda'/'mxu' for hybrid terrain+mesh scenes")
         from .terrain_sweep import render_terrain_sweep
 
         return render_terrain_sweep(desc)
@@ -485,6 +580,19 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
         intensity=jnp.asarray(desc.env_intensity, _F32),
     )
 
+    # Optional mesh: SAH BVH + face normals, mixed in through the hybrid
+    # closest-of seam (render_terrain.rs:563-570, hybrid_traversal.wgsl).
+    mesh_arg = None
+    mesh_nodes = 0
+    mesh_bytes = 0
+    if desc.mesh is not None:
+        from .mesh_render import MeshTracerScene
+
+        mts = MeshTracerScene(desc.mesh[0], desc.mesh[1])
+        mesh_arg = (mts.scene, mts.face_normals)
+        mesh_nodes = mts.n_nodes
+        mesh_bytes = int(mts.bvh.nbytes)
+
     # Resource ledger (reference reports these diagnostics per render).
     pyramid_bytes = pyr.nbytes
     accum_bytes = n_pix * 16
@@ -498,18 +606,24 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
         tracker.track("terrain-pt.reservoirs", reservoir_bytes, "buffer"),
         tracker.track("terrain-pt.env", env_bytes, "texture"),
     ]
-    gpu_resource_bytes = pyramid_bytes + accum_bytes + welford_bytes + reservoir_bytes + env_bytes
+    if mesh_bytes:
+        rids.append(tracker.track("terrain-pt.mesh-bvh", mesh_bytes,
+                                  "buffer"))
+    gpu_resource_bytes = (pyramid_bytes + accum_bytes + welford_bytes
+                          + reservoir_bytes + env_bytes + mesh_bytes)
 
     try:
         frame_step = jax.jit(
-            _make_frame_step(desc, static, mxu_static), donate_argnums=(2, 3)
+            _make_frame_step(desc, static, mxu_static, mesh_nodes),
+            donate_argnums=(3, 4)
         )
         reuse_step = jax.jit(_make_reuse_step(desc), donate_argnums=(0,))
         gbuf_fn = jax.jit(
-            lambda scene: _center_gbuffer(desc, scene, static)
+            lambda scene, mesh: _center_gbuffer(desc, scene, static,
+                                                mesh, mesh_nodes)
         )
 
-        gbuf = gbuf_fn(scene)
+        gbuf = gbuf_fn(scene, mesh_arg)
         gb_n = gbuf["gb_n"]
 
         accum = jnp.zeros((H, W, 4), _F32)
@@ -521,7 +635,8 @@ def render_terrain_reference(desc: TerrainRefDesc) -> dict:
         converged = False
         while frames < desc.max_frames:
             accum, welford, curr, res_prev_c = frame_step(
-                scene_arg, env, accum, welford, res_prev, jnp.uint32(frames)
+                scene_arg, env, mesh_arg, accum, welford, res_prev,
+                jnp.uint32(frames)
             )
             res_prev = reuse_step(res_prev_c, curr, gb_n, jnp.uint32(frames))
             frames += 1
@@ -624,15 +739,30 @@ def hybrid_render_terrain_reference(
     traversal: str = "dda",
 ) -> dict:
     """Public entry; same signature/defaults as the reference pyfunction
-    (terrain_reference.rs:57-105). `mesh_*` lands with the BVH subsystem;
-    for now providing one raises (instead of silently ignoring it)."""
+    (terrain_reference.rs:57-105).  `mesh_vertices`/`mesh_indices` mix a
+    triangle mesh into the scene through the hybrid closest-of seam
+    (terrain_reference.rs:160-203, hybrid_traversal.wgsl:175-201): the
+    SAH BVH is traced for primary AND shadow rays alongside the terrain
+    DDA.  The sweep estimator cannot express mesh occlusion, so hybrid
+    scenes dispatch to the per-ray engine (traversal='sweep' with a mesh
+    falls back to 'dda'; see PERF.md for the measured throughput)."""
     if (mesh_vertices is None) != (mesh_indices is None):
         raise ValueError("mesh_vertices and mesh_indices must be provided together")
+    mesh = None
     if mesh_vertices is not None:
-        raise NotImplementedError(
-            "mesh geometry in the terrain reference requires the BVH subsystem "
-            "(tracked for a later milestone)"
-        )
+        mv = np.asarray(mesh_vertices, np.float32)
+        mi = np.asarray(mesh_indices)
+        if mv.ndim != 2 or mv.shape[1] != 3 or mv.shape[0] == 0:
+            raise ValueError("mesh_vertices must have shape (N, 3)")
+        if mi.ndim != 2 or mi.shape[1] != 3 or mi.shape[0] == 0:
+            raise ValueError("mesh_indices must have shape (M, 3)")
+        if not np.isfinite(mv).all():
+            raise ValueError("mesh vertices contain non-finite values")
+        if mi.min() < 0 or int(mi.max()) >= mv.shape[0]:
+            raise ValueError("mesh indices reference out-of-bounds vertices")
+        mesh = (mv, mi.astype(np.uint32))
+        if traversal == "sweep":
+            traversal = "dda"
     if sun_color is None:
         sun_color = (1.0, 0.97, 0.92)
     else:
@@ -665,6 +795,7 @@ def hybrid_render_terrain_reference(
         min_frames=int(min_frames),
         variance_threshold=float(variance_threshold),
         traversal=str(traversal),
+        mesh=mesh,
     )
     out = render_terrain_reference(desc)
     if certificate is not None:

@@ -152,6 +152,9 @@ class VTStore:
         self._resident_bytes = 0
         self.fallback_texels = 0
         self.evictions = 0
+        self.feedback_requests = 0
+        self._upload_ms_total = 0.0
+        self._upload_count = 0
 
     @property
     def logical_texels(self) -> int:
@@ -162,6 +165,7 @@ class VTStore:
         evicting under the budget. Missing pages raise (fail-closed) and
         count fallback texels."""
         key = (kind, level, px, py)
+        self.feedback_requests += 1
         page = self._resident.get(key)
         if page is not None:
             self._resident.move_to_end(key)
@@ -174,6 +178,9 @@ class VTStore:
             raise VtError(f"page not in store: {key}")
         if entry["size"] + 64 > self.budget_bytes:
             raise VtError("page larger than the whole residency budget")
+        import time as _time
+
+        _t0 = _time.perf_counter()
         self._fh.seek(self._base + entry["offset"])
         blob = self._fh.read(entry["size"])
         if hashlib.sha256(blob).hexdigest() != entry["sha256"]:
@@ -188,6 +195,8 @@ class VTStore:
         self._resident_bytes += page.nbytes
         record_vt_event(hit=False, bytes_streamed=entry["size"],
                         resident_pages=len(self._resident))
+        self._upload_ms_total += (_time.perf_counter() - _t0) * 1e3
+        self._upload_count += 1
         return page
 
     def stats(self) -> dict:
@@ -199,6 +208,10 @@ class VTStore:
             "budget_bytes": self.budget_bytes,
             "evictions": self.evictions,
             "fallback_texels": self.fallback_texels,
+            "feedback_requests": self.feedback_requests,
+            # reference bench contract (material_vt_stats.avg_upload_ms)
+            "avg_upload_ms": (self._upload_ms_total / self._upload_count
+                              if self._upload_count else 0.0),
         }
 
     def close(self):

@@ -318,17 +318,18 @@ def test_forge3d_shim():
 
 
 def test_bench_harness():
-    from forge3d_tpu.bench import BENCH_OPS, benchmark_op, run_benchmark
+    from forge3d_tpu.bench import benchmark_op, run_benchmark
 
     rec = benchmark_op(lambda: sum(range(1000)), iters=5, name="noop")
     assert rec["op"] == "noop" and rec["iters"] == 5
     assert rec["p50_ms"] <= rec["p95_ms"] <= rec["max_ms"] + 1e-9
     assert "memory" in rec
-    out = run_benchmark(["numpy_png_roundtrip", "f3dz_roundtrip"], iters=2)
-    assert [r["op"] for r in out] == ["numpy_png_roundtrip",
-                                     "f3dz_roundtrip"]
-    with pytest.raises(KeyError):
-        run_benchmark(["warp_speed"])
+    out = run_benchmark("numpy_to_png", 16, 16, iterations=2, warmup=0)
+    assert out["op"] == "numpy_to_png" and out["pixels"] == 256
+    assert out["stats"]["p50_ms"] <= out["stats"]["p95_ms"] + 1e-9
+    assert out["throughput"]["fps"] > 0
+    with pytest.raises(ValueError):
+        run_benchmark("warp_speed", 8, 8)
 
 
 # ---------------------------------------------------------------------------

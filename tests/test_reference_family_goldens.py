@@ -105,7 +105,12 @@ def _render_hybrid_mini_dem():
         albedo=(0.55, 0.52, 0.48), sun_azimuth_deg=225.0,
         sun_elevation_deg=35.0, sun_intensity=2.5,
         sun_color=(1.0, 0.97, 0.92), env_map=None, env_intensity=0.35,
-        spp=8, max_frames=24, min_frames=8, variance_threshold=1.0,
+        # the golden's accumulation schedule (test_hybrid_terrain_pt.py:
+        # 47-79: spp=1, 32..512 frames at variance 1e-3) is load-bearing:
+        # the ReSTIR reuse weight RAMPS over frames, so the accumulated
+        # mean depends on the frame count — an 8spp x 24-frame shortcut
+        # under-weights the sun by ~6% in lit regions (round-5 diagnosis)
+        spp=1, max_frames=512, min_frames=32, variance_threshold=1e-3,
         seed=7, restir=True, shadows_enabled=True, traversal="dda")
     return render_terrain_reference(desc)["rgba"]
 

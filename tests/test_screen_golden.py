@@ -68,16 +68,21 @@ def test_pom_march_compares_layer_against_raw_height():
     n[..., 0] = 0.6
     view = np.zeros((2, 2, 3), np.float32)
     view[..., 2] = 1.0
-    pu, pv = sg._pom_uv(hm, u, v, n, view, scale=0.05, min_steps=4,
-                        max_steps=8, refine_steps=0)
+    pu, pv, layer, crossed = sg._pom_uv(
+        hm, u, v, n, view, scale=0.05, min_steps=4, max_steps=8,
+        refine_steps=0)
     # flat h=1: layer (starting at 0) < height until the step budget;
     # marches the full interpolated step count
     assert np.all(np.abs(pu - u) <= 0.05 + 1e-6)
+    # step budget exhausted at layer 1.0 >= h=1.0: counts as a crossing
+    assert np.all(layer <= 1.0 + 1e-6)
     # zero-height field: first check exits immediately (layer >= height)
     hm0 = np.zeros((8, 8), np.float32)
-    pu0, pv0 = sg._pom_uv(hm0, u, v, n, view, scale=0.05, min_steps=4,
-                          max_steps=8, refine_steps=0)
+    pu0, pv0, layer0, crossed0 = sg._pom_uv(
+        hm0, u, v, n, view, scale=0.05, min_steps=4, max_steps=8,
+        refine_steps=0)
     assert np.allclose(pu0, u) and np.allclose(pv0, v)
+    assert np.all(crossed0) and np.allclose(layer0, 0.0)
 
 
 def test_shadow_pass_heights_are_domain_normalized():

@@ -95,13 +95,66 @@ class TestTerrainReference:
         assert px[:, 2].mean() > px[:, 0].mean() + 30  # blue dominates
 
     def test_mesh_args_validated(self):
-        with pytest.raises(ValueError):
+        # must come together (terrain_reference.rs:176-181)
+        with pytest.raises(ValueError, match="together"):
             quick(mesh_vertices=np.zeros((3, 3), np.float32))
-        with pytest.raises(NotImplementedError):
-            quick(
-                mesh_vertices=np.zeros((3, 3), np.float32),
-                mesh_indices=np.zeros((1, 3), np.uint32),
-            )
+        with pytest.raises(ValueError, match=r"\(N, 3\)"):
+            quick(mesh_vertices=np.zeros((0, 3), np.float32),
+                  mesh_indices=np.zeros((1, 3), np.uint32))
+        with pytest.raises(ValueError, match=r"\(M, 3\)"):
+            quick(mesh_vertices=np.zeros((3, 3), np.float32),
+                  mesh_indices=np.zeros((3,), np.uint32))
+        with pytest.raises(ValueError, match="non-finite"):
+            quick(mesh_vertices=np.full((3, 3), np.nan, np.float32),
+                  mesh_indices=np.zeros((1, 3), np.uint32))
+        with pytest.raises(ValueError, match="out-of-bounds"):
+            quick(mesh_vertices=np.zeros((3, 3), np.float32),
+                  mesh_indices=np.array([[0, 1, 7]], np.uint32))
+
+    def test_mixed_scene_mesh_and_terrain(self):
+        """Terrain is a first-class primitive of the shared hybrid
+        traversal (test_hybrid_terrain_pt.py:718-753): a quad hovering
+        above the terrain occludes the heightfield, shortens depth, and
+        carries the legacy constant mesh albedo (0.7, 0.7, 0.8)
+        (hybrid_traversal.wgsl:233-241) through the AOVs."""
+        dem = small_dem()
+        kw = dict(spp=2, max_frames=8, min_frames=2,
+                  variance_threshold=1e30)
+        quad_v = np.array([[10, 8, 20], [38, 8, 20], [38, 22, 20],
+                           [10, 22, 20]], np.float32)
+        quad_i = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        base = f3d.hybrid_render_terrain_reference(dem, 96, 72, CAM, **kw)
+        mixed = f3d.hybrid_render_terrain_reference(
+            dem, 96, 72, CAM, mesh_vertices=quad_v, mesh_indices=quad_i,
+            **kw)
+        d0, d1 = base["depth"], mixed["depth"]
+        closer = np.isfinite(d1) & (~np.isfinite(d0) | (d1 < d0 - 1.0))
+        assert closer.mean() > 0.01, "mesh did not appear in the scene"
+        assert np.allclose(mixed["albedo"][closer], [0.7, 0.7, 0.8],
+                           atol=2e-2)
+        terr = np.isfinite(d1) & ~closer
+        assert terr.mean() > 0.2
+        assert np.allclose(mixed["albedo"][terr], [0.6, 0.6, 0.6],
+                           atol=2e-2)
+        # the mesh shadows the terrain: some terrain pixels darken
+        db = base["rgba"][..., :3].astype(np.int32)
+        dm = mixed["rgba"][..., :3].astype(np.int32)
+        assert (dm[terr] < db[terr]).any()
+
+    def test_mesh_sweep_falls_back_to_per_ray(self):
+        dem = small_dem()
+        quad_v = np.array([[10, 8, 20], [38, 8, 20], [38, 22, 20],
+                           [10, 22, 20]], np.float32)
+        quad_i = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        kw = dict(spp=1, max_frames=4, min_frames=2,
+                  variance_threshold=1e30)
+        a = f3d.hybrid_render_terrain_reference(
+            dem, 48, 36, CAM, mesh_vertices=quad_v, mesh_indices=quad_i,
+            traversal="sweep", **kw)
+        b = f3d.hybrid_render_terrain_reference(
+            dem, 48, 36, CAM, mesh_vertices=quad_v, mesh_indices=quad_i,
+            traversal="dda", **kw)
+        assert np.array_equal(a["rgba"], b["rgba"])
 
     def test_bad_inputs_raise(self):
         with pytest.raises(f3d.UploadError):
