@@ -24,9 +24,10 @@ from .font import FontFace, ShapedText, _face, _flatten_contours, shape
 _BAKE_SIZE = 24.0
 _PX_RANGE = 6.0
 _PADDING = 3
-#: default edge smoothing (text_overlay.wgsl U.smoothing); module-level so
-#: the recipe-parity fit can calibrate the effective fwidth ramp
-_SMOOTHING = 0.72  # calibrated on the four label recipe goldens
+#: default edge smoothing: MapScene uploads the atlas with smoothing = 1.0
+#: (reference map_scene.py:2376 set_native_text_atlas(..., 1.0); the shader
+#: floor is max(U.smoothing, 0.1), text_overlay.wgsl:73)
+_SMOOTHING = 1.0
 
 
 
@@ -103,12 +104,9 @@ def draw_native_label(image: np.ndarray, text: str,
         col = np.append(col, 1.0)
     if hal.size == 3:
         hal = np.append(hal, 1.0)
-    # fwidth of normalized sdf per screen px
     if smoothing is None:
         smoothing = _SMOOTHING
-    fw = (bake / max(float(font_size), 1e-6)) / px_range
-    edge = max(fw * max(smoothing, 0.1), 1e-6)
-    halo_distance = max(float(halo_width_px), 0.0) * edge
+    halo_px = max(float(halo_width_px), 0.0)
     for g in shaped.glyphs:
         got = _glyph_sdf(g.face.path, g.glyph, bake, px_range, int(padding))
         if got is None:
@@ -137,8 +135,17 @@ def draw_native_label(image: np.ndarray, text: str,
              + sdf[vi, ui + 1] * uf * (1 - vf)
              + sdf[vi + 1, ui] * (1 - uf) * vf
              + sdf[vi + 1, ui + 1] * uf * vf)
+        # edge_width = max(fwidth(sdf) * max(smoothing, 0.1), 1e-6)
+        # (text_overlay.wgsl:73): fwidth is the per-pixel screen-space
+        # |d/dx| + |d/dy| of the SAMPLED sdf — derived numerically here,
+        # which reproduces the hardware quad-derivative ramp including its
+        # contour-direction dependence (x|n_x|+|n_y| in [1, sqrt(2)]).
+        gy_, gx_ = np.gradient(s)
+        fw = np.abs(gx_) + np.abs(gy_)
+        edge = np.maximum(fw * max(smoothing, 0.1), 1e-6)
         fill = _smoothstep(-edge, edge, s)
-        if halo_distance > 0.0 and hal[3] > 0.0:
+        if halo_px > 0.0 and hal[3] > 0.0:
+            halo_distance = halo_px * edge
             halo_a = _smoothstep(-(halo_distance + edge), -edge, s)
         else:
             halo_a = np.zeros_like(fill)

@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -1212,13 +1213,14 @@ class MapScene:
             sc = np.stack([n01[:, 0] * 1.7 - 0.85,
                            (1.0 - n01[:, 1]) * 1.7 - 0.85], axis=1)
             wall_h = max(0.08, min(1.4, h / 45.0))
-            # sRGB palette decoded to linear; the scatter target stores
-            # the lit LINEAR value raw (the goldens' lit brick wall sits
-            # at 70/255 = 0.72 * srgb_to_linear(166/255))
-            c8 = np.asarray(self._BUILDING_PALETTE.get(
+            # the batch color feeds mesh_instanced.wgsl U.color RAW — the
+            # palette's sRGB bytes are used as-is, with no linear decode
+            # anywhere in the chain (verified per-face on the golden:
+            # ambient concrete reads 0.2 * 158/255 * 235/255, and lit
+            # factors recovered from every face are consistent only with
+            # the raw values)
+            col = np.asarray(self._BUILDING_PALETTE.get(
                 mat, (150, 143, 132, 235))[:3], np.float64) / 255.0
-            col = np.where(c8 <= 0.04045, c8 / 12.92,
-                           ((c8 + 0.055) / 1.055) ** 2.4)
             ftris, fnorms, fcols = self._building_mesh_tris(
                 sc, wall_h, roof, col)
             cxs = (sc[:, 0] + 0.85) * s2c
@@ -1265,6 +1267,7 @@ class MapScene:
                          math.cos(el_r) * math.sin(az_r),
                          math.sin(el_r)])
         inten = float(light.intensity)
+
         # rgb + contact side factor mix(1, 1-|n.y|, 0.85)
         shades = [np.append(
             np.clip(c * (0.2 + 0.7 * max(float(np.dot(n, -lhat)), 0.0)
